@@ -1,0 +1,187 @@
+"""CDC-semantic operators: the reference's domain, made queryable.
+
+The reference delivers an ordered stream of row-change events (envelope:
+``domain/server_id/sequence/event_number/timestamp/event_type`` +
+payload columns; GTID = ``domain-server_id-sequence``,
+cdc_connector.h:199-208). These operators turn that change log into
+answers: current-state snapshot, resume offsets, before/after diffs,
+replay windows.
+
+Scale design (100 TB change logs):
+
+* ``latest_snapshot`` is ``groupBy(pk).agg(max_by(...))`` — a hash
+  aggregate with map-side partial aggregation, NOT a window sort. Partial
+  aggregation collapses each map partition to one candidate row per key
+  before the shuffle, so shuffle volume ≈ |distinct keys|, not |events|.
+  A window (`row_number() OVER ...`) would shuffle every event and sort
+  per partition. The DuckDB oracle uses the window form — same result,
+  different physical plan.
+* ``resume_offset`` is a two-column groupBy-max — trivially partial-agg.
+* ``update_pairs`` self-joins on (key, sequence): both sides shuffle on
+  the same key so AQE can plan a shuffled-hash join; the before-side is
+  pre-filtered so only update events shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.envelope import ENVELOPE_COLUMNS, gtid_column
+from maxscale_cdc_connector_spark.session import load_table
+
+
+def decode_events(raw: DataFrame, schema, value_col: str = "value") -> DataFrame:
+    """Decode newline-JSON CDC event lines into typed columns.
+
+    Spark analog of ``process_row`` + ``json_to_string``
+    (cdc_connector.cpp:288-319,80-115) — except values land as real
+    Spark types (via the typemap), and JSON ``null`` becomes a true
+    ``NULL``, not ``""`` (deliberate fix of cdc_connector.cpp:106-107).
+    """
+    return raw.select(F.from_json(F.col(value_col), schema).alias("e")).select("e.*")
+
+
+def with_gtid(events: DataFrame, col_name: str = "gtid") -> DataFrame:
+    """Append the GTID string column (cdc_connector.h:199-208)."""
+    return events.withColumn(col_name, gtid_column())
+
+
+def latest_snapshot(events: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Current row per primary key from insert/update/delete events.
+
+    The event with the greatest ``(sequence, event_number)`` per key wins
+    (GTID order is the stream's total order, cdc_connector.h:65); keys
+    whose last event is a ``delete`` disappear; ``update_before`` can
+    never win because its paired ``update_after`` shares the sequence
+    with a higher event_number.
+
+    Implemented as a hash aggregate (``max_by`` over a struct ordering
+    key) for map-side partial aggregation — see module docstring.
+    """
+    payload_cols = [c for c in events.columns if c not in key_cols]
+    ord_key = F.struct(F.col("sequence"), F.col("event_number"))
+    agg = [F.max_by(F.col(c), ord_key).alias(c) for c in payload_cols]
+    snap = events.groupBy(*key_cols).agg(*agg)
+    return snap.filter(F.col("event_type") != "delete")
+
+
+def resume_offset(events: DataFrame) -> DataFrame:
+    """Max GTID per (domain, server_id) — the restart position an
+    application would pass to ``connect(table, gtid)``
+    (cdc_connector.cpp:199-206)."""
+    return (
+        events.groupBy("domain", "server_id")
+        .agg(F.max("sequence").alias("max_sequence"))
+        .withColumn("gtid", gtid_column(sequence="max_sequence"))
+    )
+
+
+def update_pairs(
+    events: DataFrame, key_cols: Sequence[str], value_cols: Sequence[str]
+) -> DataFrame:
+    """Pair ``update_before``/``update_after`` events into (old, new) diffs.
+
+    Pairing key is (key, domain, server_id, sequence): the avrorouter
+    emits both halves of an update under one GTID with consecutive
+    event_numbers (envelope semantics the reference's stream carries).
+    """
+    join_cols = [*key_cols, "domain", "server_id", "sequence"]
+    before = events.filter(F.col("event_type") == "update_before").select(
+        *join_cols, *[F.col(c).alias(f"old_{c}") for c in value_cols]
+    )
+    after = events.filter(F.col("event_type") == "update_after").select(
+        *join_cols, *[F.col(c).alias(f"new_{c}") for c in value_cols]
+    )
+    return before.join(after, join_cols, "inner")
+
+
+def changes_between(events: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Events with ``lo <= sequence < hi`` — a replay window, the batch
+    analog of resuming from a GTID (cdc_connector.h:62-69)."""
+    return events.filter((F.col("sequence") >= F.lit(lo)) & (F.col("sequence") < F.lit(hi)))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic CDC event log over the `customer` table.
+#
+# The driver's DuckDB oracle can only see the ten parquet tables, so CDC
+# queries derive their event log *deterministically from `customer`* with
+# pure relational ops — the identical derivation is expressed in ANSI SQL
+# (CDC_EVENTS_SQL) so both engines compute over the same events:
+#   * one `insert` per customer           (sequence = c_custkey)
+#   * update_before/after pair for keys % 10 = 0 (sequence = 10_000_000 + key)
+#   * `delete` for keys % 20 = 0          (sequence = 20_000_000 + key)
+# ---------------------------------------------------------------------------
+
+PAYLOAD_COLS = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+_UPD_SEQ_BASE = 10_000_000
+_DEL_SEQ_BASE = 20_000_000
+
+
+def _envelope_cols(seq: Column, event_number: int, ts_base: int, event_type: str) -> list[Column]:
+    return [
+        F.lit(0).alias("domain"),
+        F.lit(3000).alias("server_id"),
+        seq.cast("bigint").alias("sequence"),
+        F.lit(event_number).alias("event_number"),
+        (F.lit(ts_base) + F.col("c_custkey")).cast("bigint").alias("event_ts"),
+        F.lit(event_type).alias("event_type"),
+    ]
+
+
+def synthetic_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC event log derived from the `customer` table."""
+    c = load_table(spark, "customer", sf_dir)
+    key = F.col("c_custkey")
+    old_payload = [F.col(x) for x in PAYLOAD_COLS]
+    new_payload = [
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.col("c_nationkey"),
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MACHINERY").alias("c_mktsegment"),
+    ]
+
+    inserts = c.select(*_envelope_cols(key, 1, 1_500_000_000, "insert"), *old_payload)
+    upd = c.filter(key % 10 == 0)
+    upd_before = upd.select(
+        *_envelope_cols(key + _UPD_SEQ_BASE, 1, 1_600_000_000, "update_before"), *old_payload
+    )
+    upd_after = upd.select(
+        *_envelope_cols(key + _UPD_SEQ_BASE, 2, 1_600_000_000, "update_after"), *new_payload
+    )
+    deletes = c.filter(key % 20 == 0).select(
+        *_envelope_cols(key + _DEL_SEQ_BASE, 1, 1_700_000_000, "delete"), *new_payload
+    )
+    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+
+
+# The same event log in DuckDB SQL, used as a CTE by every CDC oracle query.
+CDC_EVENTS_SQL = """
+cdc_events AS (
+    SELECT 0 AS domain, 3000 AS server_id, CAST(c_custkey AS BIGINT) AS sequence,
+           1 AS event_number, CAST(1500000000 + c_custkey AS BIGINT) AS event_ts,
+           'insert' AS event_type,
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 0, 3000, CAST(10000000 + c_custkey AS BIGINT),
+           1, CAST(1600000000 + c_custkey AS BIGINT), 'update_before',
+           c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 0, 3000, CAST(10000000 + c_custkey AS BIGINT),
+           2, CAST(1600000000 + c_custkey AS BIGINT), 'update_after',
+           c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'MACHINERY'
+    FROM customer WHERE c_custkey % 10 = 0
+    UNION ALL
+    SELECT 0, 3000, CAST(20000000 + c_custkey AS BIGINT),
+           1, CAST(1700000000 + c_custkey AS BIGINT), 'delete',
+           c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'MACHINERY'
+    FROM customer WHERE c_custkey % 20 = 0
+)
+"""

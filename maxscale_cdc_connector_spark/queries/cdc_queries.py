@@ -1,0 +1,213 @@
+"""CDC-semantic queries (SURVEY.md §2B "CDC-semantic operators").
+
+Every query runs over the deterministic synthetic CDC event log derived
+from `customer` (operators/cdc.py) so the DuckDB oracle can reproduce it
+from the same parquet tables via the CDC_EVENTS_SQL CTE.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.envelope import gtid_column
+from maxscale_cdc_connector_spark.operators.cdc import (
+    CDC_EVENTS_SQL,
+    PAYLOAD_COLS,
+    changes_between,
+    decode_events,
+    latest_snapshot,
+    resume_offset,
+    synthetic_customer_events,
+    update_pairs,
+)
+from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import load_table
+from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+# The avrorouter-style schema record for the synthetic customer stream —
+# shape per cdc_connector.cpp:237-286 (fields[] with name/real_type/length).
+CUSTOMER_SCHEMA_RECORD = json.dumps(
+    {
+        "namespace": "MaxScaleChangeDataSchema.avro",
+        "type": "record",
+        "name": "ChangeRecord",
+        "fields": [
+            {"name": "domain", "type": "int", "real_type": "int", "length": -1},
+            {"name": "server_id", "type": "int", "real_type": "int", "length": -1},
+            {"name": "sequence", "type": "long", "real_type": "bigint", "length": -1},
+            {"name": "event_number", "type": "int", "real_type": "int", "length": -1},
+            {"name": "event_ts", "type": "long", "real_type": "bigint", "length": -1},
+            {
+                "name": "event_type",
+                "type": {"type": "enum", "name": "EVENT_TYPES"},
+                "real_type": "varchar",
+                "length": 16,
+            },
+            {"name": "c_custkey", "type": "long", "real_type": "bigint", "length": -1},
+            {"name": "c_name", "type": "string", "real_type": "varchar", "length": 25},
+            {"name": "c_nationkey", "type": "int", "real_type": "int", "length": -1},
+            {"name": "c_acctbal", "type": "double", "real_type": "double", "length": -1},
+            {"name": "c_mktsegment", "type": "string", "real_type": "varchar", "length": 10},
+        ],
+    }
+)
+
+
+@register(
+    "cdc_decode",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT domain, server_id, sequence, event_number, event_ts, event_type,
+       c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM cdc_events
+""",
+    doc="JSON event line → typed columns (process_row/json_to_string analog, "
+    "cdc_connector.cpp:288-319,80-115). Round-trips every event through the "
+    "newline-JSON wire form and the typemap-built StructType.",
+)
+def cdc_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    # Serialize to the wire form (one JSON object per line), then decode with
+    # the schema built from the avrorouter schema record — the full path a
+    # real stream takes: bytes → json → typed row.
+    raw = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    schema = schema_record_to_struct(CUSTOMER_SCHEMA_RECORD)
+    return decode_events(raw, schema)
+
+
+@register(
+    "cdc_gtid",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT domain || '-' || server_id || '-' || sequence AS gtid,
+       sequence, event_number, event_type, c_custkey
+FROM cdc_events
+""",
+    doc="GTID string column — Row::gtid() (cdc_connector.h:199-208) as a "
+    "codegen'd concat_ws expression.",
+)
+def cdc_gtid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    return events.select(
+        gtid_column().alias("gtid"), "sequence", "event_number", "event_type", "c_custkey"
+    )
+
+
+@register(
+    "cdc_latest_snapshot",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+""",
+    doc="Current row per primary key from the change log. Spark plan is a "
+    "hash aggregate (max_by over (sequence, event_number)) with map-side "
+    "partial aggregation — shuffle volume ~ |keys|, not |events|.",
+)
+def cdc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    snap = latest_snapshot(events, ["c_custkey"])
+    return snap.select(*PAYLOAD_COLS)
+
+
+@register(
+    "cdc_resume_offset",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT domain, server_id, max(sequence) AS max_sequence,
+       domain || '-' || server_id || '-' || max(sequence) AS gtid
+FROM cdc_events GROUP BY domain, server_id
+""",
+    doc="Max GTID per (domain, server_id) = the position to pass to "
+    "connect(table, gtid) on restart (cdc_connector.cpp:199-206).",
+)
+def cdc_resume_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resume_offset(synthetic_customer_events(spark, sf_dir))
+
+
+@register(
+    "cdc_update_pairs",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT b.c_custkey, b.domain, b.server_id, b.sequence,
+       b.c_acctbal AS old_c_acctbal, a.c_acctbal AS new_c_acctbal,
+       b.c_mktsegment AS old_c_mktsegment, a.c_mktsegment AS new_c_mktsegment
+FROM (SELECT * FROM cdc_events WHERE event_type = 'update_before') b
+JOIN (SELECT * FROM cdc_events WHERE event_type = 'update_after') a
+  ON b.c_custkey = a.c_custkey AND b.domain = a.domain
+ AND b.server_id = a.server_id AND b.sequence = a.sequence
+""",
+    doc="Pair update_before/update_after into (old, new) diffs — both sides "
+    "shuffle on the same key so the join co-locates.",
+)
+def cdc_update_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    pairs = update_pairs(events, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+    return pairs.select(
+        "c_custkey", "domain", "server_id", "sequence",
+        "old_c_acctbal", "new_c_acctbal", "old_c_mktsegment", "new_c_mktsegment",
+    )
+
+
+@register(
+    "cdc_changes_between",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT domain, server_id, sequence, event_number, event_type, c_custkey, c_acctbal
+FROM cdc_events WHERE sequence >= 10000000 AND sequence < 20000000
+""",
+    doc="Events in a GTID/sequence range — replay window; the filter is a "
+    "pushed-down range predicate (connect-from-GTID semantics, "
+    "cdc_connector.h:62-69).",
+)
+def cdc_changes_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    return changes_between(events, 10_000_000, 20_000_000).select(
+        "domain", "server_id", "sequence", "event_number", "event_type",
+        "c_custkey", "c_acctbal",
+    )
+
+
+@register(
+    "cdc_snapshot_join_agg",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events
+),
+snap AS (
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+)
+SELECT n.n_name, count(*) AS n_customers,
+       round(sum(s.c_acctbal), 2) AS total_acctbal
+FROM snap s JOIN nation n ON s.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+    doc="Flagship: change log → latest snapshot → broadcast join to nation → "
+    "aggregate. Exercises decode semantics, snapshot, join, agg in one plan.",
+)
+def cdc_snapshot_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    snap = latest_snapshot(events, ["c_custkey"]).select("c_custkey", "c_nationkey", "c_acctbal")
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        snap.join(F.broadcast(nation), snap.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
