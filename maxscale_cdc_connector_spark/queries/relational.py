@@ -1,1 +1,843 @@
-"""Relational-layer queries (SURVEY.md §2B) — filled in Phase 2."""
+"""Relational-layer queries (SURVEY.md §2B "Relational layer").
+
+The reference has zero relational operators (SURVEY.md §2A) — this layer is
+what makes the captured change-log data an analytics engine. Everything is
+Catalyst built-ins: filters and projections push down to the parquet scan,
+joins pick broadcast/SMJ/shuffled-hash via AQE, aggregates get map-side
+partial aggregation, and every expression stays inside whole-stage codegen.
+
+Oracle-parity conventions (the driver hash-compares values after sorting
+columns by name):
+
+* every computed column carries the same alias in Spark and SQL;
+* integer-typed outputs are cast to ``bigint`` on the Spark side where
+  DuckDB produces BIGINT (window ranks, extract functions, counts);
+* double aggregates are ``round()``-ed on both sides (sums to 2dp, avgs
+  to 4dp) so last-ulp summation-order differences can't flip the hash;
+* row-level ``round`` is applied only to long-expansion values (ratios,
+  logs), never to 2-decimal money values at 1dp where the ``.x5``
+  boundary behaves differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import load_table as t
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "project_filter",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    doc="TPC-H Q6-shaped selection: all four predicates and the 4-column "
+    "projection push down to the parquet scan (PushedFilters + ReadSchema).",
+)
+def project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+
+
+@register(
+    "filter_like_in_between",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND c_acctbal BETWEEN 1000 AND 5000
+  AND c_name LIKE 'Customer#%1%'
+""",
+    doc="LIKE / IN / BETWEEN predicate pack (SURVEY §2B project/filter).",
+)
+def filter_like_in_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        & F.col("c_acctbal").between(1000, 5000)
+        & F.col("c_name").like("Customer#%1%")
+    ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+# ---------------------------------------------------------------------------
+# Joins — all seven variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 50000
+""",
+    doc="Equi inner join; the o_totalprice filter pushes below the join so "
+    "only qualifying orders shuffle.",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 50000)
+    c = t(spark, "customer", sf_dir)
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT p.p_brand, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+    doc="Fact-to-dim join with an explicit broadcast hint: part is tiny "
+    "relative to lineitem at every SF, so the 100 TB plan is a broadcast "
+    "hash join with zero shuffle of the fact side.",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+""",
+    doc="Left outer join preserving order-less customers (count = 0).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+    doc="Right outer join (mirror of left; Catalyst canonicalizes).",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+     b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 5 = 0)
+SELECT coalesce(a.c_custkey, b.c_custkey) AS custkey, a.c_acctbal, b.c_mktsegment
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+""",
+    doc="Full outer join with guaranteed one-side-only keys on both sides "
+    "(keys %3 vs %5), so null-padding is exercised in both directions.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    a = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_acctbal")
+    b = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("b_custkey"), "c_mktsegment"
+    )
+    return a.join(b, a.c_custkey == b.b_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "b_custkey").alias("custkey"), "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    doc="Left semi join = EXISTS; only the key column of orders shuffles and "
+    "the build side deduplicates, so output ≤ |customer|.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    doc="Left anti join = NOT EXISTS (customers with no orders).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS n_late,
+       round(sum(l.l_extendedprice), 2) AS late_revenue
+FROM lineitem l JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderpriority
+""",
+    doc="Equi join with a non-equi (range) residual — the common shape of a "
+    "range join at scale: shuffle on the equi key, evaluate the range "
+    "predicate as a post-join filter, never a cross join.",
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_late"),
+            F.round(F.sum("l_extendedprice"), 2).alias("late_revenue"),
+        )
+    )
+
+
+@register(
+    "join_theta_band",
+    oracle="""
+SELECT s.s_suppkey, count(*) AS n_parts
+FROM supplier s JOIN part p
+  ON p.p_retailprice BETWEEN s.s_acctbal AND s.s_acctbal + 1000
+GROUP BY s.s_suppkey
+""",
+    doc="Pure band (theta) join between two dimensions: Spark plans a "
+    "broadcast nested-loop join over the small side. Scale path for big-big "
+    "band joins is bucketizing the band key and equi-joining on bucket.",
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, "supplier", sf_dir)
+    p = t(spark, "part", sf_dir)
+    cond = p.p_retailprice.between(s.s_acctbal, s.s_acctbal + 1000)
+    return s.join(p, cond).groupBy("s_suppkey").agg(F.count("*").alias("n_parts"))
+
+
+@register(
+    "join_asof_prev_event",
+    oracle="""
+SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       last_value(CASE WHEN event_type = 'error'
+                       THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ) AS prev_error_us
+FROM events
+""",
+    doc="As-of join (nearest previous 'error' event per user), expressed as "
+    "a running last(ignoreNulls) window — one shuffle on user_id, no "
+    "self-join, no cross product; this is the scalable as-of formulation "
+    "when the probe and build streams can be unioned. Timestamps compared "
+    "at microsecond precision (DuckDB truncates parquet NANOS to micros).",
+)
+def join_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    return e.select("event_id", "user_id", "ts_us", prev_err.alias("prev_error_us"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hash",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       max(l_extendedprice) AS max_price,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped hash aggregate: 7 aggregates over 2 grouping keys; "
+    "partial aggregation collapses each scan partition to ≤|groups| rows "
+    "before the shuffle.",
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Multi-column distinct aggregation (Spark expands to a partial "
+    "de-dup + final agg, no driver-side set).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketch — approximate by design; driver does rows-only.
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB path for distinct "
+    "counts — fixed-size sketch, mergeable, no exact shuffle of all keys. "
+    "No oracle (DuckDB's approx sketch differs); rows-only check.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    doc="ROLLUP grouping sets (status, priority) → (status) → ().",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE over two low-cardinality keys (all four grouping sets).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(*) AS n_all
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Filtered aggregates via CASE (sum(when(...))) — single pass, no "
+    "per-filter re-scan.",
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias(
+            "f_total"
+        ),
+        F.count(F.when(F.col("o_orderstatus") == "O", F.lit(1))).alias("n_open"),
+        F.count("*").alias("n_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_rank",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       rank()       OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       row_number() OVER w AS rn
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    doc="rank/dense_rank/row_number in one window (single sort per "
+    "partition); o_orderkey tiebreak makes row_number deterministic.",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       lag(o_totalprice)  OVER w AS prev_price,
+       lead(o_totalprice) OVER w AS next_price,
+       first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS first_price,
+       last_value(o_totalprice)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+    doc="lag/lead/first/last analytics per customer order history.",
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.last("o_totalprice").over(wf).alias("last_price"),
+    )
+
+
+@register(
+    "win_frame_running",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+FROM orders
+""",
+    doc="Running sum/count with an explicit ROWS frame; the unique "
+    "(o_orderdate, o_orderkey) order makes prefix sums deterministic.",
+)
+def win_frame_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count("*").over(w).alias("running_n"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT p_partkey, p_size,
+       round(sum(p_retailprice) OVER (ORDER BY p_size
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS band_price,
+       count(*) OVER (ORDER BY p_size
+             RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS band_n
+FROM part
+""",
+    doc="RANGE frame over a numeric key (value-based band, tie-inclusive — "
+    "deterministic regardless of within-tie order). Single unpartitioned "
+    "window: fine for a dimension table, never for a fact table at scale.",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, "part", sf_dir)
+    w = W.orderBy("p_size").rangeBetween(-2, W.currentRow)
+    return p.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.sum("p_retailprice").over(w), 2).alias("band_price"),
+        F.count("*").over(w).alias("band_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi_key_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+    doc="Global top-100 by (price desc, key): Spark plans "
+    "TakeOrderedAndProject — per-partition heap + driver merge of 100-row "
+    "heads, never a full global sort.",
+)
+def sort_multi_key_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+) WHERE rn <= 3
+""",
+    doc="Top-3 orders per customer via window row_number ≤ k (one shuffle on "
+    "the group key; rank filter applied before any further stage).",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION ALL
+SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+""",
+    doc="UNION ALL (bag semantics — overlapping rows kept twice).",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return a.unionByName(b)
+
+
+@register(
+    "set_union_distinct",
+    oracle="""
+SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000
+""",
+    doc="UNION DISTINCT (hash de-dup after the union).",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_acctbal")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_acctbal")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 2500
+""",
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 2500).select("c_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+EXCEPT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+""",
+    doc="EXCEPT ALL (multiset difference — duplicate keys subtract by "
+    "multiplicity, exercising bag semantics).",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function packs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS seg_lower,
+       substring(c_name, 1, 10) AS name_prefix,
+       length(c_name) AS name_len,
+       c_mktsegment || '-' || CAST(c_nationkey AS VARCHAR) AS seg_nation,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       CASE WHEN c_name LIKE '%12%' THEN 1 ELSE 0 END AS has_12
+FROM customer
+""",
+    doc="String pack: upper/lower/substring/length/concat/regexp_extract/"
+    "LIKE — parity with the reference's string-typed value domain "
+    "(cdc_connector.cpp:80-115), all codegen'd.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 10).alias("name_prefix"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias(
+            "seg_nation"
+        ),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.when(F.col("c_name").like("%12%"), 1).otherwise(0).cast("bigint").alias("has_12"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       CAST(day(o_orderdate) AS BIGINT) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+""",
+    doc="Datetime pack: extract year/month/day, date_trunc, date addition, "
+    "epoch seconds — session TZ pinned to UTC for oracle parity.",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("order_year"),
+        F.month(d).cast("bigint").alias("order_month"),
+        F.dayofmonth(d).cast("bigint").alias("order_day"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 7.0, 3) AS price_seventh,
+       round(abs(l_discount - 0.05), 4) AS disc_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       round(pow(l_quantity, 2), 4) AS qty_sq,
+       round(ln(l_extendedprice), 6) AS price_ln
+FROM lineitem
+""",
+    doc="Math pack: round/abs/floor/ceil/pow/ln. Row-level rounds target "
+    "long-expansion values (ratio, log) where engines can't disagree at "
+    "the rounding digit.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7.0, 3).alias("price_seventh"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+    )
+
+
+@register(
+    "fn_json_props",
+    oracle="""
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+""",
+    doc="JSON extraction from the events.props string column — generalizes "
+    "the reference's per-field JSON value lookup (cdc_connector.cpp:297-301) "
+    "into a queryable expression (get_json_object).",
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    return e.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS sum_vals,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+""",
+    doc="Array pack over embeddings: size, element access, higher-order "
+    "aggregate (sum, L2 norm) — all JVM-side F.aggregate, no UDF.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "embeddings", sf_dir)
+    dsum = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    dsq = F.aggregate(
+        "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(dsum, 4).alias("sum_vals"),
+        F.round(F.sqrt(dsq), 4).alias("l2_norm"),
+    )
+
+
+@register(
+    "fn_case_null",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_bucket,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+       CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 1 ELSE 0 END AS is_building
+FROM customer
+""",
+    doc="Conditional/null pack: when/otherwise, coalesce, nullif, IS NULL — "
+    "real three-valued null logic, deliberately diverging from the "
+    "reference's null≡'' conflation (cdc_connector.cpp:106-107).",
+)
+def fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    seg_nullif = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(seg_nullif, F.lit("(none)")).alias("seg_or_none"),
+        F.when(seg_nullif.isNull(), 1).otherwise(0).cast("bigint").alias("is_building"),
+    )

@@ -56,7 +56,15 @@ def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one of the test tables as a DataFrame (columnar parquet scan)."""
+    """Read one of the test tables as a DataFrame (columnar parquet scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects unless
+    ``nanosAsLong`` is on — set it here (runtime-settable) so queries work
+    under any caller's session, not just ours. The column then reads as
+    epoch-nanos LongType; queries convert as needed (DuckDB truncates the
+    same column to microseconds, so parity outputs use ``ts DIV 1000``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import compare_query
+
+RELATIONAL = [
+    "project_filter",
+    "filter_like_in_between",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_range_theta",
+    "join_theta_band",
+    "join_asof_prev_event",
+    "agg_hash",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_filtered",
+    "win_rank",
+    "win_analytic",
+    "win_frame_running",
+    "win_range_frame",
+    "sort_multi_key_limit",
+    "topk_per_group",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except_all",
+    "fn_string",
+    "fn_datetime",
+    "fn_math",
+    "fn_json_props",
+    "fn_array",
+    "fn_case_null",
+]
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_relational_oracle_parity(spark, sf_dir, name):
+    from maxscale_cdc_connector_spark.queries import load_all
+
+    load_all()
+    compare_query(spark, sf_dir, name)
+
+
+def test_approx_distinct_rows_only(spark, sf_dir):
+    """Rows-only check: approximate distinct must be within 5% of exact."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir)
+    exact = REGISTRY["agg_distinct"].fn(spark, sf_dir)
+    approx = {r.l_returnflag: r.approx_parts for r in df.collect()}
+    truth = {r.l_returnflag: r.n_parts for r in exact.collect()}
+    for flag, n in truth.items():
+        assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
