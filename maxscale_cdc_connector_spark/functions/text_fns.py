@@ -1,0 +1,58 @@
+"""Text expressions: tokenization, shingles, normalization, stopword hits.
+
+All Catalyst built-ins / higher-order functions — the hot path of the
+text-analysis and dedup operators stays JVM-side. The only regex engine
+involved is Spark's (Java) — patterns are kept to the portable subset
+that matches DuckDB's RE2 semantics for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword lists for the n-gram/stopword language-ID heuristic. Tiny and
+# deterministic by design — this is a heuristic operator, not a model.
+STOPWORDS = {
+    "en": ("the", "a", "of", "to", "and", "is", "in"),
+    "es": ("el", "la", "los", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "des", "un", "est"),
+}
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def words(text: str | Column) -> Column:
+    """Whitespace tokens (the corpus is space-separated lowercase)."""
+    return F.split(_c(text), " ")
+
+
+def normalize(text: str | Column) -> Column:
+    """lower + trim + collapse runs of whitespace — canonical form for
+    exact dedup and fingerprinting."""
+    return F.regexp_replace(F.lower(F.trim(_c(text))), " +", " ")
+
+
+def word_shingles(text: str | Column, k: int = 5) -> Column:
+    """Array of k-word shingles (contiguous k-grams joined by one space).
+
+    Documents with fewer than k words yield an empty array — guarded
+    explicitly because Spark's ``sequence(0, n)`` counts *down* when n<0.
+    """
+    w = words(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_hits(text: str | Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    sw = list(STOPWORDS[lang])
+    return F.size(F.filter(words(text), lambda x: x.isin(*sw))).cast("bigint")

@@ -1,0 +1,255 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of these operators at 100 TB):
+
+* **Exact** dedup is a hash groupBy on a content digest — partial
+  aggregation collapses map-side, shuffle volume ≈ |distinct digests|.
+* **N-gram Jaccard** uses an inverted-index (shingle → doc) equi-join to
+  generate candidate pairs — NEVER an all-pairs cross join. Cost is
+  bounded by the number of co-shingle pairs, which for natural corpora
+  is ~linear in corpus size.
+* **MinHash + LSH** reduces each document to a fixed 32-hash signature
+  (one groupBy), bands the signature (8 bands × 4 rows), and joins on
+  band hash — the classic sub-quadratic near-dup pipeline (Broder;
+  Leskovec et al., "Mining of Massive Datasets" ch.3). Candidates are
+  then verified with exact Jaccard so false positives never escape.
+* **SimHash** (Charikar) reduces each doc to a 63-bit fingerprint;
+  near-dup candidates are found by equality on one of four 16-bit
+  chunks (pigeonhole: hamming ≤ 3 guarantees a matching chunk), then
+  filtered by exact hamming distance via xor+bit_count.
+
+Everything is Catalyst built-ins — ``xxhash64`` is the hash family
+(deterministic, seedable by prepending a literal), so results are
+reproducible across runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.functions.text_fns import normalize, word_shingles, words
+
+N_MINHASHES = 32
+LSH_BANDS = 8  # 8 bands × 4 rows per band
+SIMHASH_BITS = 63  # stay within a signed 64-bit long
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal
+
+
+def duplicated_corpus(docs: DataFrame, id_col: str = "doc_id", shift: int = 1_000_000) -> DataFrame:
+    """The corpus unioned with an id-shifted copy of itself.
+
+    The test tables contain no natural duplicates, so dedup queries run
+    over this deterministic corpus where every document has exactly one
+    known duplicate — giving the oracle a closed-form expected result.
+    """
+    dup = docs.withColumn(id_col, F.col(id_col) + F.lit(shift))
+    return docs.unionByName(dup)
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct normalized text: representative id (min),
+    content digest, and copy count."""
+    h = F.md5(normalize(text_col)).alias("text_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def shingle_sets(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingle) pairs, set semantics (distinct)."""
+    return (
+        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", min_jaccard: float = 0.8
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard ≥ threshold, via inverted index.
+
+    Candidate generation is the equi-join on ``shingle`` — only documents
+    that share at least one shingle ever meet; |A∩B| falls out of the
+    join group count and |A|, |B| from per-doc set sizes.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def _seeded_hash(seed: int, col: str | Column) -> Column:
+    """Deterministic hash family: xxhash64 with a literal seed prefix."""
+    return F.xxhash64(F.lit(seed), col)
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-width MinHash signature per doc: one hash-agg pass, 32 mins."""
+    aggs = [
+        F.min(_seeded_hash(i, "shingle")).alias(f"sig_{i}") for i in range(N_MINHASHES)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash)."""
+    rows_per_band = N_MINHASHES // LSH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"sig_{j * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("h"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "h")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "h")
+    return (
+        a.join(b, ["band", "h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: sub-quadratic candidates, exact
+    Jaccard verification on candidates only (no false positives)."""
+    sh = shingle_sets(docs, text_col, id_col, k)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
+    # Verify candidates with exact Jaccard — join the shingle sets back,
+    # restricted to candidate pairs (semi-join pushdown via inner join).
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """63-bit SimHash per document (Charikar): per-bit weighted majority
+    of token hashes, token weight = term frequency. One explode + one
+    hash-agg with 63 conditional sums — all codegen'd."""
+    tok = (
+        docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy(id_col).agg(*bit_sums)
+    fingerprint = reduce(
+        lambda acc, i: acc
+        + F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return per_doc.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation: split the 63-bit fingerprint into 4 chunks and
+    equi-join on (chunk_idx, chunk_value). With 4 chunks, any pair at
+    hamming ≤ 3 must agree on at least one whole chunk (pigeonhole), so
+    recall is exact for the advertised radius; the final xor+bit_count
+    filter removes false positives.
+    """
+    fp = simhash_fingerprints(docs, text_col, id_col)
+    chunk_width = 16
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("ci"),
+                F.shiftright(F.col("simhash"), j * chunk_width)
+                .bitwiseAND(F.lit((1 << chunk_width) - 1))
+                .alias("cv"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunked = fp.select(F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")).select(
+        id_col, "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a = chunked.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"), "ci", "cv"
+    )
+    b = chunked.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "ci", "cv"
+    )
+    pairs = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

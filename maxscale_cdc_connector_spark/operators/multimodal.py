@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The engine treats images/audio/video as ``BinaryType`` payload columns
+with a typed metadata struct alongside (content type, byte size, content
+digest). The Spark-side plumbing — schema, partition-friendly batch
+shapes, Arrow-batched UDF signatures — is real and tested; the actual
+media decode is STUBBED: the container has no image/audio libraries, so
+``decode_features`` computes a deterministic fake feature vector from
+the raw bytes, and ``decode_image`` raises ``NotImplementedError``
+unless a real decoder (PIL) is importable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def build_manifest(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Binary payload column + typed metadata from a source column.
+
+    Real media would arrive as bytes already; here the documents' text
+    bytes stand in as the payload. Metadata is computed JVM-side:
+    content-addressing via sha2 (the dedup key for blob-level exact
+    dedup at scale), byte length, content type.
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.lit("text/plain").alias("content_type"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+    )
+
+
+def fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a media feature extractor (test oracle)."""
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    return [
+        float(len(payload)),
+        float(payload[0]),
+        float(payload[-1]),
+        float(sum(payload) % 256),
+    ]
+
+
+def decode_features(manifest: DataFrame, batch_size_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    ``mapInPandas`` processes whole Arrow batches per call — the correct
+    shape for a real decoder (vectorized, amortized per-batch setup, no
+    per-row Python dispatch). The extractor itself is the deterministic
+    stub; swap the nested ``feats`` for a real decoder on a cluster with
+    media libraries installed.
+    """
+
+    # Fully self-contained closure: everything the executor runs is
+    # defined inside this function so cloudpickle serializes it BY VALUE.
+    # The driver contract imports this package via sys.path manipulation
+    # only — Python workers cannot re-import it, so any by-reference
+    # pickling of module-level functions would fail on the executors.
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def feats(payload: bytes) -> list[float]:
+            if not payload:
+                return [0.0, 0.0, 0.0, 0.0]
+            return [
+                float(len(payload)),
+                float(payload[0]),
+                float(payload[-1]),
+                float(sum(payload) % 256),
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [feats(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return manifest.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Decode an image payload. Requires a real decoder library.
+
+    Gated behind an import-try per the environment contract (no media
+    libraries in the container).
+    """
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this environment"
+        ) from exc

@@ -1,1 +1,447 @@
-"""LLM-data-pipeline queries (SURVEY.md §2B extension) — filled in Phase 4."""
+"""LLM-data-pipeline queries (SURVEY.md §2B extension, BASELINE north star).
+
+Dedup, similarity search, text analysis, multimodal plumbing over the
+``documents`` and ``embeddings`` tables. The corpus has no natural
+duplicates, so dedup queries run over a deterministic duplicated corpus
+(every doc unioned with an id-shifted copy) giving closed-form expected
+results the DuckDB oracle reproduces exactly. Approximate operators
+(MinHash-LSH, SimHash, IVF) are deterministic but not SQL-expressible —
+they get rows-only driver checks plus recall/subset assertions in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.functions.text_fns import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    normalize,
+    stopword_hits,
+    words,
+)
+from maxscale_cdc_connector_spark.operators.dedup import (
+    duplicated_corpus,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    shingle_sets,
+    simhash_near_pairs,
+)
+from maxscale_cdc_connector_spark.operators.multimodal import build_manifest, decode_features
+from maxscale_cdc_connector_spark.operators.simsearch import (
+    ivf_topk,
+    pairwise_threshold,
+    topk_cosine,
+)
+from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import load_table as t
+
+# DuckDB mirror of dedup.duplicated_corpus on documents.
+_DUP_DOCS_SQL = """
+dup_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+"""
+
+# DuckDB mirror of text_fns.word_shingles (5-gram) + dedup.shingle_sets.
+_SHINGLES_SQL = """
+tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM dup_docs),
+shingled AS (
+    SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS i, w
+    FROM tok WHERE len(w) >= 5
+),
+shingles AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM shingled
+)
+"""
+
+# DuckDB double-precision dot product between two FLOAT[] columns.
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}
+SELECT min(doc_id) AS doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS text_hash,
+       count(*) AS n_copies
+FROM dup_docs
+GROUP BY md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+""",
+    doc="Exact dedup: hash-groupBy on a normalized-content digest; partial "
+    "aggregation collapses map-side so shuffle ≈ |distinct digests|.",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    return exact_dedup(corpus)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+""",
+    doc="Exact n-gram (5-word shingle) Jaccard near-dup pairs via inverted-"
+    "index join — candidates are docs sharing ≥1 shingle, never an "
+    "all-pairs cross join.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    return jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signature family is not reproducible in DuckDB.
+    doc="MinHash (32 hashes) + LSH (8 bands × 4) + exact-Jaccard "
+    "verification: the sub-quadratic near-dup pipeline. Deterministic "
+    "(seeded xxhash64) but not SQL-expressible → rows-only; pytest "
+    "asserts candidates ⊆ exact pairs and full recall on known dups.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    return minhash_dedup_pairs(corpus, min_jaccard=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # same: hash family not reproducible in SQL oracle.
+    doc="SimHash (63-bit, term-frequency weighted) near-dup pairs at "
+    "hamming ≤ 3; candidates via 16-bit chunk equality (pigeonhole ⇒ "
+    "exact recall at the advertised radius), verified by xor+bit_count.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    return simhash_near_pairs(corpus, max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH dup_emb AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_dot_sql('a.embedding', 'b.embedding')} AS sim
+    FROM dup_emb a JOIN dup_emb b ON a.vec_id < b.vec_id
+)
+SELECT DISTINCT vec_b AS vec_drop FROM pairs WHERE sim >= 0.99
+""",
+    doc="Embedding-cosine near-dup drop list: exact pairwise ≥ 0.99 over "
+    "the duplicated corpus, keep-lowest-id policy. Exact all-pairs is the "
+    "oracle-checkable baseline; LSH/IVF are the scale path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    pairs = pairwise_threshold(corpus, tau=0.99)
+    return pairs.select(F.col("vec_b").alias("vec_drop")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simsearch_topk_cosine",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qe')} AS sim
+    FROM embeddings e, q
+)
+SELECT vec_id, round(sim, 5) AS sim
+FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+""",
+    doc="Exact top-20 nearest to the vec_id=0 embedding: one scan, JVM "
+    "dot products, TakeOrderedAndProject (per-partition heaps, no global "
+    "sort). Embeddings are L2-normalized so cosine ≡ dot.",
+)
+def simsearch_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    query = emb.filter(F.col("vec_id") == 0)
+    return topk_cosine(emb, query, k=20)
+
+
+@register(
+    "simsearch_pairwise_threshold",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_dot_sql('a.embedding', 'b.embedding')}, 5) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_dot_sql('a.embedding', 'b.embedding')} >= 0.4
+""",
+    doc="Exact all-pairs with cosine ≥ 0.4 (upper triangle). Quadratic by "
+    "definition — the oracle-checkable baseline; LSH buckets or IVF "
+    "blocking replace it at scale.",
+)
+def simsearch_pairwise_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return pairwise_threshold(emb, tau=0.4)
+
+
+@register(
+    "simsearch_ivf_topk",
+    oracle=None,  # approximate (bucket-pruned) by design → rows-only.
+    doc="IVF-style approximate top-20: deterministic coarse quantizer "
+    "(every 40th vector), nearest-bucket assignment via broadcast argmax, "
+    "query probes 3 nearest buckets. pytest asserts recall vs brute force.",
+)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_topk(emb, query, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT doc_id, lang,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq_words,
+       round(list_sum(list_transform(string_split(text, ' '), x -> CAST(length(x) AS DOUBLE)))
+             / len(string_split(text, ' ')), 4) AS avg_word_len
+FROM documents
+""",
+    doc="Per-document stats: char/word/distinct-word counts, mean word "
+    "length — all array built-ins, no UDF.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    w = words("text")
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("double")), F.lit(0.0), lambda a, x: a + x
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_uniq_words"),
+        F.round(total_len / F.size(w), 4).alias("avg_word_len"),
+    )
+
+
+@register(
+    "text_tokenize_tf",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok GROUP BY token
+""",
+    doc="Corpus term/document frequency table: explode + two-level agg — "
+    "the classic map-side-combinable shape.",
+)
+def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), x -> x IN ({lst}))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_lang_hits_sql('en')} AS en_hits,
+           {_lang_hits_sql('es')} AS es_hits,
+           {_lang_hits_sql('de')} AS de_hits,
+           {_lang_hits_sql('fr')} AS fr_hits
+    FROM documents
+)
+SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+            WHEN de_hits >= fr_hits THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM scored
+""",
+    doc="Stopword-hit language-ID heuristic over four languages with a "
+    "deterministic argmax tie-break (en > es > de > fr).",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        stopword_hits("text", "en").alias("en_hits"),
+        stopword_hits("text", "es").alias("es_hits"),
+        stopword_hits("text", "de").alias("de_hits"),
+        stopword_hits("text", "fr").alias("fr_hits"),
+    )
+    en, es, de, fr = (F.col(c) for c in ("en_hits", "es_hits", "de_hits", "fr_hits"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr), "en")
+        .when((es >= de) & (es >= fr), "es")
+        .when(de >= fr, "de")
+        .otherwise("fr")
+    )
+    return scored.withColumn("lang_pred", pred)
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+WITH m AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'to', 'and', 'is', 'in'))) AS stop_hits
+    FROM documents
+)
+SELECT doc_id,
+       CAST(floor(400.0 * least(n_words, 200) / 200)
+          + floor(300.0 * n_uniq / n_words)
+          + floor(300.0 * least(stop_hits * 10, n_words) / n_words) AS BIGINT) AS quality_milli
+FROM m
+""",
+    doc="Composite quality score in integer milli-points (0-1000): length "
+    "score + lexical diversity + stopword-density score (the cheap "
+    "heuristics a pretraining filter runs before model-based scoring). "
+    "Integer-floor arithmetic so the score is exact — no float rounding "
+    "boundary can diverge between engines.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    n_words = F.size(words("text")).cast("long")
+    n_uniq = F.size(F.array_distinct(words("text"))).cast("long")
+    stop_hits = stopword_hits("text", "en")
+    quality = (
+        F.floor(F.lit(400.0) * F.least(n_words, F.lit(200)) / 200)
+        + F.floor(F.lit(300.0) * n_uniq / n_words)
+        + F.floor(F.lit(300.0) * F.least(stop_hits * 10, n_words) / n_words)
+    ).cast("bigint")
+    return d.select("doc_id", quality.alias("quality_milli"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp_full,
+       substring(md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')), 1, 8) AS fp_short
+FROM documents
+""",
+    doc="Content fingerprint of the normalized text (full + 8-hex-char "
+    "short form) — the join key for cross-corpus exact matching.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    fp = F.md5(normalize("text"))
+    return d.select(
+        "doc_id", fp.alias("fp_full"), F.substring(fp, 1, 8).alias("fp_short")
+    )
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_obs
+FROM documents
+""",
+    doc="Token counting: whitespace tokens + BPE-ish regex pre-tokens "
+    "(letter runs / digit runs / single symbols) — the unit for token "
+    "budget accounting in a training-data pipeline.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(words("text")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).cast("bigint").alias(
+            "n_re_tokens"
+        ),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_manifest",
+    oracle="""
+SELECT doc_id,
+       'text/plain' AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents
+""",
+    doc="Binary payload column + typed metadata (content type, byte size, "
+    "sha256 content address). The payload itself is excluded from the "
+    "oracle output; metadata is the queryable surface.",
+)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return build_manifest(d).select("doc_id", "content_type", "n_bytes", "payload_sha256")
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,  # mapInPandas plumbing; binary lambda not worth a SQL oracle.
+    doc="Arrow-batched feature extraction over binary payloads via "
+    "mapInPandas — the real plumbing (schema, batch shape, partitioning) "
+    "for a media decoder; extractor stubbed deterministically (container "
+    "has no media libs). pytest pins the exact feature values.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    feats = decode_features(build_manifest(d))
+    return feats.select(
+        "doc_id",
+        F.element_at("features", 1).alias("f_len"),
+        F.element_at("features", 2).alias("f_first"),
+        F.element_at("features", 3).alias("f_last"),
+        F.element_at("features", 4).alias("f_checksum"),
+    )

@@ -1,0 +1,112 @@
+from __future__ import annotations
+
+import pytest
+
+from tests.oracle import compare_query
+
+ORACLE_CHECKED = [
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "simsearch_topk_cosine",
+    "simsearch_pairwise_threshold",
+    "text_stats",
+    "text_tokenize_tf",
+    "text_language_id",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_token_count",
+    "multimodal_manifest",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_llm_oracle_parity(spark, sf_dir, name):
+    from maxscale_cdc_connector_spark.queries import load_all
+
+    load_all()
+    compare_query(spark, sf_dir, name)
+
+
+def test_minhash_lsh_subset_and_recall(spark, sf_dir):
+    """LSH-verified pairs ⊆ exact Jaccard pairs; known duplicates (the
+    id-shifted copies, Jaccard 1.0) are all recovered — identical docs
+    have identical signatures, so every band matches."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= set(exact), "LSH produced a pair exact Jaccard rejects"
+    n_docs_with_shingles = (
+        load_table(spark, "documents", sf_dir).filter("length(text) > 0").count()
+    )
+    dup_pairs = {p for p in exact if p[1] == p[0] + 1_000_000}
+    assert dup_pairs <= set(lsh), "LSH missed an identical-duplicate pair"
+    assert len(dup_pairs) > 0.9 * n_docs_with_shingles
+
+
+def test_simhash_finds_identical_dups(spark, sf_dir):
+    """Identical docs have hamming 0; all id-shifted dup pairs found."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    dup_pairs = {p for p in pairs if p[1] == p[0] + 1_000_000}
+    assert all(pairs[p] == 0 for p in dup_pairs)
+    assert len(dup_pairs) > 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF probe of 3/|centroids| buckets must still recover most of the
+    true top-20 (embeddings cluster by label, so buckets are coherent)."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    ivf = [r.vec_id for r in REGISTRY["simsearch_ivf_topk"].fn(spark, sf_dir).collect()]
+    exact = [
+        r.vec_id for r in REGISTRY["simsearch_topk_cosine"].fn(spark, sf_dir).collect()
+    ]
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall} vs brute force too low"
+    assert ivf[0] == exact[0] == 0, "query vector itself must rank first"
+
+
+def test_decode_features_values(spark, sf_dir):
+    """The stubbed extractor is deterministic: pin its math exactly."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    feats = {
+        r.doc_id: r for r in REGISTRY["multimodal_decode_features"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(20).collect()
+    for d in docs:
+        raw = d.text.encode("utf-8")
+        f = feats[d.doc_id]
+        assert f.f_len == float(len(raw))
+        assert f.f_first == float(raw[0])
+        assert f.f_last == float(raw[-1])
+        assert f.f_checksum == float(sum(raw) % 256)
+
+
+def test_decode_image_stub_raises():
+    from maxscale_cdc_connector_spark.operators.multimodal import decode_image
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
