@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"q1_agg_hash": sec, ...}, "sf": 0.1}
+
+Each query is materialized with a `noop` format write — the full plan
+executes on the executors (scan → shuffle → agg) with zero driver-side
+collection, which is the honest way to time a distributed plan. One warm
+SparkSession is reused across queries (JVM/codegen warmup excluded via a
+throwaway first run of the cheapest query).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from maxscale_cdc_connector_spark import queries as _queries
+from maxscale_cdc_connector_spark.session import get_session
+
+# Headline set: one per engine area (agg, join, CDC, window, top-k,
+# dedup exact/fuzzy, simsearch, text, JSON) — the queries a user of the
+# engine actually runs, not the cheapest ones.
+HEADLINE = [
+    ("q1_agg_hash", "agg_hash"),
+    ("q2_join_inner_equi", "join_inner_equi"),
+    ("q3_cdc_snapshot_join_agg", "cdc_snapshot_join_agg"),
+    ("q4_topk_per_group", "topk_per_group"),
+    ("q5_win_frame_running", "win_frame_running"),
+    ("q6_dedup_exact_docs", "dedup_exact_docs"),
+    ("q7_dedup_minhash_lsh", "dedup_minhash_lsh"),
+    ("q8_simsearch_topk_cosine", "simsearch_topk_cosine"),
+    ("q9_text_tokenize_tf", "text_tokenize_tf"),
+    ("q10_fn_json_props", "fn_json_props"),
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = -1.0
+
+    _queries.load_all()
+    registry = _queries.REGISTRY
+    spark = get_session("bench")
+
+    # Warmup: run the cheapest scan once so JVM startup, codegen compile
+    # and parquet footer caching don't land in q1's wall time.
+    _materialize(registry["agg_hash"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for label, name in HEADLINE:
+        t0 = time.perf_counter()
+        _materialize(registry[name].fn(spark, sf_dir))
+        timings[label] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

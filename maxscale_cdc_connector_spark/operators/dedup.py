@@ -38,6 +38,20 @@ SIMHASH_BITS = 63  # stay within a signed 64-bit long
 SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count — only when underparallel.
+
+    A CPU-bound row-local stage (32 hashes × every shingle) is only as
+    fast as its input partition count. Small local files scan as 1-2
+    partitions; a 100 TB table scans as thousands, in which case this is
+    a no-op (no shuffle inserted). The guard keeps the scale path clean.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def duplicated_corpus(docs: DataFrame, id_col: str = "doc_id", shift: int = 1_000_000) -> DataFrame:
     """The corpus unioned with an id-shifted copy of itself.
 
@@ -106,12 +120,37 @@ def _seeded_hash(seed: int, col: str | Column) -> Column:
     return F.xxhash64(F.lit(seed), col)
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixed-width MinHash signature per doc: one hash-agg pass, 32 mins."""
-    aggs = [
-        F.min(_seeded_hash(i, "shingle")).alias(f"sig_{i}") for i in range(N_MINHASHES)
+def shingle_arrays(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(id, shingles array, set_size) computed row-local — zero shuffles.
+
+    The per-doc shingle *set* as an array column: at scale this is the
+    shape that matters, because signatures and verification both derive
+    from it without ever exploding the corpus into (doc, shingle) rows.
+    """
+    arr = F.array_distinct(word_shingles(text_col, k))
+    return docs.select(
+        F.col(id_col), arr.alias("shingles"), F.size(arr).alias("set_size")
+    )
+
+
+def minhash_signatures(doc_shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixed-width MinHash signature per doc, computed row-local.
+
+    Each of the 32 signature slots is ``array_min(transform(shingles,
+    s -> xxhash64(seed_i, s)))`` — a narrow projection with no explode
+    and no groupBy, so signature computation costs zero shuffles at any
+    corpus size. Hash family is identical to ``_seeded_hash`` so results
+    match the explode+min formulation exactly.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"sig_{i}")
+        for i in range(N_MINHASHES)
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return doc_shingles.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -128,8 +167,13 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             for j in range(LSH_BANDS)
         ]
     )
-    banded = signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.h").alias("h")
+    # Persisted: the self-join below would otherwise compute the banded
+    # signatures twice (once per side) — at scale that is two full passes
+    # over the corpus instead of one.
+    banded = (
+        signatures.select(F.col(id_col), F.explode(bands).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.h").alias("h"))
+        .persist()
     )
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "h")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "h")
@@ -149,26 +193,37 @@ def minhash_dedup_pairs(
     min_jaccard: float = 0.8,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: sub-quadratic candidates, exact
-    Jaccard verification on candidates only (no false positives)."""
-    sh = shingle_sets(docs, text_col, id_col, k)
+    Jaccard verification on candidates only (no false positives).
+
+    Shuffle budget (what survives a 100× scale-up): ONE equi-join on
+    (band, band_hash) for candidates + TWO id-joins to fetch the shingle
+    arrays of each candidate side. Signatures are row-local (see
+    ``minhash_signatures``) and verification is ``array_intersect`` on
+    the two per-doc arrays — no re-explosion of the corpus.
+    """
+    # Persist the per-doc shingle arrays: the candidate branch and both
+    # verification branches reuse them, and Spark would otherwise re-run
+    # scan → shingle → hash for every branch. This is the same pattern
+    # Spark ML's MinHashLSH uses (cache the transformed dataset before
+    # approxSimilarityJoin). Size is O(corpus tokens) — spillable
+    # MEMORY_AND_DISK by default.
+    sh = shingle_arrays(_ensure_parallelism(docs), text_col, id_col, k).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, id_col), id_col)
-    # Verify candidates with exact Jaccard — join the shingle sets back,
-    # restricted to candidate pairs (semi-join pushdown via inner join).
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    common = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_common"))
+    a = sh.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("set_size").alias("size_a"),
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    b = sh.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("size_a") + F.col("size_b") - n_common)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
