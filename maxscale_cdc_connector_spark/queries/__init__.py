@@ -13,6 +13,7 @@ def load_all() -> None:
         cdc_queries,
         llm_queries,
         relational,
+        stream_queries,
     )
 
 

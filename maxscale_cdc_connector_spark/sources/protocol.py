@@ -1,0 +1,217 @@
+"""MaxScale CDC wire-protocol client (the transport under the Spark source).
+
+Implements the avrorouter CDC session protocol the reference library
+speaks (behavioral spec, all cited from /root/reference):
+
+* authenticate with ``hex(user + ":") + hex(sha1(password))``, expect a
+  response starting ``OK`` (cdc_connector.cpp:65-77,366-403),
+* register as a JSON-format consumer with
+  ``REGISTER UUID=..., TYPE=JSON`` (cdc_connector.cpp:405-443),
+* request one table's change stream, optionally from a GTID:
+  ``REQUEST-DATA db.table [gtid]`` (cdc_connector.cpp:199-206),
+* then consume newline-delimited JSON records — a schema record first,
+  data records after; the schema can change mid-stream
+  (cdc_connector.cpp:321-360,459-518),
+* server errors arrive as ``ERR``-prefixed lines before the stream is
+  established (cdc_connector.cpp:445-457,494-504),
+* a read timeout is a normal condition, not an error — the stream is
+  just idle (cdc_connector.cpp:487-491).
+
+Design differences from the reference (deliberate, Spark-first):
+
+* Timeouts surface as ``None`` from :meth:`CDCClient.read_record` — the
+  Structured Streaming source maps them to an empty micro-batch.
+* A mid-stream schema record raises :class:`SchemaChangedError` carrying
+  the new schema: a Spark streaming query has a fixed schema, so the
+  query must stop and be restarted with the new schema (SURVEY.md §7
+  hard-part 1). The initial schema record is consumed silently.
+* JSON ``null`` stays ``None`` (true SQL NULL downstream), not ``""``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import socket
+from typing import Any
+
+REGISTER_MESSAGE = "REGISTER UUID=CDC_CONNECTOR-1.0.0, TYPE=JSON"
+DEFAULT_TIMEOUT = 10.0  # seconds (reference default, cdc_connector.h:58)
+MAX_LINE_BYTES = 16 * 1024 * 1024  # sanity bound on one JSON event line
+
+
+class CDCProtocolError(RuntimeError):
+    """Handshake failure or an ERR response from the server."""
+
+
+class SchemaChangedError(RuntimeError):
+    """The server pushed a new schema record mid-stream (ALTER TABLE).
+
+    Carries the raw schema record; the caller restarts the stream with a
+    schema built from it.
+    """
+
+    def __init__(self, schema_record: dict[str, Any]):
+        super().__init__("CDC stream schema changed mid-stream; restart required")
+        self.schema_record = schema_record
+
+
+def auth_string(user: str, password: str) -> bytes:
+    """``hex(user + ":") + hex(sha1(password))`` per the reference's
+    credential format (cdc_connector.cpp:65-77)."""
+    user_hex = (user + ":").encode("utf-8").hex()
+    pw_hex = hashlib.sha1(password.encode("utf-8")).hexdigest()
+    return (user_hex + pw_hex).encode("ascii")
+
+
+def is_schema_record(obj: dict[str, Any]) -> bool:
+    """Schema-record detection per is_schema (cdc_connector.cpp:237-248)."""
+    fields = obj.get("fields")
+    return (
+        isinstance(fields, list)
+        and len(fields) > 0
+        and isinstance(fields[0], dict)
+        and "name" in fields[0]
+    )
+
+
+class CDCClient:
+    """One CDC session: one table's ordered change stream over one socket.
+
+    The reference couples this 1:1 with the application thread; here it
+    runs inside the streaming source on the Spark driver, which prefetches
+    records and ships them to executors as micro-batch partitions (a
+    single-socket stream is inherently serial at the source — parallelism
+    begins downstream, exactly like a one-partition Kafka topic).
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str,
+        password: str,
+        table: str,
+        gtid: str | None = None,
+        timeout: float = DEFAULT_TIMEOUT,
+    ) -> None:
+        self.host = host
+        self.port = port
+        self.user = user
+        self.password = password
+        self.table = table
+        self.start_gtid = gtid
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._buf = bytearray()
+        self.schema_record: dict[str, Any] | None = None
+        self._streaming = False  # handshake done, data may flow
+
+    # -- session ------------------------------------------------------------
+
+    def connect(self) -> None:
+        """Dial, authenticate, register, request the stream, and consume
+        the leading schema record (connect() pre-reads it so callers see
+        data records only — parity with cdc_connector.cpp:214)."""
+        self._sock = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        self._send(auth_string(self.user, self.password))
+        self._expect_ok("authentication")
+        self._send(REGISTER_MESSAGE.encode("ascii"))
+        self._expect_ok("registration")
+        request = f"REQUEST-DATA {self.table}"
+        if self.start_gtid:
+            request += f" {self.start_gtid}"
+        self._send(request.encode("utf-8"))
+        first = self._read_json(allow_timeout=False)
+        if not is_schema_record(first):
+            raise CDCProtocolError(
+                f"expected schema record as first message, got: {str(first)[:200]}"
+            )
+        self.schema_record = first
+        self._streaming = True
+
+    def close(self) -> None:
+        """Best-effort CLOSE + socket teardown; idempotent
+        (cdc_connector.cpp:225-235)."""
+        if self._sock is not None:
+            try:
+                self._send(b"CLOSE")
+            except OSError:
+                pass
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+        self._streaming = False
+
+    def __enter__(self) -> CDCClient:
+        self.connect()
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        self.close()
+
+    # -- record loop --------------------------------------------------------
+
+    def read_record(self) -> dict[str, Any] | None:
+        """Next data record as a parsed dict, or ``None`` on idle timeout.
+
+        Raises :class:`SchemaChangedError` when the server pushes a new
+        schema record mid-stream.
+        """
+        obj = self._read_json(allow_timeout=True)
+        if obj is None:
+            return None
+        if is_schema_record(obj):
+            raise SchemaChangedError(obj)
+        return obj
+
+    # -- wire helpers -------------------------------------------------------
+
+    def _send(self, payload: bytes) -> None:
+        assert self._sock is not None, "not connected"
+        self._sock.sendall(payload)
+
+    def _expect_ok(self, stage: str) -> None:
+        line = self._read_line(allow_timeout=False)
+        if line is None or not line.startswith(b"OK"):
+            text = (line or b"<timeout>").decode("utf-8", "replace").strip()
+            raise CDCProtocolError(f"{stage} failed: {text}")
+
+    def _read_json(self, allow_timeout: bool) -> dict[str, Any] | None:
+        line = self._read_line(allow_timeout=allow_timeout)
+        if line is None:
+            return None
+        # Pre-stream, the server reports failures as ERR lines
+        # (cdc_connector.cpp:449,494-504); once data flows, any line is
+        # an event and must parse as JSON.
+        if not self._streaming and line.startswith(b"ERR"):
+            raise CDCProtocolError(line.decode("utf-8", "replace").strip())
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError as exc:
+            raise CDCProtocolError(
+                f"malformed CDC event line: {line[:200]!r}"
+            ) from exc
+
+    def _read_line(self, allow_timeout: bool) -> bytes | None:
+        """One ``\\n``-delimited line; ``None`` on idle timeout (when
+        allowed). Disconnection raises ``ConnectionError``."""
+        assert self._sock is not None, "not connected"
+        while True:
+            nl = self._buf.find(b"\n")
+            if nl >= 0:
+                line = bytes(self._buf[:nl])
+                del self._buf[: nl + 1]
+                return line
+            if len(self._buf) > MAX_LINE_BYTES:
+                raise CDCProtocolError("CDC event line exceeds 16 MiB bound")
+            try:
+                chunk = self._sock.recv(64 * 1024)
+            except (TimeoutError, socket.timeout):
+                if allow_timeout:
+                    return None
+                raise CDCProtocolError("Request timed out") from None
+            if not chunk:
+                raise ConnectionError("CDC server closed the connection")
+            self._buf.extend(chunk)

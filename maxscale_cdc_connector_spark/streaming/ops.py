@@ -1,0 +1,194 @@
+"""Streaming operators over the CDC stream (SURVEY.md §2B streaming table).
+
+Every operator takes/returns DataFrames and works identically on a
+streaming DataFrame (live source or file replay) and a batch DataFrame —
+Spark's unified model. Batch analogs of the windowed operators are
+registered as oracle-checked queries in queries/stream_queries.py; the
+true streaming forms are exercised in tests/test_streaming.py with
+memory sinks.
+
+Scale notes:
+
+* Windowed aggregations keep per-window partial state in the state
+  store; the watermark bounds that state (without it, state grows
+  forever on an unbounded CDC stream).
+* `dedup_exact` keys state on the envelope identity; with a watermark on
+  the event timestamp, expired keys are evicted — mandatory under
+  at-least-once GTID replay.
+* `snapshot_sink` maintains the queryable current-state table via
+  foreachBatch compaction: per batch, dedup → per-key latest → merge
+  with the previous snapshot → atomic swap. On a real cluster the state
+  table is partitioned by key hash and only touched partitions rewrite
+  (or a Delta/Iceberg MERGE replaces the swap); the rewrite-all form
+  here keeps plain-parquet semantics exact.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Envelope identity of one event: GTID triple + event_number
+# (cdc_connector.h:199-208 + event_number disambiguates the two halves
+# of an update sharing one GTID).
+EVENT_IDENTITY = ("domain", "server_id", "sequence", "event_number")
+
+
+def _ts(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str | Column,
+    window: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed, non-overlapping windows: groupBy(window(ts, w), keys)."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
+    w = F.window(_ts(ts_col), window)
+    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str | Column,
+    window: str,
+    slide: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Overlapping windows: each event lands in window/slide windows."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
+    w = F.window(_ts(ts_col), window, slide)
+    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+
+
+def session_agg(
+    events: DataFrame,
+    ts_col: str | Column,
+    gap: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session windows: a session closes after `gap` of inactivity.
+
+    `session_window.end` is (last event ts + gap) — Spark's definition,
+    mirrored exactly by the SQL-islands oracle in stream_queries.py.
+    """
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
+    w = F.session_window(_ts(ts_col), gap)
+    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+
+
+def dedup_exact(
+    events: DataFrame,
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Drop replayed events by envelope identity.
+
+    At-least-once delivery is inherent to GTID resume (the resume GTID
+    replays, cdc_connector.h:62-69); this restores effective
+    exactly-once. Streaming state is bounded by the watermark when one
+    is given (dropDuplicatesWithinWatermark).
+    """
+    keys = [k for k in EVENT_IDENTITY if k in events.columns]
+    if watermark is not None and ts_col is not None and events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot sink: change log → continuously-maintained current-state table.
+# ---------------------------------------------------------------------------
+
+
+class SnapshotSink:
+    """foreachBatch upsert maintaining a parquet current-state table.
+
+    The whole point of consuming a CDC stream (`cdc_connector.h:42`
+    docs: stream one table's changes) is a queryable current state.
+    Per micro-batch: dedup replays → reduce the batch to its per-key
+    latest → merge with the previous snapshot keeping the greater
+    (sequence, event_number) → drop deleted keys → write + atomic swap.
+
+    Restart-safe: merging is idempotent (an event applied twice yields
+    the same state), so at-least-once foreachBatch semantics suffice.
+    """
+
+    def __init__(self, path: str, key_cols: Sequence[str]) -> None:
+        self.path = path
+        self.key_cols = list(key_cols)
+
+    def current(self, spark) -> DataFrame | None:
+        if not os.path.isdir(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        incoming = dedup_exact(batch)
+        prev = self.current(spark)
+        if prev is not None:
+            # Keep deletes in-state as tombstones so a late replay of an
+            # older event can never resurrect a deleted key; filter
+            # tombstones only at read time (snapshot()).
+            incoming = incoming.unionByName(prev)
+        ord_key = F.struct(F.col("sequence"), F.col("event_number"))
+        merged = incoming.groupBy(*self.key_cols).agg(
+            *[
+                F.max_by(F.col(c), ord_key).alias(c)
+                for c in incoming.columns
+                if c not in self.key_cols
+            ]
+        )
+        tmp = os.path.join(
+            tempfile.gettempdir(), f"snapshot-{uuid.uuid4().hex[:12]}"
+        )
+        merged.write.mode("overwrite").parquet(tmp)
+        old = self.path + ".old"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        shutil.move(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def snapshot(self, spark) -> DataFrame:
+        """The queryable current state (tombstones filtered)."""
+        df = self.current(spark)
+        if df is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        return df.filter(F.col("event_type") != "delete")
+
+
+def write_snapshot_stream(
+    events: DataFrame,
+    path: str,
+    key_cols: Sequence[str],
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+):
+    """Wire a CDC event stream into a SnapshotSink via foreachBatch."""
+    sink = SnapshotSink(path, key_cols)
+    writer = events.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start(), sink

@@ -1,0 +1,241 @@
+"""CDC protocol + streaming-source tests against the fake MaxScale server.
+
+Each behavior pins a reference-proven semantic (SURVEY.md §5.2.3):
+resume-from-GTID replay (cdc_connector.cpp:199-206), schema-then-data
+ordering (cdc_connector.cpp:214), auth/ERR handling
+(cdc_connector.cpp:366-403,445-457), timeout-as-idle
+(cdc_connector.cpp:487-491), mid-stream schema change
+(cdc_connector.cpp:339-344), dense-row enforcement
+(cdc_connector.cpp:297-308), and null→NULL (our documented fix of
+cdc_connector.cpp:106-107).
+"""
+
+from __future__ import annotations
+
+import decimal
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from maxscale_cdc_connector_spark.sources.cdc_datasource import (
+    CDCSimpleStreamReader,
+    MaxScaleCDCDataSource,
+)
+from maxscale_cdc_connector_spark.sources.protocol import (
+    CDCClient,
+    CDCProtocolError,
+    SchemaChangedError,
+    auth_string,
+)
+from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+from tests.fake_maxscale import TEST_SCHEMA_RECORD, FakeMaxScale, make_event
+
+
+def _client(server: FakeMaxScale, gtid: str | None = None, timeout: float = 0.3) -> CDCClient:
+    return CDCClient(
+        host="127.0.0.1",
+        port=server.port,
+        user=server.user,
+        password=server.password,
+        table=server.table,
+        gtid=gtid,
+        timeout=timeout,
+    )
+
+
+def test_auth_string_format() -> None:
+    # hex("u:") + hex(sha1("p")) — cdc_connector.cpp:65-77.
+    s = auth_string("u", "p")
+    assert s.startswith(b"753a")  # "u:" hex
+    assert len(s) == 4 + 40
+
+
+def test_handshake_and_read() -> None:
+    events = [make_event(1), make_event(2, name="zwei")]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events) as srv, _client(srv) as c:
+        # connect() consumed the schema record (schema-first ordering).
+        assert c.schema_record is not None
+        assert c.schema_record["fields"][0]["name"] == "domain"
+        r1 = c.read_record()
+        r2 = c.read_record()
+        assert (r1["sequence"], r2["sequence"]) == (1, 2)
+        assert r2["name"] == "zwei"
+
+
+def test_timeout_is_idle_not_error() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, []) as srv, _client(srv) as c:
+        assert c.read_record() is None  # silence → None (empty batch)
+        srv.push_event(make_event(7))
+        deadline = time.time() + 5
+        got = None
+        while got is None and time.time() < deadline:
+            got = c.read_record()
+        assert got is not None and got["sequence"] == 7
+
+
+def test_resume_from_gtid_replays_inclusive() -> None:
+    events = [make_event(s) for s in (1, 2, 3, 4)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events) as srv:
+        with _client(srv, gtid="0-3000-3") as c:
+            seqs = [c.read_record()["sequence"], c.read_record()["sequence"]]
+        assert seqs == [3, 4]  # at-least-once: the resume GTID replays
+
+
+def test_auth_failure_raises() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, [], fail_auth=True) as srv:
+        with pytest.raises(CDCProtocolError, match="authentication failed"):
+            _client(srv).connect()
+
+
+def test_err_response_raises() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, [], err_on_request="table not found") as srv:
+        with pytest.raises(CDCProtocolError, match="table not found"):
+            _client(srv).connect()
+
+
+def test_unknown_table_err() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, []) as srv:
+        bad = CDCClient("127.0.0.1", srv.port, srv.user, srv.password, "no.such", timeout=0.3)
+        with pytest.raises(CDCProtocolError, match="unknown table"):
+            bad.connect()
+
+
+def test_mid_stream_schema_change_raises_typed_error() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, [make_event(1)]) as srv, _client(srv) as c:
+        assert c.read_record()["sequence"] == 1
+        new_schema = dict(TEST_SCHEMA_RECORD)
+        new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+            {"name": "extra", "type": "string", "real_type": "varchar", "length": 10}
+        ]
+        srv.push_schema_change(new_schema)
+        with pytest.raises(SchemaChangedError) as ei:
+            deadline = time.time() + 5
+            while time.time() < deadline:
+                c.read_record()
+        assert any(f["name"] == "extra" for f in ei.value.schema_record["fields"])
+
+
+def test_schema_record_to_struct_types() -> None:
+    struct = schema_record_to_struct(TEST_SCHEMA_RECORD)
+    by_name = {f.name: f.dataType for f in struct.fields}
+    assert by_name["sequence"] == T.LongType()  # real_type bigint wins over avro int
+    assert by_name["name"] == T.StringType()
+    assert by_name["balance"] == T.DecimalType(10, 0)
+
+
+# ---------------------------------------------------------------------------
+# Stream-reader unit tests (no Spark query needed).
+# ---------------------------------------------------------------------------
+
+
+def _reader(srv: FakeMaxScale, **extra: str) -> CDCSimpleStreamReader:
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+    options = {
+        "host": "127.0.0.1",
+        "port": str(srv.port),
+        "user": srv.user,
+        "password": srv.password,
+        "table": srv.table,
+        "pollseconds": "0.3",
+        **extra,
+    }
+    return CDCSimpleStreamReader(schema, options)
+
+
+def test_reader_batch_and_offset_advance() -> None:
+    events = [make_event(s) for s in (1, 2, 3)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events) as srv:
+        reader = _reader(srv)
+        assert reader.initialOffset() == {"gtid": ""}
+        rows, nxt = reader.read(reader.initialOffset())
+        rows = list(rows)
+        assert len(rows) == 3
+        assert nxt == {"gtid": "0-3000-3"}
+        # Typed conversion happened: sequence long, balance Decimal.
+        assert rows[0][2] == 1 and isinstance(rows[0][2], int)
+        assert rows[0][8] == decimal.Decimal("1.50")
+        reader.stop()
+
+
+def test_reader_empty_batch_on_idle() -> None:
+    with FakeMaxScale(TEST_SCHEMA_RECORD, []) as srv:
+        reader = _reader(srv)
+        rows, nxt = reader.read({"gtid": ""})
+        assert list(rows) == []
+        assert nxt == {"gtid": ""}  # offset does not advance on idle
+        reader.stop()
+
+
+def test_reader_dense_row_enforced() -> None:
+    broken = make_event(1)
+    del broken["name"]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, [broken]) as srv:
+        reader = _reader(srv)
+        with pytest.raises(CDCProtocolError, match="No value for key"):
+            rows, _ = reader.read({"gtid": ""})
+            list(rows)
+        reader.stop()
+
+
+def test_reader_replay_between_offsets() -> None:
+    events = [make_event(s) for s in (1, 2, 3, 4, 5)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events) as srv:
+        reader = _reader(srv)
+        replayed = list(reader.readBetweenOffsets({"gtid": "0-3000-2"}, {"gtid": "0-3000-4"}))
+        assert [r[2] for r in replayed] == [2, 3, 4]
+        reader.stop()
+
+
+def test_reader_null_becomes_none() -> None:
+    ev = make_event(1)
+    ev["name"] = None  # JSON null → SQL NULL, not "" (fix of :106-107)
+    with FakeMaxScale(TEST_SCHEMA_RECORD, [ev]) as srv:
+        reader = _reader(srv)
+        rows, _ = reader.read({"gtid": ""})
+        assert list(rows)[0][7] is None
+        reader.stop()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end Structured Streaming query over the source.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_query_end_to_end(spark) -> None:
+    events = [make_event(s, name=f"row{s}") for s in range(1, 21)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events) as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+        df = (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("port", srv.port)
+            .option("user", srv.user)
+            .option("password", srv.password)
+            .option("table", srv.table)
+            .option("pollseconds", "0.3")
+            .load()
+        )
+        assert df.schema == schema_record_to_struct(TEST_SCHEMA_RECORD)
+        query = (
+            df.writeStream.format("memory")
+            .queryName("cdc_e2e")
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM cdc_e2e").first()["c"] >= 20:
+                    break
+                time.sleep(0.5)
+            out = spark.sql(
+                "SELECT sequence, name, gtid FROM (SELECT *, "
+                "concat_ws('-', domain, server_id, sequence) AS gtid FROM cdc_e2e) "
+                "ORDER BY sequence"
+            ).collect()
+            assert len(out) == 20
+            assert out[0]["gtid"] == "0-3000-1"
+            assert out[19]["name"] == "row20"
+        finally:
+            query.stop()

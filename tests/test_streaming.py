@@ -1,0 +1,160 @@
+"""Streaming tests: file replay, windowed aggs, dedup, snapshot sink.
+
+Strategy per SURVEY.md §5.2.4: replay a captured event log through the
+full Structured Streaming machinery (micro-batches via maxFilesPerTrigger,
+checkpoints, memory sinks) and assert stream results equal the batch
+computation over the same log — the unified-model invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from maxscale_cdc_connector_spark.operators.cdc import latest_snapshot
+from maxscale_cdc_connector_spark.sources.file_replay import replay_batch, replay_stream
+from maxscale_cdc_connector_spark.streaming.ops import (
+    dedup_exact,
+    session_agg,
+    tumbling_agg,
+    write_snapshot_stream,
+)
+from tests.fake_maxscale import TEST_SCHEMA_RECORD, make_event
+
+
+def _write_log(path: str, events: list[dict]) -> None:
+    with open(path, "w") as fh:
+        for e in events:
+            fh.write(json.dumps(e) + "\n")
+
+
+@pytest.fixture(scope="module")
+def event_log(tmp_path_factory) -> tuple[str, list[dict]]:
+    """Two log files (⇒ ≥2 micro-batches with maxFilesPerTrigger=1):
+    inserts 1..40, then updates on every 4th key and deletes on every
+    10th, with one exact replay duplicate."""
+    d = tmp_path_factory.mktemp("cdclog")
+    first = [make_event(s, id_=s, name=f"n{s}") for s in range(1, 41)]
+    second = []
+    for s in range(1, 41):
+        if s % 4 == 0:
+            second.append(make_event(100 + s, "update_before", 1, id_=s, name=f"n{s}"))
+            second.append(make_event(100 + s, "update_after", 2, id_=s, name=f"upd{s}"))
+        if s % 10 == 0:
+            second.append(make_event(200 + s, "delete", 1, id_=s, name=f"upd{s}"))
+    second.append(make_event(1, id_=1, name="n1"))  # at-least-once replay dup
+    _write_log(os.path.join(d, "part-000.jsonl"), first)
+    _write_log(os.path.join(d, "part-001.jsonl"), second)
+    return str(d), first + second
+
+
+def test_replay_batch_decodes_typed(spark, event_log) -> None:
+    path, events = event_log
+    df = replay_batch(spark, path, TEST_SCHEMA_RECORD)
+    assert df.count() == len(events)
+    types = dict(df.dtypes)
+    assert types["sequence"] == "bigint"
+    assert types["balance"].startswith("decimal")
+    # JSON null → SQL NULL semantics hold through the replay decode too.
+    assert df.filter(F.col("event_type") == "insert").count() == 41
+
+
+def test_stream_tumbling_agg_matches_batch(spark, event_log) -> None:
+    path, _ = event_log
+    ts = F.timestamp_seconds(F.col("timestamp"))
+    # Exact distinct aggregation is unsupported on streams; use
+    # decomposable aggregates so batch and stream plans both run.
+    aggs = [F.count("*").alias("n"), F.sum("id").alias("id_sum")]
+
+    batch = tumbling_agg(
+        replay_batch(spark, path, TEST_SCHEMA_RECORD), ts, "30 seconds", ["event_type"], aggs
+    )
+    stream = tumbling_agg(
+        replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1),
+        ts,
+        "30 seconds",
+        ["event_type"],
+        aggs,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["id_sum"])
+        for r in spark.sql("SELECT * FROM tumbling").collect()
+    }
+    want = {
+        (r["win"]["start"], r["event_type"]): (r["n"], r["id_sum"])
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 2
+
+
+def test_stream_dedup_exact_under_replay(spark, event_log) -> None:
+    path, events = event_log
+    stream = dedup_exact(
+        replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) c FROM dedup").first()["c"]
+    distinct_ids = {
+        (e["domain"], e["server_id"], e["sequence"], e["event_number"]) for e in events
+    }
+    assert n == len(distinct_ids) == len(events) - 1  # exactly the dup dropped
+
+
+def test_session_agg_batch_form(spark, event_log) -> None:
+    path, _ = event_log
+    df = replay_batch(spark, path, TEST_SCHEMA_RECORD)
+    out = session_agg(
+        df,
+        F.timestamp_seconds(F.col("timestamp")),
+        "15 seconds",
+        ["id"],
+        [F.count("*").alias("n")],
+    )
+    row = out.filter(F.col("id") == 4).orderBy(F.col("win.start")).collect()
+    # key 4: insert at t+4, update pair at t+104 — gap 100s > 15s ⇒ 2 sessions.
+    assert [r["n"] for r in row] == [1, 2]
+    # session end = last ts + gap (Spark's session_window definition).
+    assert (row[0]["win"]["end"] - row[0]["win"]["start"]).total_seconds() == 15
+
+
+def test_snapshot_sink_equals_batch_snapshot(spark, event_log, tmp_path) -> None:
+    path, _ = event_log
+    stream = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    query, sink = write_snapshot_stream(
+        stream,
+        str(tmp_path / "state"),
+        ["id"],
+        str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    query.awaitTermination(180)
+
+    got = {
+        r["id"]: (r["sequence"], r["name"])
+        for r in sink.snapshot(spark).collect()
+    }
+    batch = replay_batch(spark, path, TEST_SCHEMA_RECORD)
+    want = {
+        r["id"]: (r["sequence"], r["name"])
+        for r in latest_snapshot(batch, ["id"]).collect()
+    }
+    assert got == want
+    assert 10 not in got and got[4][1] == "upd4" and got[1][1] == "n1"
