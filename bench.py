@@ -44,6 +44,43 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _stream_replay_events_per_s(spark, sf_dir: str) -> int:
+    """Streaming decode throughput: replay a ~190k-event JSON change log
+    through the Structured Streaming file source + typed decode + agg.
+    BASELINE.md working target: ≥ 50k events/s."""
+    import json as _json
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.cdc import synthetic_customer_events
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    evs = ev
+    for i in range(1, 10):
+        evs = evs.unionByName(ev.withColumn("sequence", F.col("sequence") + F.lit(30_000_000 * i)))
+    n = evs.count()
+    log_dir = os.path.join(tempfile.gettempdir(), f"bench-replay-{uuid.uuid4().hex[:8]}")
+    evs.repartition(16).write.mode("overwrite").json(log_dir)
+
+    t0 = time.perf_counter()
+    stream = replay_stream(spark, log_dir, _json.loads(CUSTOMER_SCHEMA_RECORD))
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName(f"bench_replay_{uuid.uuid4().hex[:8]}")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return int(n / (time.perf_counter() - t0))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -71,6 +108,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "stream_replay_events_per_s": _stream_replay_events_per_s(spark, sf_dir),
     }
     print(json.dumps(out))
 
