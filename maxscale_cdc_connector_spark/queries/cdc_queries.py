@@ -211,3 +211,50 @@ def cdc_snapshot_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+# Hand-pinned expected introspection table — independent of the typemap
+# implementation, so the oracle actually checks it (one row per field of
+# CUSTOMER_SCHEMA_RECORD, in declaration order).
+_FIELDS_ORACLE_SQL = """
+SELECT * FROM (VALUES
+    (0, 'domain', 'int', 'int'),
+    (1, 'server_id', 'int', 'int'),
+    (2, 'sequence', 'bigint', 'bigint'),
+    (3, 'event_number', 'int', 'int'),
+    (4, 'event_ts', 'bigint', 'bigint'),
+    (5, 'event_type', 'varchar(16)', 'string'),
+    (6, 'c_custkey', 'bigint', 'bigint'),
+    (7, 'c_name', 'varchar(25)', 'string'),
+    (8, 'c_nationkey', 'int', 'int'),
+    (9, 'c_acctbal', 'double', 'double'),
+    (10, 'c_mktsegment', 'varchar(10)', 'string')
+) AS t(ordinal, field_name, sql_type, spark_type)
+"""
+
+
+@register(
+    "cdc_schema_fields",
+    oracle=_FIELDS_ORACLE_SQL,
+    doc="Schema-introspection parity with Connection::fields() "
+    "(cdc_connector.h:113-123): the {field → SQL type} map from the "
+    "avrorouter schema record, plus the Spark DataType each SQL type "
+    "decodes to (the typemap upgrade of cdc_connector.cpp:250-286). The "
+    "oracle is the hand-pinned expected table; the query derives its rows "
+    "from the schema record through the typemap at runtime.",
+)
+def cdc_schema_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.typemap import (
+        schema_record_fields,
+        schema_record_to_struct,
+    )
+
+    fields = schema_record_fields(CUSTOMER_SCHEMA_RECORD)
+    struct = schema_record_to_struct(CUSTOMER_SCHEMA_RECORD)
+    rows = [
+        (i, name, sql_t, struct[name].dataType.simpleString())
+        for i, (name, sql_t) in enumerate(fields.items())
+    ]
+    return spark.createDataFrame(
+        rows, "ordinal int, field_name string, sql_type string, spark_type string"
+    )

@@ -12,6 +12,7 @@ CDC_QUERIES = [
     "cdc_update_pairs",
     "cdc_changes_between",
     "cdc_snapshot_join_agg",
+    "cdc_schema_fields",
 ]
 
 

@@ -1,0 +1,162 @@
+"""Property-based tests (SURVEY.md §5.2.5): snapshot invariance under
+event-order permutation, typemap totality/round-trips, GTID round-trip.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from maxscale_cdc_connector_spark.envelope import gtid_column, parse_gtid
+from maxscale_cdc_connector_spark.operators.cdc import latest_snapshot
+from maxscale_cdc_connector_spark.typemap import (
+    field_sql_type,
+    schema_record_to_struct,
+    sql_type_to_spark,
+)
+
+# ---------------------------------------------------------------------------
+# Pure-Python properties (fast, many examples).
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=0, max_value=2**62),
+)
+def test_gtid_parse_roundtrip(domain: int, server_id: int, seq: int) -> None:
+    gtid = f"{domain}-{server_id}-{seq}"
+    assert parse_gtid(gtid) == (domain, server_id, seq)
+
+
+@given(st.text(max_size=40))
+def test_sql_type_to_spark_total(s: str) -> None:
+    """Never raises, always returns a DataType — the reference's
+    carry-anything type-string behavior (cdc_connector.cpp:262-281)."""
+    assert isinstance(sql_type_to_spark(s), T.DataType)
+
+
+@given(
+    st.integers(min_value=1, max_value=38),
+    st.integers(min_value=0, max_value=37),
+)
+def test_decimal_mapping(p: int, s: int) -> None:
+    dt = sql_type_to_spark(f"decimal({p},{s})")
+    assert isinstance(dt, T.DecimalType)
+    assert dt.precision == p and dt.scale == s
+
+
+@given(
+    st.sampled_from(["varchar", "char", "varbinary"]),
+    st.integers(min_value=1, max_value=65535),
+)
+def test_length_suffix_applied(base: str, n: int) -> None:
+    field = {"name": "x", "type": "string", "real_type": base, "length": n}
+    assert field_sql_type(field) == f"{base}({n})"
+
+
+@given(st.dictionaries(st.just("type"), st.lists(st.integers())))
+def test_complex_avro_type_falls_back(d: dict) -> None:
+    # Non-string Avro type → varchar(50) fallback (cdc_connector.cpp:270).
+    field = {"name": "g", "type": {"type": "record"}, "length": -1}
+    assert field_sql_type(field) == "varchar(50)"
+
+
+# ---------------------------------------------------------------------------
+# Spark-involving properties (few examples, deadline off).
+# ---------------------------------------------------------------------------
+
+_EVENT_FIELDS = (
+    "domain int, server_id int, sequence long, event_number int, "
+    "event_type string, k int, v string"
+)
+
+
+def _expected_snapshot(events: list[tuple]) -> dict[int, tuple]:
+    """Reference semantics in plain Python: per key, the event with the
+    greatest (sequence, event_number) wins; losers are discarded; a key
+    whose winner is a delete disappears."""
+    best: dict[int, tuple] = {}
+    for e in events:
+        k = e[5]
+        if k not in best or (e[2], e[3]) > (best[k][2], best[k][3]):
+            best[k] = e
+    return {k: e for k, e in best.items() if e[4] != "delete"}
+
+
+@st.composite
+def _event_logs(draw):
+    n_keys = draw(st.integers(min_value=1, max_value=6))
+    events = []
+    seq = 0
+    for k in range(n_keys):
+        n_ops = draw(st.integers(min_value=1, max_value=5))
+        for _ in range(n_ops):
+            seq += 1
+            etype = draw(st.sampled_from(["insert", "update_after", "delete"]))
+            events.append((0, 3000, seq, 1, etype, k, f"v{seq}"))
+    return draw(st.permutations(events))
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_event_logs())
+def test_snapshot_invariant_under_permutation(spark, events) -> None:
+    """latest_snapshot depends only on (sequence, event_number) order —
+    arrival order (partitioning, shuffling, replay order) never matters.
+    GTID order is the stream's one total order (cdc_connector.h:65)."""
+    df = spark.createDataFrame(list(events), _EVENT_FIELDS)
+    got = {
+        r["k"]: (r["sequence"], r["v"], r["event_type"])
+        for r in latest_snapshot(df, ["k"]).collect()
+    }
+    want = {
+        k: (e[2], e[6], e[4]) for k, e in _expected_snapshot(list(events)).items()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=100),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_gtid_column_matches_python(spark, triples) -> None:
+    df = spark.createDataFrame(triples, "domain int, server_id int, sequence long")
+    got = [r["gtid"] for r in df.select(gtid_column().alias("gtid")).collect()]
+    want = [f"{d}-{s}-{q}" for d, s, q in triples]
+    assert sorted(got) == sorted(want)
+
+
+def test_schema_record_roundtrip_through_json(spark) -> None:
+    """A struct built from a schema record survives JSON wire round-trip."""
+    record = {
+        "fields": [
+            {"name": "a", "type": "int", "real_type": "int", "length": -1},
+            {"name": "b", "type": "string", "real_type": "varchar", "length": 5},
+        ]
+    }
+    struct = schema_record_to_struct(json.dumps(record))
+    df = spark.createDataFrame([(1, "x")], struct)
+    back = spark.read.json(
+        df.toJSON(), schema=struct
+    )
+    assert back.schema == struct and back.first()["b"] == "x"
