@@ -94,6 +94,52 @@ def decode_features(manifest: DataFrame, batch_size_hint: int | None = None) -> 
     return manifest.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def frame_sample(manifest: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Sample N evenly-spaced "frames" from each binary payload.
+
+    The video-pipeline shape: one payload row fans out to N frame rows
+    inside a single ``mapInPandas`` pass (no driver round-trip, no
+    explode of pre-materialized arrays — frames are produced lazily per
+    Arrow batch, so peak memory is one batch of frames, not the whole
+    corpus). A real decoder would seek keyframes; the stub slices the
+    byte stream into N equal segments — deterministic, so tests pin
+    exact bytes and digests. Content-addressed via sha256 for
+    frame-level exact dedup downstream.
+    """
+
+    # Self-contained closure (by-value pickling — see decode_features).
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def frames(payload: bytes) -> list[bytes]:
+            if not payload:
+                return [b""] * n_frames
+            step = max(1, len(payload) // n_frames)
+            return [payload[i * step : (i + 1) * step] for i in range(n_frames)]
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame": [], "frame_sha256": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, fr in enumerate(frames(bytes(payload))):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(fr)
+                    out["frame_sha256"].append(hashlib.sha256(fr).hexdigest())
+            yield pd.DataFrame(out)
+
+    return manifest.mapInPandas(sample, FRAME_SCHEMA)
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
     """Decode an image payload. Requires a real decoder library.
 

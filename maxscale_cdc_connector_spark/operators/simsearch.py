@@ -29,6 +29,13 @@ from maxscale_cdc_connector_spark.functions.vectors import dot
 CENTROID_STRIDE = 40
 NPROBE = 3
 
+# Signed-random-projection LSH layout: 16 hyperplane bits per vector,
+# banded 2 × 8. One 8-bit band matching ⇒ candidate. For near-dup use
+# (cos ≥ 0.99, angle ≤ 0.14 rad) per-band collision ≈ (1 - θ/π)^8 ≈ 0.69,
+# two bands ≈ 0.91 recall — and exact duplicates collide with prob 1.
+SRP_BITS = 16
+SRP_BANDS = 2
+
 
 def topk_cosine(
     embeddings: DataFrame, query: DataFrame, k: int = 20, id_col: str = "vec_id"
@@ -55,6 +62,84 @@ def pairwise_threshold(
     b = embeddings.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("emb_b"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select("vec_a", "vec_b", dot("emb_a", "emb_b").alias("sim"))
+    return scored.filter(F.col("sim") >= tau).select(
+        "vec_a", "vec_b", F.round("sim", 5).alias("sim")
+    )
+
+
+def _srp_hyperplanes(dim: int, nbits: int = SRP_BITS, seed: int = 20260813) -> list[list[float]]:
+    """Deterministic random hyperplanes (Charikar SRP-LSH). Seeded so
+    signatures — and therefore buckets and results — are reproducible
+    across runs and partitionings."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def srp_signature_bands(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    nbits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+) -> DataFrame:
+    """(id, embedding, band, bucket) rows: sign-bit signature, banded.
+
+    Each bit is ``dot(embedding, hyperplane_j) >= 0`` — a Catalyst
+    higher-order expression, fully codegen'd; the hyperplanes enter the
+    plan as literal arrays (16 × dim constants — folded once). No
+    shuffle until the candidate join.
+    """
+    planes = _srp_hyperplanes(dim, nbits)
+    bits = [
+        F.when(dot("embedding", F.array(*[F.lit(x) for x in h])) >= 0, 1).otherwise(0)
+        for h in planes
+    ]
+    per_band = nbits // bands
+    band_vals = [
+        F.struct(
+            F.lit(j).alias("band"),
+            sum(
+                (bits[j * per_band + r] * F.lit(1 << r) for r in range(per_band)),
+                F.lit(0),
+            ).alias("bucket"),
+        )
+        for j in range(bands)
+    ]
+    return embeddings.select(
+        F.col(id_col), F.col("embedding"), F.explode(F.array(*band_vals)).alias("b")
+    ).select(id_col, "embedding", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+
+
+def srp_lsh_pairs(
+    embeddings: DataFrame,
+    tau: float,
+    dim: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sub-quadratic near-dup pairs: SRP-LSH candidates + exact verify.
+
+    The scale path replacing the exact all-pairs cross join: candidates
+    are the pairs sharing an (band, bucket) cell — an equi-join whose
+    cost tracks bucket occupancy, not n² — then every candidate is
+    verified with the exact dot product, so precision is exact; only
+    recall is approximate (identical vectors always collide).
+    """
+    banded = srp_signature_bands(embeddings, dim, id_col).persist()
+    a = banded.select(
+        F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("vec_b"), F.col("embedding").alias("emb_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .distinct()
+    )
+    scored = cand.select("vec_a", "vec_b", dot("emb_a", "emb_b").alias("sim"))
     return scored.filter(F.col("sim") >= tau).select(
         "vec_a", "vec_b", F.round("sim", 5).alias("sim")
     )

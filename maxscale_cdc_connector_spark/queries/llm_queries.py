@@ -29,10 +29,15 @@ from maxscale_cdc_connector_spark.operators.dedup import (
     shingle_sets,
     simhash_near_pairs,
 )
-from maxscale_cdc_connector_spark.operators.multimodal import build_manifest, decode_features
+from maxscale_cdc_connector_spark.operators.multimodal import (
+    build_manifest,
+    decode_features,
+    frame_sample,
+)
 from maxscale_cdc_connector_spark.operators.simsearch import (
     ivf_topk,
     pairwise_threshold,
+    srp_lsh_pairs,
     topk_cosine,
 )
 from maxscale_cdc_connector_spark.queries.registry import register
@@ -165,6 +170,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
     pairs = pairwise_threshold(corpus, tau=0.99)
     return pairs.select(F.col("vec_b").alias("vec_drop")).distinct()
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # approximate recall by design → rows-only; pytest pins
+    # subset-of-exact and full recall on identical duplicates.
+    doc="Sub-quadratic embedding near-dup pairs: signed-random-projection "
+    "LSH (16 bits, 2 bands) candidates + exact cosine ≥ 0.99 verify — "
+    "the scale path replacing dedup_embedding_cosine's all-pairs join. "
+    "Candidate cost tracks bucket occupancy, not n².",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return srp_lsh_pairs(corpus, tau=0.99, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -445,3 +465,17 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("features", 3).alias("f_last"),
         F.element_at("features", 4).alias("f_checksum"),
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # mapInPandas fan-out; extractor stubbed — rows-only.
+    doc="Frame sampling over binary payloads: one payload row fans out "
+    "to 4 frame rows (frame bytes + sha256 content address) inside a "
+    "single Arrow-batched mapInPandas pass — the video keyframe-sampling "
+    "shape; decoder stubbed as deterministic byte slicing. pytest pins "
+    "exact frame bytes and digests.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return frame_sample(build_manifest(d)).select("doc_id", "frame_idx", "frame_sha256")

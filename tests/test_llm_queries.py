@@ -110,3 +110,52 @@ def test_decode_image_stub_raises():
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_embedding_lsh_subset_and_dup_recall(spark, sf_dir):
+    """SRP-LSH verified pairs ⊆ exact pairs at the same threshold, and
+    every identical-duplicate pair (cosine 1.0 ⇒ signatures collide with
+    probability 1) is recovered."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    lsh = {
+        (r.vec_a, r.vec_b) for r in REGISTRY["dedup_embedding_lsh"].fn(spark, sf_dir).collect()
+    }
+    exact_drop = {
+        r.vec_drop for r in REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    # Every LSH pair's b-side must be a key the exact variant also drops.
+    assert {b for _, b in lsh} <= exact_drop
+    n_vecs = (
+        REGISTRY["simsearch_topk_cosine"].fn(spark, sf_dir).sparkSession.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).count()
+    )
+    dup_pairs = {p for p in lsh if p[1] == p[0] + 1_000_000}
+    assert len(dup_pairs) == n_vecs, "missed an identical-duplicate pair"
+
+
+def test_frame_sample_pins_exact_bytes(spark, sf_dir):
+    """The stubbed frame sampler is deterministic byte slicing: pin it."""
+    import hashlib
+
+    from maxscale_cdc_connector_spark.operators.multimodal import build_manifest, frame_sample
+    from maxscale_cdc_connector_spark.queries import load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(5)
+    frames = frame_sample(build_manifest(docs)).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in docs.collect():
+        raw = d.text.encode("utf-8")
+        step = max(1, len(raw) // 4)
+        got = sorted(by_doc[d.doc_id], key=lambda r: r.frame_idx)
+        assert len(got) == 4
+        for i, r in enumerate(got):
+            expect = raw[i * step : (i + 1) * step]
+            assert bytes(r.frame) == expect
+            assert r.frame_sha256 == hashlib.sha256(expect).hexdigest()
