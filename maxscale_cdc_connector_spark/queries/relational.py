@@ -841,3 +841,80 @@ def fn_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(seg_nullif, F.lit("(none)")).alias("seg_or_none"),
         F.when(seg_nullif.isNull(), 1).otherwise(0).cast("bigint").alias("is_building"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — result-identical to unsalted forms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+       CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS net_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'F'
+""",
+    doc="Salted equi-join: hot fact keys spread over 8 shuffle tasks by "
+    "replicating the dim side x8 and joining on (key, salt). Result-"
+    "identical to the plain join (the oracle runs the unsalted SQL) — "
+    "the explicit mitigation when one key exceeds a task's memory and "
+    "AQE's skew splitting can't help (e.g. a broadcast-ineligible dim).",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.skew import salted_join
+
+    li = t(spark, "lineitem", sf_dir)
+    orders = t(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = salted_join(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"),
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        on="l_orderkey",
+        salt_source_cols=("l_linenumber",),
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        # floor-to-cents, not round: floor of the identical IEEE double is
+        # bit-deterministic across engines; round() half-cases are not.
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
+@register(
+    "agg_skew_salted",
+    oracle="""
+SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+       round(sum(l_extendedprice) / count(*), 4) AS avg_price
+FROM lineitem GROUP BY l_suppkey
+""",
+    doc="Two-stage salted aggregation: partial per (key, salt), merge per "
+    "key — count merges as sum-of-counts, avg as sum/sum. Result-"
+    "identical to the direct groupBy (the oracle), but a dominant key "
+    "collapses across 8 parallel tasks first.",
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.skew import salted_agg
+
+    li = t(spark, "lineitem", sf_dir)
+    return salted_agg(
+        li,
+        keys=("l_suppkey",),
+        salt_source_cols=("l_orderkey", "l_linenumber"),
+        partials=[
+            (F.count("*"), "p_n"),
+            (F.sum("l_quantity"), "p_qty"),
+            (F.sum("l_extendedprice"), "p_price"),
+        ],
+        finals=[
+            (F.sum("p_n"), "n"),
+            (F.round(F.sum("p_qty"), 2), "qty"),
+            (F.round(F.sum("p_price") / F.sum("p_n"), 4), "avg_price"),
+        ],
+    )

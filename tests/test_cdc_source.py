@@ -239,3 +239,66 @@ def test_streaming_query_end_to_end(spark) -> None:
             assert out[19]["name"] == "row20"
         finally:
             query.stop()
+
+
+# ---------------------------------------------------------------------------
+# Framing edges (cdc_connector.cpp:459-518 behaviors).
+# ---------------------------------------------------------------------------
+
+
+class _ScriptedSocket:
+    """recv() returns scripted chunks; simulates TCP fragmentation."""
+
+    def __init__(self, chunks):
+        self._chunks = list(chunks)
+
+    def recv(self, _n):
+        if not self._chunks:
+            raise TimeoutError
+        return self._chunks.pop(0)
+
+
+def _framed_client() -> CDCClient:
+    c = CDCClient("h", 0, "u", "p", "t")
+    c._streaming = True
+    return c
+
+
+def test_framing_line_split_across_chunks() -> None:
+    c = _framed_client()
+    c._sock = _ScriptedSocket([b'{"sequence"', b": 1, ", b'"domain": 0}\n'])
+    assert c.read_record() == {"sequence": 1, "domain": 0}
+
+
+def test_framing_multiple_events_one_chunk() -> None:
+    c = _framed_client()
+    c._sock = _ScriptedSocket([b'{"a": 1}\n{"a": 2}\n{"a": 3}\n'])
+    assert [c.read_record()["a"] for _ in range(3)] == [1, 2, 3]
+    assert c.read_record() is None  # buffer drained → idle
+
+
+def test_framing_nul_bytes_in_strings() -> None:
+    # JSON_ALLOW_NUL parity (cdc_connector.cpp:335): NULs inside string
+    # values survive decode.
+    c = _framed_client()
+    c._sock = _ScriptedSocket([b'{"name": "a\\u0000b"}\n'])
+    assert c.read_record()["name"] == "a\x00b"
+
+
+def test_framing_malformed_json_raises() -> None:
+    c = _framed_client()
+    c._sock = _ScriptedSocket([b"not json at all\n"])
+    with pytest.raises(CDCProtocolError, match="malformed"):
+        c.read_record()
+
+
+def test_framing_disconnect_raises() -> None:
+    c = _framed_client()
+
+    class _Closed:
+        def recv(self, _n):
+            return b""
+
+    c._sock = _Closed()
+    with pytest.raises(ConnectionError):
+        c.read_record()

@@ -38,6 +38,8 @@ RELATIONAL = [
     "fn_json_props",
     "fn_array",
     "fn_case_null",
+    "join_skew_salted",
+    "agg_skew_salted",
 ]
 
 
