@@ -116,6 +116,71 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# In-flight stateful snapshot: applyInPandasWithState keyed on the pk.
+# ---------------------------------------------------------------------------
+
+
+def stateful_snapshot(events: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Continuously-maintained current state via the state store.
+
+    The custom-stateful-operator form of the snapshot (SURVEY.md §2B
+    `stream_stateful_snapshot`): state per key is the winning event
+    (greatest (sequence, event_number)) as a JSON blob; each micro-batch
+    emits the key's new current row whenever it changes. Compared to the
+    foreachBatch `SnapshotSink`, state lives in Spark's state store
+    (RocksDB-backed on a cluster) instead of a parquet table — right
+    when the snapshot feeds further streaming stages rather than ad-hoc
+    queries.
+
+    Output = key columns + `current` (JSON of the full winning event,
+    envelope included; tombstones carry event_type='delete' — filter
+    downstream). JSON keeps the state/output schemas fixed for any
+    payload, so one operator serves every table.
+    """
+    key_schema = ", ".join(f"`{c}` {dict(events.dtypes)[c]}" for c in key_cols)
+    out_schema = f"{key_schema}, current string"
+    state_schema = "sequence bigint, event_number int, current string"
+
+    # Self-contained closure: executors unpickle by value (no package on
+    # the worker PYTHONPATH — same constraint as operators/multimodal.py).
+    def update(key, pdfs, state):
+        import json as _json
+
+        import pandas as _pd
+
+        best_seq, best_num, best_row = -1, -1, None
+        if state.exists:
+            best_seq, best_num, cur = state.get
+            best_row = _json.loads(cur)
+        changed = False
+        for pdf in pdfs:
+            for rec in pdf.to_dict("records"):
+                sq, num = int(rec["sequence"]), int(rec["event_number"])
+                if (sq, num) > (best_seq, best_num):
+                    best_seq, best_num, best_row = sq, num, rec
+                    changed = True
+        if changed and best_row is not None:
+            blob = _json.dumps(
+                {k: (v.item() if hasattr(v, "item") else v) for k, v in best_row.items()},
+                default=str,
+                sort_keys=True,
+            )
+            state.update((best_seq, best_num, blob))
+            data = dict(zip(key_names, ([k] for k in key)))
+            data["current"] = [blob]
+            yield _pd.DataFrame(data)
+
+    key_names = list(key_cols)
+    return events.groupBy(*key_cols).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Snapshot sink: change log → continuously-maintained current-state table.
 # ---------------------------------------------------------------------------
 

@@ -158,3 +158,47 @@ def test_snapshot_sink_equals_batch_snapshot(spark, event_log, tmp_path) -> None
     }
     assert got == want
     assert 10 not in got and got[4][1] == "upd4" and got[1][1] == "n1"
+
+
+def test_stateful_snapshot_matches_batch(spark, event_log) -> None:
+    """applyInPandasWithState snapshot: the last 'update' emitted per key
+    equals the batch latest_snapshot row (state-store path vs parquet
+    compaction path agree)."""
+    import json as _json
+
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_snapshot
+
+    path, _ = event_log
+    stream = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    out = stateful_snapshot(stream, ["id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_snap")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # Memory sink accumulates one row per (batch, changed key); the last
+    # emission per key is the current state.
+    rows = spark.sql("SELECT * FROM stateful_snap").collect()
+    latest: dict[int, dict] = {}
+    for r in rows:
+        cur = _json.loads(r["current"])
+        k = r["id"]
+        prev = latest.get(k)
+        if prev is None or (cur["sequence"], cur["event_number"]) > (
+            prev["sequence"], prev["event_number"]
+        ):
+            latest[k] = cur
+    got = {
+        k: (v["sequence"], v["name"])
+        for k, v in latest.items()
+        if v["event_type"] != "delete"
+    }
+    batch = replay_batch(spark, path, TEST_SCHEMA_RECORD)
+    want = {
+        r["id"]: (r["sequence"], r["name"])
+        for r in latest_snapshot(batch, ["id"]).collect()
+    }
+    assert got == want
