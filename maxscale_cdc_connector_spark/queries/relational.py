@@ -918,3 +918,138 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.sum("p_price") / F.sum("p_n"), 4), "avg_price"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries, pivot, percentiles, grouping sets — optimizer-breadth pack.
+# ---------------------------------------------------------------------------
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        t(spark, n, sf_dir).createOrReplaceTempView(n)
+
+
+@register(
+    "subq_exists_not_in",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+  AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+""",
+    doc="EXISTS + NOT IN subqueries: Catalyst decorrelates both into "
+    "semi/anti joins (RewritePredicateSubquery) — declared as SQL, "
+    "planned as joins, no manual rewrite.",
+)
+def subq_exists_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "supplier")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          AND c_custkey NOT IN (SELECT s_suppkey FROM supplier)
+        """
+    )
+
+
+@register(
+    "subq_scalar_correlated",
+    oracle="""
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+FROM orders o
+WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey)
+""",
+    doc="Correlated scalar-aggregate subquery (per-customer average): "
+    "Catalyst decorrelates to an aggregate + join "
+    "(RewriteCorrelatedScalarSubquery). The classic 'above my own "
+    "average' analytic shape.",
+)
+def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM orders o
+        WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice) FROM orders o2
+                                    WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT o_orderpriority,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Pivot with an explicit value list (no extra distinct-values "
+    "scan): one hash aggregate with conditional sums — exactly the CASE "
+    "formulation the oracle spells out.",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       round(median(l_quantity), 2) AS med_qty,
+       round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+       round(quantile_cont(l_quantity, 0.90), 2) AS p90
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="Exact interpolated percentiles (median / p25 / p90) per group — "
+    "percentile_cont; at scale approx_percentile (t-digest sketch) "
+    "replaces the exact sort-based form. Percentiles of the integer "
+    "quantity column: dyadic interpolation fractions stay bit-identical "
+    "across engines, where money-valued medians land on .xx5 rounding "
+    "boundaries that Spark (half-up) and DuckDB resolve differently.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity)"), 2).alias("med_qty"),
+        F.round(F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)"), 2).alias("p25"),
+        F.round(F.expr("percentile_cont(0.90) WITHIN GROUP (ORDER BY l_quantity)"), 2).alias("p90"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+""",
+    doc="Explicit GROUPING SETS (finer control than rollup/cube): one "
+    "Expand + hash aggregate, the same physical shape as rollup.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -40,6 +40,11 @@ RELATIONAL = [
     "fn_case_null",
     "join_skew_salted",
     "agg_skew_salted",
+    "subq_exists_not_in",
+    "subq_scalar_correlated",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_grouping_sets",
 ]
 
 

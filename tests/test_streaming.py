@@ -202,3 +202,61 @@ def test_stateful_snapshot_matches_batch(spark, event_log) -> None:
         for r in latest_snapshot(batch, ["id"]).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path) -> None:
+    """stream_watermark_late (SURVEY §2B): with a 10s watermark, an event
+    arriving after the watermark passed its window is dropped from the
+    windowed aggregation; on-time events all land."""
+    import time as _time
+
+    d = tmp_path / "latelog"
+    d.mkdir()
+    base = 1_700_000_000
+    # Batch 1: events at t+0..t+29.
+    _write_log(str(d / "a-000.jsonl"), [make_event(s, id_=s) for s in range(30)])
+    _time.sleep(0.05)
+    # Batch 2: a far-future event advances the watermark to t+990,
+    # evicting (and emitting) every first-minute window.
+    future = make_event(600, id_=600)
+    future["timestamp"] = base + 1000
+    _write_log(str(d / "b-000.jsonl"), [future])
+    _time.sleep(0.05)
+    # Batch 3: a LATE event back at t+5 — its window was already evicted
+    # under the t+990 watermark, so the stateful agg drops it (watermark
+    # eviction lags arrival by one batch, hence the separate batch 2).
+    late = make_event(500, id_=500)
+    late["timestamp"] = base + 5
+    _write_log(str(d / "c-000.jsonl"), [late])
+    _time.sleep(0.05)
+    # Batch 4: far ahead, so the future event's window finalizes too.
+    flush = make_event(700, id_=700)
+    flush["timestamp"] = base + 2000
+    _write_log(str(d / "d-000.jsonl"), [flush])
+
+    stream = replay_stream(spark, str(d), TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    windowed = (
+        stream.withColumn("ts", F.timestamp_seconds(F.col("timestamp")))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "30 seconds").alias("win"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT win.start AS s, n FROM late_drop").collect()
+    starts = [r["s"].timestamp() for r in rows]
+    assert len(starts) == len(set(starts)), "a window was emitted twice"
+    by_start = {r["s"].timestamp(): r["n"] for r in rows}
+    # ts=base aligns into the epoch-aligned 30s window starting base-20;
+    # that window holds on-time events base..base+9 — exactly 10: the
+    # late event (also ts within it) was dropped, and the window was
+    # emitted exactly once.
+    first_window_start = float(base - (base % 30))
+    assert by_start[first_window_start] == 10
+    assert sum(by_start.values()) == 31  # 30 on-time + future; late gone
