@@ -479,3 +479,142 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     return frame_sample(build_manifest(d)).select("doc_id", "frame_idx", "frame_sha256")
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf_counts AS (
+    SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token
+),
+df_counts AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t.doc_id, t.token, t.tf,
+       round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+FROM tf_counts t JOIN df_counts d ON t.token = d.token, n
+WHERE t.tf >= 3
+""",
+    doc="TF-IDF scores for every (doc, token) with tf >= 3: explode + "
+    "two aggregations + a broadcast-sized document-frequency join — the "
+    "text-weighting primitive under retrieval and keyword extraction. "
+    "The n_docs scalar enters as a crossJoin of a 1-row aggregate "
+    "(broadcast, not a collected literal).",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    tok = d.select("doc_id", F.explode(words("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_counts = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(F.broadcast(df_counts), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "simsearch_batch_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, e.vec_id, {_dot_sql('e.embedding', 'q.qe')} AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT q_id, vec_id, round(sim, 5) AS sim, rn
+FROM ranked WHERE rn <= 5
+""",
+    doc="Batch top-k: 5 nearest neighbors for each of 8 query vectors in "
+    "ONE pass — broadcast the (small) query block against the corpus "
+    "scan, then per-query top-k via window rank. The blocked shape that "
+    "replaces per-query scans when serving many queries; at 100 TB the "
+    "query set broadcasts and the corpus is scanned exactly once.",
+)
+def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from maxscale_cdc_connector_spark.functions.vectors import dot
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", dot("embedding", "qe").alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "vec_id", F.round("sim", 5).alias("sim"), "rn")
+    )
+
+
+@register(
+    "pipeline_pretrain_filter",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, lang, source,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+    FROM documents
+),
+keep AS (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS copy_rank
+    FROM m
+    WHERE n_words >= 20 AND CAST(n_uniq AS DOUBLE) / n_words >= 0.3
+)
+SELECT doc_id, lang, source, CAST(n_words AS BIGINT) AS n_words
+FROM keep WHERE copy_rank = 1
+""",
+    doc="A composed pretraining filter in one plan: length floor + "
+    "lexical-diversity floor + exact dedup (keep lowest doc_id per "
+    "fingerprint). The shape every training-data pipeline materializes "
+    "before tokenization; all three stages fuse into scan -> project -> "
+    "one shuffle (the dedup window).",
+)
+def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, "documents", sf_dir)
+    w_arr = words("text")
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(w_arr).alias("n_words"),
+        F.size(F.array_distinct(w_arr)).alias("n_uniq"),
+        F.md5(normalize("text")).alias("fp"),
+    )
+    keep = m.filter(
+        (F.col("n_words") >= 20)
+        & (F.col("n_uniq").cast("double") / F.col("n_words") >= 0.3)
+    )
+    rank = F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    return (
+        keep.withColumn("copy_rank", rank)
+        .filter(F.col("copy_rank") == 1)
+        .select("doc_id", "lang", "source", F.col("n_words").cast("bigint").alias("n_words"))
+    )

@@ -17,6 +17,9 @@ ORACLE_CHECKED = [
     "text_fingerprint",
     "text_token_count",
     "multimodal_manifest",
+    "text_tfidf",
+    "simsearch_batch_topk",
+    "pipeline_pretrain_filter",
 ]
 
 
