@@ -1053,3 +1053,53 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@register(
+    "join_asof_nearest_event",
+    oracle="""
+WITH base AS (
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           last_value(CASE WHEN event_type = 'error'
+                           THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err,
+           first_value(CASE WHEN event_type = 'error'
+                            THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+    FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN prev_err IS NULL THEN next_err
+            WHEN next_err IS NULL THEN prev_err
+            WHEN ts_us - prev_err <= next_err - ts_us THEN prev_err
+            ELSE next_err END AS nearest_error_us
+FROM base
+""",
+    doc="As-of NEAREST join (closest 'error' event per user in either "
+    "direction, ties to the earlier side): one bidirectional window pass "
+    "— last(ignoreNulls) backward + first(ignoreNulls) forward — then an "
+    "arithmetic argmin. Still one shuffle on user_id, no self-join; the "
+    "general as-of form SURVEY §2B names join_asof_nearest_event.",
+)
+def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts_us"))
+    back = (
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    fwd = (
+        W.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    prev_err = F.last(err_ts, ignorenulls=True).over(back)
+    next_err = F.first(err_ts, ignorenulls=True).over(fwd)
+    nearest = (
+        F.when(prev_err.isNull(), next_err)
+        .when(next_err.isNull(), prev_err)
+        .when(F.col("ts_us") - prev_err <= next_err - F.col("ts_us"), prev_err)
+        .otherwise(next_err)
+    )
+    return e.select("event_id", "user_id", "ts_us", nearest.alias("nearest_error_us"))

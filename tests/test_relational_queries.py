@@ -45,6 +45,7 @@ RELATIONAL = [
     "agg_pivot",
     "agg_percentiles",
     "agg_grouping_sets",
+    "join_asof_nearest_event",
 ]
 
 
