@@ -37,6 +37,10 @@ HEADLINE = [
     ("q8_simsearch_topk_cosine", "simsearch_topk_cosine"),
     ("q9_text_tokenize_tf", "text_tokenize_tf"),
     ("q10_fn_json_props", "fn_json_props"),
+    ("q11_text_tfidf", "text_tfidf"),
+    ("q12_simsearch_batch_topk", "simsearch_batch_topk"),
+    ("q13_pipeline_pretrain_filter", "pipeline_pretrain_filter"),
+    ("q14_stream_session_window", "stream_session_window"),
 ]
 
 
