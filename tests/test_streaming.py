@@ -260,3 +260,52 @@ def test_watermark_drops_late_event(spark, tmp_path) -> None:
     first_window_start = float(base - (base % 30))
     assert by_start[first_window_start] == 10
     assert sum(by_start.values()) == 31  # 30 on-time + future; late gone
+
+
+def test_snapshot_sink_incremental_and_idempotent(spark, tmp_path) -> None:
+    """Only hash buckets touched by a batch are rewritten, and applying
+    the same batch twice leaves the state unchanged (restart safety)."""
+    import os as _os
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+    def as_df(events):
+        import json as _json
+
+        lines = [( _json.dumps(e), ) for e in events]
+        return decode_events(spark.createDataFrame(lines, "value string"), schema)
+
+    sink = SnapshotSink(str(tmp_path / "state"), ["id"], n_buckets=8)
+    sink(as_df([make_event(s, id_=s) for s in range(1, 129)]), 0)
+
+    def bucket_mtimes():
+        return {
+            d: _os.stat(_os.path.join(sink.path, d)).st_mtime_ns
+            for d in _os.listdir(sink.path)
+            if d.startswith("_bucket=")
+        }
+
+    before = bucket_mtimes()
+    assert len(before) == 8  # 128 keys cover all 8 buckets
+
+    # Batch 2 updates a single key → exactly one bucket dir rewritten.
+    single = as_df([make_event(1000, "update_after", 2, id_=7, name="seven2")])
+    sink(single, 1)
+    after = bucket_mtimes()
+    changed = {d for d in after if after[d] != before.get(d)}
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+
+    # Idempotency: re-applying the same batch yields identical state.
+    state_1 = sorted(
+        (r["id"], r["sequence"], r["name"]) for r in sink.snapshot(spark).collect()
+    )
+    sink(single, 2)
+    state_2 = sorted(
+        (r["id"], r["sequence"], r["name"]) for r in sink.snapshot(spark).collect()
+    )
+    assert state_1 == state_2
+    assert ({(r[0], r[2]) for r in state_1} >= {(7, "seven2")})
