@@ -618,3 +618,54 @@ def pipeline_pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("copy_rank") == 1)
         .select("doc_id", "lang", "source", F.col("n_words").cast("bigint").alias("n_words"))
     )
+
+
+@register(
+    "simsearch_cosine_full",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+scored AS (
+    SELECT e.vec_id,
+           {_dot_sql('e.embedding', 'q.qe')} /
+           (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+            sqrt(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+    FROM embeddings e, q
+)
+SELECT vec_id, round(sim, 5) AS sim
+FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+""",
+    doc="Full cosine (dot / norms) against query vec_id=1 — the general "
+    "form for NON-normalized vectors; same single-scan TakeOrdered plan "
+    "as the dot-product fast path, two extra higher-order aggregates.",
+)
+def simsearch_cosine_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.vectors import cosine
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qe"))
+    )
+    scored = emb.crossJoin(q).select(
+        "vec_id", cosine("embedding", "qe").alias("sim")
+    )
+    return (
+        scored.orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("sim", 5).alias("sim"))
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based by design → rows-only; pytest bounds the
+    # error against the exact percentile.
+    doc="Approximate percentiles via Spark's quantile sketch "
+    "(approx_percentile, accuracy 10000) — the single-pass mergeable "
+    "path that replaces exact sort-based percentiles at 100 TB.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("med_approx"),
+        F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+    )

@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "text_tfidf",
     "simsearch_batch_topk",
     "pipeline_pretrain_filter",
+    "simsearch_cosine_full",
 ]
 
 
@@ -162,3 +163,20 @@ def test_frame_sample_pins_exact_bytes(spark, sf_dir):
             expect = raw[i * step : (i + 1) * step]
             assert bytes(r.frame) == expect
             assert r.frame_sha256 == hashlib.sha256(expect).hexdigest()
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    approx = {
+        r["l_returnflag"]: (r["med_approx"], r["p90_approx"])
+        for r in REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["med_qty"], r["p90"])
+        for r in REGISTRY["agg_percentiles"].fn(spark, sf_dir).collect()
+    }
+    for flag, (med, p90) in exact.items():
+        assert abs(approx[flag][0] - med) <= 1.0
+        assert abs(approx[flag][1] - p90) <= 1.0
