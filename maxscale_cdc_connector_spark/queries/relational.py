@@ -1103,3 +1103,65 @@ def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(next_err)
     )
     return e.select("event_id", "user_id", "ts_us", nearest.alias("nearest_error_us"))
+
+
+@register(
+    "win_ntile_pct",
+    oracle="""
+SELECT o_orderkey,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""",
+    doc="Distribution window pack: ntile / percent_rank / cume_dist per "
+    "priority partition with a deterministic total order.",
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "agg_bool_count_if",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'P') AS any_pending
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Boolean aggregate pack: count_if / every / any — decomposable, "
+    "map-side combinable like any other hash agg.",
+)
+def agg_bool_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_orderstatus") == "P").alias("any_pending"),
+    )
+
+
+@register(
+    "set_except_distinct",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+    doc="Distinct EXCEPT (set semantics) — complements set_except_all's "
+    "bag semantics; plans as a left-anti join over distinct keys.",
+)
+def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    big = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return big.subtract(fin)

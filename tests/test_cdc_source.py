@@ -362,3 +362,18 @@ def test_streaming_checkpoint_resume(spark, tmp_path) -> None:
         # scratch: the replay window may include GTID 10 (at-least-once)
         # but never anything earlier.
         assert min(run_b) >= 10
+
+
+def test_datasource_schema_infer_connection_refused() -> None:
+    """schema() inference against a dead server surfaces a clean error,
+    not a hang (the reference's connect() error-string path,
+    cdc_connector.cpp:147-223)."""
+    from pyspark.sql.datasource import CaseInsensitiveDict
+
+    ds = MaxScaleCDCDataSource(
+        CaseInsensitiveDict(
+            {"host": "127.0.0.1", "port": "1", "table": "db.t", "pollseconds": "0.2"}
+        )
+    )
+    with pytest.raises(OSError):
+        ds.schema()

@@ -46,6 +46,9 @@ RELATIONAL = [
     "agg_percentiles",
     "agg_grouping_sets",
     "join_asof_nearest_event",
+    "win_ntile_pct",
+    "agg_bool_count_if",
+    "set_except_distinct",
 ]
 
 

@@ -309,3 +309,21 @@ def test_snapshot_sink_incremental_and_idempotent(spark, tmp_path) -> None:
     )
     assert state_1 == state_2
     assert ({(r[0], r[2]) for r in state_1} >= {(7, "seven2")})
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path) -> None:
+    """Small-file compaction: 32 tiny files collapse to 1 with content
+    preserved exactly."""
+    import os as _os
+
+    from maxscale_cdc_connector_spark.operators.maintenance import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(0, 10_000).repartition(32).write.parquet(path)
+    n_before = sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+    assert n_before == 32
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+
+    n_after = compact_parquet(spark, path, target_file_mb=128)
+    assert n_after == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
