@@ -116,6 +116,50 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# Streaming joins.
+# ---------------------------------------------------------------------------
+
+
+def enrich_static(stream: DataFrame, dim: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Stream-static enrichment: join each micro-batch to a dimension.
+
+    The dim side is broadcast — each micro-batch joins map-side with no
+    state and no shuffle of the stream. The standard shape for decorating
+    CDC events with slowly-changing reference data; the dim DataFrame is
+    re-evaluated per micro-batch, so an updated dimension table is picked
+    up on the next trigger.
+    """
+    return stream.join(F.broadcast(dim), on)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str,
+    max_delay_seconds: int,
+) -> DataFrame:
+    """Watermarked stream-stream join within a time interval.
+
+    Both sides carry watermarks so the join state is bounded: a left row
+    waits at most ``max_delay_seconds`` for its right match, after which
+    its state is evicted (Structured Streaming's interval-join contract).
+    The join condition is equi-key + time bound, which is what keeps the
+    state keyed and finite at 100 TB stream rates.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
+    )
+    return lw.join(rw, cond)
+
+
+# ---------------------------------------------------------------------------
 # In-flight stateful snapshot: applyInPandasWithState keyed on the pk.
 # ---------------------------------------------------------------------------
 

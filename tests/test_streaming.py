@@ -327,3 +327,80 @@ def test_compact_parquet_reduces_files(spark, tmp_path) -> None:
     n_after = compact_parquet(spark, path, target_file_mb=128)
     assert n_after == 1
     assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+
+
+def test_stream_static_enrich_equals_batch(spark, event_log) -> None:
+    """Stream-static broadcast enrichment produces exactly the batch join."""
+    from maxscale_cdc_connector_spark.streaming.ops import enrich_static
+
+    path, _ = event_log
+    dim = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(1, 41)],
+        "id int, parity string",
+    )
+    stream = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    q = (
+        enrich_static(stream, dim, ["id"])
+        .select("sequence", "id", "parity")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["sequence"], r["id"], r["parity"])
+        for r in spark.sql("SELECT * FROM enriched").collect()
+    }
+    batch = replay_batch(spark, path, TEST_SCHEMA_RECORD)
+    want = {
+        (r["sequence"], r["id"], r["parity"])
+        for r in batch.join(dim, ["id"]).select("sequence", "id", "parity").collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_stream_interval_join(spark, event_log) -> None:
+    """Watermarked stream-stream join: update_after events join back to
+    the insert of the same key within the interval bound."""
+    from maxscale_cdc_connector_spark.streaming.ops import stream_stream_interval_join
+
+    path, _ = event_log
+
+    def side(event_type, ts_name, prefix):
+        s = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("id").alias(f"{prefix}id") if prefix else F.col("id"),
+                F.timestamp_seconds(F.col("timestamp")).alias(ts_name),
+                F.col("sequence").alias(f"{prefix}seq"),
+            )
+        )
+
+    inserts = side("insert", "ins_ts", "")
+    updates = side("update_after", "upd_ts", "u_")
+    # inserts at t+s, updates at t+100+s → delay is exactly 100s per key.
+    joined = stream_stream_interval_join(
+        inserts.withColumnRenamed("id", "id"),
+        updates.withColumnRenamed("u_id", "id"),
+        key="id",
+        left_ts="ins_ts",
+        right_ts="upd_ts",
+        watermark="10 seconds",
+        max_delay_seconds=150,
+    )
+    q = (
+        joined.select("seq", "u_seq")
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {(r["seq"], r["u_seq"]) for r in spark.sql("SELECT * FROM ssjoin").collect()}
+    # Every 4th key 1..40 was updated: insert seq=k joins update seq=100+k.
+    want = {(k, 100 + k) for k in range(1, 41) if k % 4 == 0}
+    assert rows == want
