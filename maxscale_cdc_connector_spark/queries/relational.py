@@ -1165,3 +1165,52 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
     fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     return big.subtract(fin)
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+SELECT o_orderpriority,
+       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       CAST(len(list_distinct(list(o_custkey % 100))) AS BIGINT) AS n_cust_buckets
+FROM orders GROUP BY o_orderpriority
+""",
+    doc="Array-building aggregation: collect_set sorted for deterministic "
+    "comparison (collect order is partition-dependent, so the unsorted "
+    "form is never oracle-stable). At scale, collect_* per group is "
+    "bounded by distinct values, not rows — partial aggregation merges "
+    "sets map-side.",
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.collect_set(F.col("o_custkey") % 100)).cast("bigint").alias(
+            "n_cust_buckets"
+        ),
+    )
+
+
+@register(
+    "fn_map_props",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+       json_keys(props)[1] AS first_key
+FROM events
+""",
+    doc="Map/JSON ops over the events.props column: parse to MapType, "
+    "key extraction, cardinality — from_json to map<string,bigint> keeps "
+    "the parse JVM-side in one pass (vs per-field get_json_object "
+    "re-parses in fn_json_props).",
+)
+def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        m.getItem("k").alias("k_value"),
+        F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+    )

@@ -49,6 +49,8 @@ RELATIONAL = [
     "win_ntile_pct",
     "agg_bool_count_if",
     "set_except_distinct",
+    "agg_collect_set",
+    "fn_map_props",
 ]
 
 
