@@ -41,6 +41,9 @@ HEADLINE = [
     ("q12_simsearch_batch_topk", "simsearch_batch_topk"),
     ("q13_pipeline_pretrain_filter", "pipeline_pretrain_filter"),
     ("q14_stream_session_window", "stream_session_window"),
+    ("q15_tpch_q5_local_supplier", "tpch_q5_local_supplier"),
+    ("q16_tpch_q10_returned", "tpch_q10_returned"),
+    ("q17_tpch_q3_shipping", "tpch_q3_shipping"),
 ]
 
 

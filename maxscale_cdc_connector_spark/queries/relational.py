@@ -1214,3 +1214,134 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("bigint").alias("n_keys"),
         F.element_at(F.map_keys(m), 1).alias("first_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H-shaped): join-reordering / AQE exercise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping",
+    oracle="""
+SELECT l.l_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    doc="TPC-H Q3 shape: 3-table join with selective filters on every "
+    "side, grouped revenue, global top-10. Filters push below the joins; "
+    "the filtered customer side is broadcast-eligible and AQE picks the "
+    "join order.",
+)
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    oracle="""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+    doc="TPC-H Q5 shape: 6-table snowflake join (two broadcastable dims, "
+    "a two-key supplier join) with regional filter — the join-reordering "
+    "benchmark query. Revenue summed per nation.",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir)
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q10_returned",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="TPC-H Q10 shape: returned-item revenue per customer, 4-table "
+    "join + top-20 — fact-heavy join with a broadcast nation dim and "
+    "TakeOrderedAndProject on the aggregated output.",
+)
+def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    n = t(spark, "nation", sf_dir)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )

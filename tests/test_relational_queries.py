@@ -51,6 +51,9 @@ RELATIONAL = [
     "set_except_distinct",
     "agg_collect_set",
     "fn_map_props",
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned",
 ]
 
 
