@@ -1345,3 +1345,128 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue")
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0 END), 2) AS promo_revenue,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    doc="TPC-H Q14 shape: promo-vs-total revenue over a fact-dim join. "
+    "The part dim is broadcast, the conditional sum is a single "
+    "map-side-combinable aggregate — one scan of lineitem, no shuffle "
+    "of fact rows beyond the 1-row final agg.",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       round(s.sum_qty, 2) AS sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 300) s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    doc="TPC-H Q18 shape: large-volume orders. The HAVING pre-aggregation "
+    "shrinks lineitem to a tiny order list BEFORE any join, so both "
+    "subsequent joins see only qualifying keys (broadcast-eligible under "
+    "AQE) instead of a fact-fact shuffle.",
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c = t(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_raw"))
+        .filter(F.col("sum_qty_raw") > 300)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("sum_qty_raw"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q19_disjunctive_filter",
+    oracle="""
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#18' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 shape: OR-of-AND predicates spanning both join sides. "
+    "Catalyst keeps the p_partkey equi-join (broadcast part), derives the "
+    "common brand/size disjunction as a pushable filter on the part scan, "
+    "and applies the mixed residual after the join.",
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#18")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

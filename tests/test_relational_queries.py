@@ -54,6 +54,9 @@ RELATIONAL = [
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
     "tpch_q10_returned",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_filter",
 ]
 
 
