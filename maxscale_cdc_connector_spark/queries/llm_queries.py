@@ -669,3 +669,50 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_quantity", F.lit(0.5), F.lit(10000)).alias("med_approx"),
         F.approx_percentile("l_quantity", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
     )
+
+
+@register(
+    "pipeline_hash_split",
+    oracle="""
+SELECT CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       count(DISTINCT lang) AS n_langs
+FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+             AS INTEGER) % 100 AS b,
+             n_chars, lang
+      FROM documents) buckets
+GROUP BY split
+ORDER BY split
+""",
+    doc="Deterministic train/validation/test split for a training corpus: "
+    "bucket = md5(doc_id) first 16 bits mod 100 (80/10/10). Stateless and "
+    "engine-portable (MD5 is standardized), so the assignment is stable "
+    "across runs, engines, and cluster sizes — no sampling RNG, no shuffle "
+    "to assign; only the tiny per-split summary aggregates.",
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split")
+    )
+    return (
+        docs.select(split, "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+        .orderBy("split")
+    )

@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "text_tfidf",
     "simsearch_batch_topk",
     "pipeline_pretrain_filter",
+    "pipeline_hash_split",
     "simsearch_cosine_full",
 ]
 
