@@ -716,3 +716,94 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@register(
+    "pipeline_source_mix",
+    oracle="""
+WITH rated AS (
+    SELECT source,
+           n_chars,
+           CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 100
+                WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 50
+                WHEN CAST(substr(source, 4) AS INTEGER) < 15 THEN 25
+                ELSE 10 END AS rate_pct,
+           CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS b
+    FROM documents
+)
+SELECT source,
+       rate_pct,
+       count(*) AS n_kept,
+       sum(n_chars) AS kept_chars
+FROM rated
+WHERE b < rate_pct
+GROUP BY source, rate_pct
+ORDER BY source
+""",
+    doc="Weighted dataset mixing: per-source sampling rates (100/50/25/10% "
+    "tiers) applied via a salted md5 bucket on doc_id, so the subsample is "
+    "deterministic and reproducible on any engine or cluster size — the "
+    "standard way to re-weight corpus sources for a training mix without an "
+    "RNG seed dependency. The filter is a stateless map; only the per-source "
+    "audit summary aggregates.",
+)
+def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir)
+    src_n = F.substring(F.col("source"), 4, 10).cast("int")
+    rate = (
+        F.when(src_n < 5, 100)
+        .when(src_n < 10, 50)
+        .when(src_n < 15, 25)
+        .otherwise(10)
+        .alias("rate_pct")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        docs.select("source", "n_chars", rate, bucket.alias("b"))
+        .filter(F.col("b") < F.col("rate_pct"))
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=None,
+    doc="Sequence packing (pretraining batch prep): greedy first-fit of "
+    "documents into 512-token training sequences inside deterministic "
+    "md5 buckets (applyInPandas per bucket — one shuffle, linear per-"
+    "bucket Python, reproducible on any cluster size). Emits the per-pack "
+    "manifest: doc count, token fill, fill ratio, truncation flag. "
+    "Stateful packing is not SQL-expressible, so the driver check is "
+    "rows-only; invariants (every doc packed exactly once, no pack over "
+    "budget, partitioning-independence) are pinned in pytest.",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.packing import pack_sequences
+
+    docs = t(spark, "documents", sf_dir)
+    packed = pack_sequences(docs, budget=512, n_buckets=64)
+    return (
+        packed.groupBy("bucket", "pack_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.round(F.sum("n_tokens") / F.lit(512.0), 4).alias("fill_ratio"),
+            F.max(F.col("truncated").cast("int")).cast("boolean").alias("has_truncated"),
+        )
+        .orderBy("bucket", "pack_seq")
+    )

@@ -21,6 +21,7 @@ ORACLE_CHECKED = [
     "simsearch_batch_topk",
     "pipeline_pretrain_filter",
     "pipeline_hash_split",
+    "pipeline_source_mix",
     "simsearch_cosine_full",
 ]
 
@@ -181,3 +182,39 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     for flag, (med, p90) in exact.items():
         assert abs(approx[flag][0] - med) <= 1.0
         assert abs(approx[flag][1] - p90) <= 1.0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing covers every document exactly once, never overfills a
+    non-truncated pack, and is independent of input partitioning."""
+    from maxscale_cdc_connector_spark.operators.packing import pack_sequences
+    from maxscale_cdc_connector_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    budget = 512
+    packed = pack_sequences(docs, budget=budget, n_buckets=8)
+    rows = packed.collect()
+
+    # Every doc exactly once.
+    ids = [r.doc_id for r in rows]
+    assert sorted(ids) == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    assert len(ids) == len(set(ids))
+
+    # No pack exceeds the budget; truncated rows are exactly the
+    # oversize singletons.
+    from collections import defaultdict
+
+    packs = defaultdict(list)
+    for r in rows:
+        packs[(r.bucket, r.pack_seq)].append(r)
+    for members in packs.values():
+        if any(m.truncated for m in members):
+            assert len(members) == 1 and members[0].n_tokens > budget
+        else:
+            assert sum(m.n_tokens for m in members) <= budget
+
+    # Deterministic under repartitioning.
+    again = sorted(
+        map(tuple, pack_sequences(docs.repartition(13), budget=budget, n_buckets=8).collect())
+    )
+    assert again == sorted(map(tuple, rows))
