@@ -44,6 +44,8 @@ HEADLINE = [
     ("q15_tpch_q5_local_supplier", "tpch_q5_local_supplier"),
     ("q16_tpch_q10_returned", "tpch_q10_returned"),
     ("q17_tpch_q3_shipping", "tpch_q3_shipping"),
+    ("q18_tpch_q18_large_orders", "tpch_q18_large_orders"),
+    ("q19_pipeline_pack_sequences", "pipeline_pack_sequences"),
 ]
 
 
