@@ -807,3 +807,64 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "pack_seq")
     )
+
+
+@register(
+    "pipeline_decontaminate",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ev_grams AS (
+    SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS gram
+    FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)
+    WHERE doc_id % 97 = 0
+),
+contaminated AS (
+    SELECT DISTINCT doc_id
+    FROM tok, UNNEST(range(1, len(w)-1)) AS u(i)
+    WHERE doc_id % 97 <> 0
+      AND array_to_string(w[i:i+2], ' ') IN (SELECT gram FROM ev_grams)
+)
+SELECT d.source,
+       count(*) AS n_train_docs,
+       CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+FROM documents d LEFT JOIN contaminated c USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+ORDER BY d.source
+""",
+    doc="Benchmark decontamination: flag training documents sharing any "
+    "word n-gram with a held-out eval set (stand-in: doc_id % 97 == 0), "
+    "reported per source. The eval n-gram set is tiny relative to the "
+    "corpus, so it is DISTINCT-ed and BROADCAST to a left-semi join — "
+    "the training side streams through one scan with no fact-side "
+    "shuffle before the per-source rollup; at 100 TB the gram set stays "
+    "a broadcast (eval suites are MBs, corpora are TBs). n=3 here to "
+    "match the synthetic corpus's short texts; production decontamination "
+    "uses the same plan with 8-13-grams.",
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.text_fns import word_shingles
+
+    docs = t(spark, "documents", sf_dir)
+    grams = word_shingles("text", 3)
+    is_eval = F.col("doc_id") % 97 == 0
+    ev_grams = (
+        docs.filter(is_eval).select(F.explode(grams).alias("gram")).distinct()
+    )
+    train = docs.filter(~is_eval)
+    contaminated = (
+        train.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(ev_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count(F.col("hit")).cast("bigint").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -22,6 +22,7 @@ ORACLE_CHECKED = [
     "pipeline_pretrain_filter",
     "pipeline_hash_split",
     "pipeline_source_mix",
+    "pipeline_decontaminate",
     "simsearch_cosine_full",
 ]
 
