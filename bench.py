@@ -54,9 +54,15 @@ def _materialize(df) -> None:
 
 
 def _stream_replay_events_per_s(spark, sf_dir: str) -> int:
-    """Streaming decode throughput: replay a ~190k-event JSON change log
+    """Streaming decode throughput: replay a ~750k-event JSON change log
     through the Structured Streaming file source + typed decode + agg.
-    BASELINE.md working target: ≥ 50k events/s."""
+    BASELINE.md working target: ≥ 50k events/s.
+
+    Methodology: the replay is sized so steady-state decode dominates
+    (fixed micro-batch planning/WAL cost is a few hundred ms), and a small
+    warmup stream runs first so one-time streaming machinery init (state
+    store, streaming-class JIT) doesn't land in the timed run — mirroring
+    the batch warmup in main()."""
     import json as _json
     import tempfile
     import uuid
@@ -69,24 +75,30 @@ def _stream_replay_events_per_s(spark, sf_dir: str) -> int:
 
     ev = synthetic_customer_events(spark, sf_dir)
     evs = ev
-    for i in range(1, 10):
+    for i in range(1, 40):
         evs = evs.unionByName(ev.withColumn("sequence", F.col("sequence") + F.lit(30_000_000 * i)))
     n = evs.count()
-    log_dir = os.path.join(tempfile.gettempdir(), f"bench-replay-{uuid.uuid4().hex[:8]}")
-    evs.repartition(16).write.mode("overwrite").json(log_dir)
+    base = os.path.join(tempfile.gettempdir(), f"bench-replay-{uuid.uuid4().hex[:8]}")
+    log_dir, warm_dir = os.path.join(base, "log"), os.path.join(base, "warm")
+    evs.repartition(32).write.mode("overwrite").json(log_dir)
+    ev.limit(2000).coalesce(1).write.mode("overwrite").json(warm_dir)
 
+    def run(path: str) -> None:
+        stream = replay_stream(spark, path, _json.loads(CUSTOMER_SCHEMA_RECORD))
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .writeStream.format("memory")
+            .queryName(f"bench_replay_{uuid.uuid4().hex[:8]}")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+
+    run(warm_dir)
     t0 = time.perf_counter()
-    stream = replay_stream(spark, log_dir, _json.loads(CUSTOMER_SCHEMA_RECORD))
-    q = (
-        stream.groupBy("event_type")
-        .agg(F.count("*").alias("n"))
-        .writeStream.format("memory")
-        .queryName(f"bench_replay_{uuid.uuid4().hex[:8]}")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    run(log_dir)
     return int(n / (time.perf_counter() - t0))
 
 

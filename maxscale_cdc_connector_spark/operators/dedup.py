@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.functions.text_fns import normalize, word_shingles, words
+from maxscale_cdc_connector_spark.operators.cache import finalize
 
 N_MINHASHES = 32
 LSH_BANDS = 8  # 8 bands × 4 rows per band
@@ -45,9 +46,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     fast as its input partition count. Small local files scan as 1-2
     partitions; a 100 TB table scans as thousands, in which case this is
     a no-op (no shuffle inserted). The guard keeps the scale path clean.
+
+    The check reads scan metadata (``inputFiles``) rather than
+    ``df.rdd.getNumPartitions()`` — the latter forces a plan→RDD
+    conversion on the driver per call. A 100 TB table has ≫ core-count
+    files so this stays a no-op at scale; a handful of big splittable
+    files already scan as many partitions via
+    ``spark.sql.files.maxPartitionBytes``, where the extra shuffle is
+    harmless relative to the CPU-bound hashing it parallelizes.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -153,12 +162,18 @@ def minhash_signatures(doc_shingles: DataFrame, id_col: str = "doc_id") -> DataF
     return doc_shingles.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", caches: list[DataFrame] | None = None
+) -> DataFrame:
     """Band the signature array and equi-join on (band, band_hash).
 
     Each band hash is ``xxhash64(slice(sig, ...))`` — hashing the slice
     as one array value instead of N separate columns, which keeps the
     banding a handful of expressions over the shared ``sig`` array.
+
+    When ``caches`` is given, the persisted banded table is appended to
+    it and the caller releases it after its own terminal action;
+    standalone calls release it here via :func:`cache.finalize`.
     """
     rows_per_band = N_MINHASHES // LSH_BANDS
     bands = F.array(
@@ -180,12 +195,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     )
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "h")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "h")
-    return (
+    cand = (
         a.join(b, ["band", "h"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+    if caches is not None:
+        caches.append(banded)
+        return cand
+    return finalize(cand, [banded])
 
 
 def minhash_dedup_pairs(
@@ -216,7 +235,8 @@ def minhash_dedup_pairs(
     # projection collapse substitutes the full 32-hash expression into
     # every band slice (8× the hashing work).
     sig = minhash_signatures(sh, id_col).persist()
-    cand = lsh_candidate_pairs(sig, id_col)
+    caches = [sh, sig]
+    cand = lsh_candidate_pairs(sig, id_col, caches)
     a = sh.select(
         F.col(id_col).alias("doc_a"),
         F.col("shingles").alias("sh_a"),
@@ -229,13 +249,16 @@ def minhash_dedup_pairs(
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("size_a") + F.col("size_b") - n_common)
-    return (
+    verified = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    # Materialize the (small) verified-pair result while the barriers are
+    # hot, then release them — bounded cache lifetime in a long session.
+    return finalize(verified, caches)
 
 
 def simhash_fingerprints(

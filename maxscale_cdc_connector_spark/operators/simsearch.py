@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.functions.vectors import dot
+from maxscale_cdc_connector_spark.operators.cache import finalize
 
 CENTROID_STRIDE = 40
 NPROBE = 3
@@ -127,6 +128,7 @@ def srp_lsh_pairs(
     recall is approximate (identical vectors always collide).
     """
     banded = srp_signature_bands(embeddings, dim, id_col).persist()
+    caches = [banded]
     a = banded.select(
         F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "bucket"
     )
@@ -140,9 +142,11 @@ def srp_lsh_pairs(
         .distinct()
     )
     scored = cand.select("vec_a", "vec_b", dot("emb_a", "emb_b").alias("sim"))
-    return scored.filter(F.col("sim") >= tau).select(
+    verified = scored.filter(F.col("sim") >= tau).select(
         "vec_a", "vec_b", F.round("sim", 5).alias("sim")
     )
+    # Materialize the (small) verified-pair result, release the barrier.
+    return finalize(verified, caches)
 
 
 def _centroids(embeddings: DataFrame, id_col: str = "vec_id") -> DataFrame:

@@ -678,7 +678,7 @@ SELECT CASE WHEN b < 80 THEN 'train'
             WHEN b < 90 THEN 'validation'
             ELSE 'test' END AS split,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        count(DISTINCT lang) AS n_langs
 FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
              AS INTEGER) % 100 AS b,
@@ -735,7 +735,7 @@ WITH rated AS (
 SELECT source,
        rate_pct,
        count(*) AS n_kept,
-       sum(n_chars) AS kept_chars
+       CAST(sum(n_chars) AS BIGINT) AS kept_chars
 FROM rated
 WHERE b < rate_pct
 GROUP BY source, rate_pct

@@ -209,9 +209,25 @@ class CDCClient:
             try:
                 chunk = self._sock.recv(64 * 1024)
             except (TimeoutError, socket.timeout):
+                if self._pending_err():
+                    return self._drain_buf()
                 if allow_timeout:
                     return None
                 raise CDCProtocolError("Request timed out") from None
             if not chunk:
+                if self._pending_err():
+                    return self._drain_buf()
                 raise ConnectionError("CDC server closed the connection")
             self._buf.extend(chunk)
+
+    def _pending_err(self) -> bool:
+        """Pre-stream ERR responses may arrive WITHOUT a trailing newline
+        (the reference works around exactly this, cdc_connector.cpp:
+        494-504 is_error() on the raw chunk): surface the buffered
+        partial line as the error instead of a generic timeout."""
+        return not self._streaming and self._buf.startswith(b"ERR")
+
+    def _drain_buf(self) -> bytes:
+        line = bytes(self._buf)
+        self._buf.clear()
+        return line

@@ -91,11 +91,21 @@ def sql_type_to_spark(sql_type: str | None) -> T.DataType:
         p = int(m.group("p") or 10)
         s = int(m.group("s") or 0)
         return T.DecimalType(min(p, 38), min(s, 37))
-    if base in ("int", "integer", "tinyint") and m.group("unsigned"):
-        # unsigned int overflows IntegerType; widen one step.
-        return T.LongType() if base != "tinyint" else T.ShortType()
-    if base == "bigint" and m.group("unsigned"):
-        return T.DecimalType(20, 0)
+    if m.group("unsigned"):
+        # Unsigned types overflow their signed Spark counterpart; widen
+        # one step (tinyint 255→Short, smallint 65535→Integer, mediumint
+        # 16777215 already fits Integer, int 4294967295→Long,
+        # bigint 2^64-1→Decimal(20,0)).
+        widened = {
+            "tinyint": T.ShortType(),
+            "smallint": T.IntegerType(),
+            "mediumint": T.IntegerType(),
+            "int": T.LongType(),
+            "integer": T.LongType(),
+            "bigint": T.DecimalType(20, 0),
+        }
+        if base in widened:
+            return widened[base]
     return _SIMPLE.get(base, T.StringType())
 
 

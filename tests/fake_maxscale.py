@@ -14,6 +14,7 @@ import json
 import socket
 import socketserver
 import threading
+import time
 from typing import Any
 
 from maxscale_cdc_connector_spark.sources.protocol import REGISTER_MESSAGE, auth_string
@@ -36,6 +37,7 @@ class FakeMaxScale:
         table: str = "test.t1",
         fail_auth: bool = False,
         err_on_request: str | None = None,
+        err_no_newline: bool = False,
     ) -> None:
         self.schema_record = schema_record
         self.user = user
@@ -43,6 +45,7 @@ class FakeMaxScale:
         self.table = table
         self.fail_auth = fail_auth
         self.err_on_request = err_on_request
+        self.err_no_newline = err_no_newline
         # The outbound stream: each item is ("event"|"schema", dict).
         self._items: list[tuple[str, dict[str, Any]]] = [("event", e) for e in events]
         self._cond = threading.Condition()
@@ -109,7 +112,15 @@ class FakeMaxScale:
 
             req = sock.recv(4096).decode("utf-8")
             if self.err_on_request:
-                sock.sendall(f"ERR {self.err_on_request}\n".encode())
+                # Real MaxScale error messages may lack the trailing
+                # newline (the reference works around this,
+                # cdc_connector.cpp:494-504).
+                tail = "" if self.err_no_newline else "\n"
+                sock.sendall(f"ERR {self.err_on_request}{tail}".encode())
+                if self.err_no_newline:
+                    # Hold the socket open so the client hits its read
+                    # timeout with the unterminated ERR still buffered.
+                    time.sleep(1.0)
                 return
             parts = req.split()
             if len(parts) < 2 or parts[0] != "REQUEST-DATA" or parts[1] != self.table:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pandas as pd
 
 from maxscale_cdc_connector_spark.session import TABLES
 
@@ -71,3 +72,37 @@ def compare_query(spark, sf_dir: str, name: str) -> None:
     dn = _normalize(duck_rows, duck_cols)
     mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
     assert not mismatches, f"{name}: {len(mismatches)} row mismatches; first: {mismatches[0]}"
+
+    _assert_dtype_parity(name, sdf, con.execute(entry.oracle).df())
+
+
+_SPARK_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOATING = {"float", "double"}
+
+
+def _assert_dtype_parity(name: str, sdf, duck_pdf: pd.DataFrame) -> None:
+    """Mirror the driver's pandas-path typing: DuckDB HUGEINT (e.g.
+    sum over BIGINT) converts to float64 in pandas, which value-hashes
+    differently than Spark's LongType even when values are equal. The
+    tolerance-based row compare above can't see that class, so pin it
+    here: an integral Spark column must land as an integer pandas dtype
+    (and floating as float). Columns containing NULLs are exempt —
+    pandas widens nullable ints to float64 on both sides of the
+    driver's compare, so they hash consistently there.
+    """
+    for field in sdf.schema.fields:
+        col = duck_pdf[field.name]
+        if col.isnull().any():
+            continue
+        kind = field.dataType.simpleString()
+        if kind in _SPARK_INTEGRAL:
+            assert pd.api.types.is_integer_dtype(col.dtype), (
+                f"{name}.{field.name}: Spark {kind} but oracle→pandas dtype "
+                f"{col.dtype}; CAST the oracle expression (DuckDB sum(BIGINT) "
+                "returns HUGEINT → float64) to BIGINT"
+            )
+        elif kind in _SPARK_FLOATING:
+            assert pd.api.types.is_float_dtype(col.dtype), (
+                f"{name}.{field.name}: Spark {kind} but oracle→pandas dtype "
+                f"{col.dtype}; CAST the oracle expression to DOUBLE"
+            )

@@ -94,6 +94,17 @@ def test_err_response_raises() -> None:
             _client(srv).connect()
 
 
+def test_err_without_trailing_newline_surfaces_message() -> None:
+    """MaxScale error messages may lack the trailing newline; the client
+    must surface the buffered ERR text instead of a generic timeout
+    (reference workaround: cdc_connector.cpp:494-504)."""
+    with FakeMaxScale(
+        TEST_SCHEMA_RECORD, [], err_on_request="stream denied", err_no_newline=True
+    ) as srv:
+        with pytest.raises(CDCProtocolError, match="stream denied"):
+            _client(srv).connect()
+
+
 def test_unknown_table_err() -> None:
     with FakeMaxScale(TEST_SCHEMA_RECORD, []) as srv:
         bad = CDCClient("127.0.0.1", srv.port, srv.user, srv.password, "no.such", timeout=0.3)

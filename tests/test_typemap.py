@@ -42,6 +42,12 @@ from maxscale_cdc_connector_spark.typemap import (
         (None, T.StringType()),
         ("int(10) unsigned", T.LongType()),
         ("bigint unsigned", T.DecimalType(20, 0)),
+        # unsigned widening across the full ladder (ADVICE r1: smallint
+        # unsigned reaches 65535, overflowing ShortType)
+        ("tinyint unsigned", T.ShortType()),
+        ("smallint unsigned", T.IntegerType()),
+        ("smallint(5) unsigned", T.IntegerType()),
+        ("mediumint unsigned", T.IntegerType()),
         # Avro primitive fallbacks (generated columns, cdc_connector.cpp:264-268)
         ("string", T.StringType()),
         ("long", T.LongType()),
