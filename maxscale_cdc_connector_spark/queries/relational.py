@@ -1171,20 +1171,26 @@ def set_except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
 SELECT o_orderpriority,
-       list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+       array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+           AS statuses,
        CAST(len(list_distinct(list(o_custkey % 100))) AS BIGINT) AS n_cust_buckets
 FROM orders GROUP BY o_orderpriority
 """,
     doc="Array-building aggregation: collect_set sorted for deterministic "
     "comparison (collect order is partition-dependent, so the unsorted "
-    "form is never oracle-stable). At scale, collect_* per group is "
-    "bounded by distinct values, not rows — partial aggregation merges "
-    "sets map-side.",
+    "form is never oracle-stable), then serialized to a CSV string — "
+    "the driver canonicalizes results through a pandas sort/hash that "
+    "cannot handle list-typed cells (CORRECTNESS_r02 'unhashable type: "
+    "list'), so oracle-checked results must be scalar columns. At "
+    "scale, collect_* per group is bounded by distinct values, not "
+    "rows — partial aggregation merges sets map-side.",
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, "orders", sf_dir)
     return o.groupBy("o_orderpriority").agg(
-        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
         F.size(F.collect_set(F.col("o_custkey") % 100)).cast("bigint").alias(
             "n_cust_buckets"
         ),
