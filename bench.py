@@ -94,7 +94,9 @@ def _stream_replay_events_per_s(spark, sf_dir: str) -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("replay did not finish within 600s; throughput would be bogus")
 
     run(warm_dir)
     t0 = time.perf_counter()

@@ -13,6 +13,14 @@ that needs it; cache lifetime shrinks from "session" to "operator call".
 The checkpointed result blocks are O(|result|) (e.g. duplicate pairs,
 not the corpus) and are released by Spark's ContextCleaner when the
 returned DataFrame is garbage-collected.
+
+Caveats of ``localCheckpoint``: it truncates lineage, so the returned
+DataFrame is unrecoverable if an executor holding its blocks is lost —
+acceptable on a static local/standalone deployment, but deployments
+with dynamic allocation (executors decommission routinely) should use
+reliable ``checkpoint()`` to a cluster-visible path instead. It is also
+eager: calling an operator that finalizes through here triggers a Spark
+job at call time rather than composing lazily into the caller's plan.
 """
 
 from __future__ import annotations

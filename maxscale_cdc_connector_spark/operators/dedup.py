@@ -54,9 +54,15 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     files already scan as many partitions via
     ``spark.sql.files.maxPartitionBytes``, where the extra shuffle is
     harmless relative to the CPU-bound hashing it parallelizes.
+
+    ``inputFiles()`` is empty for non-file-backed inputs (createDataFrame,
+    JDBC, a shuffled intermediate); falling through to an unconditional
+    repartition there would insert a shuffle even when the plan already
+    has ample partitions, so those fall back to the partition-count check.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
+    n = len(df.inputFiles()) or df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
 
