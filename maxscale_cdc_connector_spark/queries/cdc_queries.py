@@ -233,6 +233,98 @@ SELECT * FROM (VALUES
 """
 
 
+# Avrorouter-style schema record for a stream carrying a DECIMAL column —
+# exercises the decimal branch of the typemap (typemap.py) end-to-end, the
+# type string shape the reference emits for MariaDB DECIMAL
+# (cdc_connector.cpp:272-281: real_type + "(p,s)" suffix).
+ORDER_DECIMAL_SCHEMA_RECORD = json.dumps(
+    {
+        "namespace": "MaxScaleChangeDataSchema.avro",
+        "type": "record",
+        "name": "ChangeRecord",
+        "fields": [
+            {"name": "sequence", "type": "long", "real_type": "bigint", "length": -1},
+            {
+                "name": "event_type",
+                "type": {"type": "enum", "name": "EVENT_TYPES"},
+                "real_type": "varchar",
+                "length": 16,
+            },
+            {"name": "o_orderkey", "type": "long", "real_type": "bigint", "length": -1},
+            {
+                "name": "o_orderpriority",
+                "type": "string",
+                "real_type": "varchar",
+                "length": 15,
+            },
+            {
+                "name": "o_price",
+                "type": "string",
+                "real_type": "decimal(12,2)",
+                "length": -1,
+            },
+        ],
+    }
+)
+
+
+@register(
+    "cdc_decode_decimal",
+    oracle="""
+WITH src AS (
+    SELECT o_orderpriority,
+           CAST(
+               ((o_orderkey * 137 + o_custkey) % 1000000000) // 100
+               || '.' ||
+               lpad(CAST((o_orderkey * 137 + o_custkey) % 100 AS VARCHAR), 2, '0')
+               AS DECIMAL(12,2)
+           ) AS o_price
+    FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(o_price) AS DOUBLE) AS sum_price,
+       CAST(min(o_price) AS DOUBLE) AS min_price,
+       CAST(max(o_price) AS DOUBLE) AS max_price
+FROM src GROUP BY o_orderpriority
+""",
+    doc="DECIMAL end-to-end: a MariaDB DECIMAL(12,2) column rides the JSON "
+    "wire form, decodes through the typemap's decimal branch into "
+    "DecimalType(12,2) (reference type strings: cdc_connector.cpp:272-281), "
+    "and aggregates in exact decimal arithmetic. The amount is built from "
+    "integer math as a 2-decimal string so neither engine ever rounds a "
+    "float; final sums cast to DOUBLE only at the output boundary (both "
+    "engines take the nearest double of the same exact decimal, so the "
+    "driver hash agrees). Sum/min/max stay in decimal internally — avg is "
+    "deliberately omitted (Spark computes decimal avg exactly at scale+4, "
+    "DuckDB computes it in floating point; they legitimately differ).",
+)
+def cdc_decode_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    cents = (F.col("o_orderkey") * 137 + F.col("o_custkey")) % 1_000_000_000
+    price_str = F.concat(
+        (cents / 100).cast("bigint").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    events = o.select(
+        F.col("o_orderkey").cast("bigint").alias("sequence"),
+        F.lit("insert").alias("event_type"),
+        F.col("o_orderkey").cast("bigint"),
+        F.col("o_orderpriority"),
+        price_str.alias("o_price"),
+    )
+    raw = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    schema = schema_record_to_struct(ORDER_DECIMAL_SCHEMA_RECORD)
+    decoded = decode_events(raw, schema)  # o_price is DecimalType(12,2) here
+    return decoded.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("o_price").cast("double").alias("sum_price"),
+        F.min("o_price").cast("double").alias("min_price"),
+        F.max("o_price").cast("double").alias("max_price"),
+    )
+
+
 @register(
     "cdc_schema_fields",
     oracle=_FIELDS_ORACLE_SQL,

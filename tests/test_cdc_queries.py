@@ -13,7 +13,40 @@ CDC_QUERIES = [
     "cdc_changes_between",
     "cdc_snapshot_join_agg",
     "cdc_schema_fields",
+    "cdc_decode_decimal",
 ]
+
+
+def test_decimal_decodes_to_decimal_type(spark, sf_dir):
+    """The wire decimal(12,2) must land as DecimalType, not string/double,
+    and sum exactly in decimal arithmetic before the output-boundary cast."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.queries.cdc_queries import (
+        ORDER_DECIMAL_SCHEMA_RECORD,
+    )
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(ORDER_DECIMAL_SCHEMA_RECORD)
+    assert schema["o_price"].dataType == T.DecimalType(12, 2)
+
+    raw = spark.createDataFrame(
+        [('{"sequence":1,"event_type":"insert","o_orderkey":1,'
+          '"o_orderpriority":"1-URGENT","o_price":"0.10"}',),
+         ('{"sequence":2,"event_type":"insert","o_orderkey":2,'
+          '"o_orderpriority":"1-URGENT","o_price":"0.20"}',)],
+        "value string",
+    )
+    decoded = decode_events(raw, schema)
+    assert decoded.schema["o_price"].dataType == T.DecimalType(12, 2)
+    from decimal import Decimal
+
+    total = decoded.agg(F.sum("o_price").alias("s")).collect()[0].s
+    # 0.1 + 0.2 is exactly 0.30 in decimal — the float answer would be
+    # 0.30000000000000004, which is the whole point of the type.
+    assert total == Decimal("0.30")
 
 
 @pytest.mark.parametrize("name", CDC_QUERIES)
