@@ -162,6 +162,77 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_snapshot_sink",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+""",
+    doc="Flagship CDC capability on the driver record: the full change log "
+    "replays through Structured Streaming (4 log files, maxFilesPerTrigger=1 "
+    "⇒ ≥4 foreachBatch upserts) into the incremental SnapshotSink; the "
+    "resulting current-state table must equal the batch latest-snapshot "
+    "(same oracle as cdc_latest_snapshot). This pins the sink's merge "
+    "(max_by over (sequence, event_number), tombstone handling, per-bucket "
+    "copy-on-write) against an exact hash, across micro-batch boundaries "
+    "that split updates/deletes from their inserts.",
+)
+def stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+    from maxscale_cdc_connector_spark.streaming.ops import write_snapshot_stream
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"snapsink-{uuid.uuid4().hex[:12]}")
+    log_dir = os.path.join(base, "log")
+    os.makedirs(log_dir)
+    # Split the log into 4 files by sequence range so inserts, updates and
+    # deletes for the same key land in DIFFERENT micro-batches — the merge
+    # must get the same answer as the batch oracle anyway.
+    bounds = [(0, 5_000_000), (5_000_000, 10_000_000),
+              (10_000_000, 20_000_000), (20_000_000, 1 << 62)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev.filter((F.col("sequence") >= lo) & (F.col("sequence") < hi))
+        with open(os.path.join(log_dir, f"part-{i:03d}.jsonl"), "w") as fh:
+            for row in part.toJSON().toLocalIterator():
+                fh.write(row + "\n")
+
+    stream = replay_stream(
+        spark, log_dir, CUSTOMER_SCHEMA_RECORD, max_files_per_trigger=1
+    )
+    query, sink = write_snapshot_stream(
+        stream,
+        path=os.path.join(base, "state"),
+        key_cols=["c_custkey"],
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError("snapshot-sink replay did not finish in 300s")
+        snap = sink.snapshot(spark).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        # Materialize before the temp state dir is deleted.
+        out = snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_replay_count",
     oracle=None,  # true streaming execution — rows-only driver check.
     doc="File-replay smoke through the real Structured Streaming path: "

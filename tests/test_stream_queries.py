@@ -9,6 +9,7 @@ ORACLE_CHECKED = [
     "stream_sliding_agg",
     "stream_session_window",
     "stream_dedup_exact",
+    "stream_snapshot_sink",
 ]
 
 
