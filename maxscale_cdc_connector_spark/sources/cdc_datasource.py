@@ -97,6 +97,15 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)
         )
         self._poll_seconds = float(options.get("pollseconds", DEFAULT_POLL_SECONDS))
+        # NULL-fill columns missing from a record instead of failing the
+        # dense-row contract. Off by default; set by the schema-change
+        # restart wrapper (streaming/restart.py) because an at-least-once
+        # resume across an ALTER boundary replays pre-ALTER rows that
+        # legitimately lack the added columns — the same NULL-fill
+        # MariaDB applies to rows predating an ADD COLUMN.
+        self._null_missing = (
+            options.get("nullmissingcolumns", "false").lower() == "true"
+        )
 
     # -- offsets ------------------------------------------------------------
 
@@ -125,6 +134,8 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
         return client
 
     def _row(self, record: dict[str, Any]) -> tuple:
+        if self._null_missing:
+            return tuple(conv(record.get(name)) for name, conv in self._convs)
         # Dense-row contract: a data record missing a schema key is a
         # protocol error (cdc_connector.cpp:297-308).
         try:

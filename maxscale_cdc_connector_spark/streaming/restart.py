@@ -1,0 +1,101 @@
+"""Restart a CDC stream across mid-stream schema changes.
+
+The reference hot-swaps the schema in place and keeps returning rows
+(cdc_connector.cpp:339-344); a Spark Structured Streaming query has a
+fixed schema, so this engine's source deliberately raises
+:class:`SchemaChangedError` and fails the query instead
+(sources/protocol.py:47-56). This module supplies the other half of
+that design: catch the failure, re-infer the new schema from the
+server's leading schema record, and restart the caller's sink from the
+same checkpoint.
+
+Delivery stays at-least-once across the boundary: the restarted stream
+resumes from the last committed GTID (inclusive replay,
+cdc_connector.h:62-69), and replayed rows from before the ALTER
+legitimately lack the added columns — so restarted streams run with
+``nullMissingColumns=true``, the same NULL-fill MariaDB itself applies
+to rows predating an ``ADD COLUMN``. Downstream envelope dedup (the
+standard pattern for this source) restores exactly-once.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The SchemaChangedError message (sources/protocol.py:55) as it surfaces
+# inside the StreamingQueryException raised on the driver.
+SCHEMA_CHANGE_MARKER = "CDC stream schema changed mid-stream"
+
+
+def is_schema_change_failure(exc: BaseException) -> bool:
+    """True when a streaming-query failure was caused by a mid-stream
+    schema record (vs. any other source/sink error)."""
+    return SCHEMA_CHANGE_MARKER in str(exc)
+
+
+def run_with_schema_restarts(
+    spark: SparkSession,
+    options: dict[str, str],
+    attach_sink: Callable[[DataFrame], "object"],
+    *,
+    max_restarts: int = 3,
+    stop_when: Callable[[], bool] | None = None,
+    timeout: float = 120.0,
+    poll_seconds: float = 0.25,
+) -> int:
+    """Run a ``maxscale_cdc`` stream, restarting across schema changes.
+
+    ``attach_sink(df)`` attaches the caller's sink and returns the started
+    ``StreamingQuery``; it MUST set a ``checkpointLocation`` so each
+    restart resumes from the committed GTID rather than the beginning.
+
+    On a schema-change failure the reader options are adjusted for the
+    new incarnation: any pinned ``schemaRecord`` is dropped (so the new
+    schema is re-inferred from the server's leading schema record) and
+    ``nullMissingColumns`` is enabled (see module docstring), then the
+    sink is re-attached to a fresh stream. Any other failure re-raises.
+
+    Returns the number of restarts performed. ``stop_when`` is polled
+    ~1/``poll_seconds`` per second; when it returns true the current
+    query is stopped and the function returns. Without ``stop_when`` the
+    function returns when a query incarnation terminates cleanly.
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    restarts = 0
+    opts = dict(options)
+    deadline = time.time() + timeout
+    while True:
+        df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+        query = attach_sink(df)
+        try:
+            while query.isActive:
+                if stop_when is not None and stop_when():
+                    query.stop()
+                    query.awaitTermination(30)
+                    return restarts
+                if time.time() > deadline:
+                    query.stop()
+                    raise TimeoutError(
+                        f"stream did not satisfy stop_when within {timeout}s "
+                        f"({restarts} restarts)"
+                    )
+                time.sleep(poll_seconds)
+            query.awaitTermination()  # surface the failure, if any
+            return restarts  # terminated cleanly
+        except StreamingQueryException as exc:
+            if not is_schema_change_failure(exc):
+                raise
+            if restarts >= max_restarts:
+                raise RuntimeError(
+                    f"schema changed again after {max_restarts} restarts"
+                ) from exc
+            restarts += 1
+            # Re-infer the post-ALTER schema from the server; tolerate
+            # replayed pre-ALTER rows missing the added columns.
+            opts.pop("schemaRecord", None)
+            opts.pop("schemarecord", None)
+            opts["nullMissingColumns"] = "true"

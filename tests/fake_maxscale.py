@@ -89,8 +89,12 @@ class FakeMaxScale:
             self._cond.notify_all()
 
     def push_schema_change(self, schema_record: dict[str, Any]) -> None:
+        """ALTER TABLE: in-flight connections get a mid-stream schema
+        record; connections opened afterwards get the new schema as
+        their leading record (avrorouter serves the current version)."""
         with self._cond:
             self._items.append(("schema", schema_record))
+            self.schema_record = schema_record
             self._cond.notify_all()
 
     # -- the protocol -------------------------------------------------------
@@ -128,7 +132,8 @@ class FakeMaxScale:
                 return
             resume = _gtid_key(parts[2]) if len(parts) >= 3 else None
 
-            sock.sendall((json.dumps(self.schema_record) + "\n").encode())
+            leading = self.schema_record
+            sock.sendall((json.dumps(leading) + "\n").encode())
             sent = 0
             while True:
                 with self._cond:
@@ -138,6 +143,11 @@ class FakeMaxScale:
                         return
                     kind, obj = self._items[sent]
                 sent += 1
+                if kind == "schema" and obj == leading:
+                    # Already announced as this connection's leading
+                    # record — only a *different* version mid-stream is
+                    # a schema change.
+                    continue
                 if kind == "event" and resume is not None:
                     key = (obj["domain"], obj["server_id"], obj["sequence"])
                     # Resume replays FROM the given GTID inclusive —

@@ -388,3 +388,100 @@ def test_datasource_schema_infer_connection_refused() -> None:
     )
     with pytest.raises(OSError):
         ds.schema()
+
+
+def test_schema_change_restart_wrapper_end_to_end(spark, tmp_path) -> None:
+    """Rows flow across an ALTER TABLE with no data loss: the wrapper
+    catches the schema-change failure (sources/protocol.py:47-56),
+    re-infers the widened schema from the server's leading record, and
+    resumes from the checkpointed GTID. Completes the parity story with
+    the reference's in-place hot-swap (cdc_connector.cpp:339-344) in
+    Spark's fixed-schema-per-query model."""
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import (
+        run_with_schema_restarts,
+    )
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 10}
+    ]
+    first = [make_event(s, name=f"pre{s}") for s in range(1, 6)]
+    ckpt = str(tmp_path / "ckpt")
+    rows: list[dict] = []  # appended from foreachBatch (driver-side, GIL-safe)
+
+    def seqs() -> set[int]:
+        return {r["sequence"] for r in list(rows)}
+
+    with FakeMaxScale(TEST_SCHEMA_RECORD, first) as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def attach_sink(df):
+            def collect_batch(batch, _bid):
+                rows.extend(r.asDict() for r in batch.collect())
+
+            return (
+                df.writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        def stop_when() -> bool:
+            snapshot = list(rows)
+            return set(range(1, 11)) <= {r["sequence"] for r in snapshot} and any(
+                r.get("extra") == "post10" for r in snapshot
+            )
+
+        result: dict = {}
+
+        def run() -> None:
+            result["restarts"] = run_with_schema_restarts(
+                spark,
+                {
+                    "host": "127.0.0.1",
+                    "port": str(srv.port),
+                    "user": srv.user,
+                    "password": srv.password,
+                    "table": srv.table,
+                    "pollseconds": "0.3",
+                },
+                attach_sink,
+                stop_when=stop_when,
+                timeout=90.0,
+            )
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        # Let the first incarnation deliver (and checkpoint) the
+        # pre-ALTER rows before the ALTER lands.
+        deadline = time.time() + 45
+        while time.time() < deadline and not set(range(1, 6)) <= seqs():
+            time.sleep(0.2)
+        assert set(range(1, 6)) <= seqs(), "pre-ALTER rows never arrived"
+
+        srv.push_schema_change(new_schema)
+        for s in range(6, 11):
+            ev = make_event(s, name=f"post{s}")
+            ev["extra"] = f"post{s}"
+            srv.push_event(ev)
+
+        t.join(timeout=90)
+        assert not t.is_alive(), "wrapper did not stop"
+
+    assert result["restarts"] == 1
+    # No data loss across the ALTER boundary.
+    assert set(range(1, 11)) <= seqs()
+    # Post-ALTER rows carry the new column's values.
+    post = {r["sequence"]: r for r in rows if r.get("extra") is not None}
+    assert {s: post[s]["extra"] for s in range(6, 11)} == {
+        s: f"post{s}" for s in range(6, 11)
+    }
+    # Any pre-ALTER rows replayed under the widened schema (at-least-once
+    # resume, cdc_connector.h:62-69) are NULL-filled, never dropped or
+    # mis-shifted.
+    for r in rows:
+        if "extra" in r and r["sequence"] < 6:
+            assert r["extra"] is None
+            assert r["name"] == f"pre{r['sequence']}"
