@@ -1,0 +1,121 @@
+"""Plan-quality invariants: pushdown, pruning, broadcast, top-k, no
+accidental cartesians.
+
+At sf0.001 every query returns quickly regardless of plan shape, so
+correctness tests can't see a plan regression — these tests pin the
+physical properties that decide whether a query survives 100 TB
+(SURVEY.md §6 scale goals). All checks are lazy (explain only, no jobs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from maxscale_cdc_connector_spark.plans import plan_summary
+from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+load_all()
+
+
+def _summary(spark, sf_dir, name):
+    return plan_summary(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_project_filter_pushdown_and_pruning(spark, sf_dir) -> None:
+    """TPC-H Q6 shape: all predicates reach the parquet scan and the
+    scan reads only the referenced columns (never the fat l_comment)."""
+    s = _summary(spark, sf_dir, "project_filter")
+    assert s.pushes_filter_on("l_shipdate")
+    assert s.pushes_filter_on("l_discount")
+    assert s.pushes_filter_on("l_quantity")
+    assert not s.scans_column("l_comment")
+    assert not s.scans_column("l_partkey")
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir) -> None:
+    """Small-dimension joins must be broadcast hash joins: no shuffle of
+    the fact side, no sort-merge."""
+    for name in ["join_broadcast", "tpch_q3_shipping", "tpch_q5_local_supplier"]:
+        s = _summary(spark, sf_dir, name)
+        assert s.has("BroadcastHashJoin"), f"{name}: no broadcast join\n{s.text}"
+        assert not s.has("CartesianProduct"), name
+
+
+def test_topk_avoids_global_sort(spark, sf_dir) -> None:
+    """ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    heaps + driver merge), never a full Sort of the input."""
+    s = _summary(spark, sf_dir, "sort_multi_key_limit")
+    assert s.has("TakeOrderedAndProject")
+    assert not s.has("Sort "), s.nodes
+
+
+def test_simsearch_topk_is_broadcast_plus_take_ordered(spark, sf_dir) -> None:
+    """Brute-force ANN baseline: query vector broadcast to the corpus
+    scan, top-k via TakeOrderedAndProject — one pass, no corpus shuffle."""
+    s = _summary(spark, sf_dir, "simsearch_topk_cosine")
+    assert s.has("TakeOrderedAndProject")
+    assert s.has("BroadcastExchange")
+    assert not s.has("SortMergeJoin")
+    # The only join is the 1-row broadcast of the query vector.
+    assert s.has("BroadcastNestedLoopJoin") or s.has("BroadcastHashJoin")
+
+
+def test_agg_hash_is_partial_then_final(spark, sf_dir) -> None:
+    """Hash aggregation does a map-side partial before the shuffle:
+    two HashAggregate nodes around exactly one Exchange."""
+    s = _summary(spark, sf_dir, "agg_hash")
+    assert s.count("HashAggregate") >= 2
+    assert s.count("Exchange") == 1
+    assert not s.has("SortAggregate")
+
+
+def test_equi_joins_never_cartesian(spark, sf_dir) -> None:
+    """Every equi-join query compiles to hash/merge joins — an
+    accidental CartesianProduct or BroadcastNestedLoopJoin here would
+    be quadratic at scale."""
+    for name in [
+        "join_inner_equi",
+        "join_left_outer",
+        "join_semi",
+        "join_anti",
+        "join_skew_salted",
+        "tpch_q10_returned",
+        "tpch_q18_large_orders",
+    ]:
+        s = _summary(spark, sf_dir, name)
+        assert not s.has("CartesianProduct"), f"{name}\n{s.text}"
+        assert not s.has("BroadcastNestedLoopJoin"), f"{name}\n{s.text}"
+
+
+def test_decontaminate_is_broadcast_semi_join(spark, sf_dir) -> None:
+    """Decontamination must stream the training corpus once and
+    broadcast the (small) eval-gram set — never shuffle the corpus."""
+    s = _summary(spark, sf_dir, "pipeline_decontaminate")
+    assert s.has("BroadcastExchange"), s.text
+    assert not s.has("SortMergeJoin"), s.nodes
+
+
+def test_dedup_exact_shuffles_digests_not_documents(spark, sf_dir) -> None:
+    """Exact dedup groups on the md5 digest: the scan must not carry the
+    full text through the shuffle (only digest + doc metadata)."""
+    s = _summary(spark, sf_dir, "dedup_exact_docs")
+    assert s.count("HashAggregate") >= 2  # partial before the exchange
+    assert not s.has("CartesianProduct")
+
+
+def test_pushdown_disjunctive_filter(spark, sf_dir) -> None:
+    """TPC-H Q19's OR-of-ANDs still pushes the shared predicates to both
+    scans (Catalyst factors the common conjuncts out of the OR)."""
+    s = _summary(spark, sf_dir, "tpch_q19_disjunctive_filter")
+    assert any("Or(" in p for p in s.pushed_filters), s.pushed_filters
+    assert not s.has("CartesianProduct")
+
+
+@pytest.mark.parametrize(
+    "name", ["win_rank", "win_frame_running", "topk_per_group"]
+)
+def test_window_queries_single_shuffle(spark, sf_dir, name) -> None:
+    """Window queries shuffle once on the partition key; rank filters
+    must not add a second exchange over the same key."""
+    s = _summary(spark, sf_dir, name)
+    assert s.count("Exchange") <= 1, f"{name}: {s.nodes}"
