@@ -130,6 +130,7 @@ def load_all() -> None:
         llm_queries,
         relational,
         stream_queries,
+        training_queries,
     )
 
     tiers = (

@@ -1,0 +1,294 @@
+"""Training-data pipeline queries, round 3: repetition filtering,
+passage chunking, per-domain caps, shard shuffling, PII redaction,
+embedding clustering.
+
+These extend the LLM-pipeline pack (llm_queries.py) with the curation
+ops a 100 TB pretraining build runs between raw scrape and tokenizer:
+Gopher-style repetition signals (Rae et al. 2021, arXiv:2112.11446
+§A1.1), fixed-size passage chunking, per-source caps, deterministic
+shard assignment for training order, and regex PII scrubbing. All are
+row-local or single-shuffle Catalyst plans — no Python in any hot path.
+
+Parity discipline: fraction-valued signals are emitted as exact integer
+numerators/denominators (counts), and keep-flags use cross-multiplied
+integer comparisons, so the driver's exact value-hash can never hit a
+float rounding boundary (see tests/oracle.py dtype notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from maxscale_cdc_connector_spark.operators.kmeans import kmeans_fit
+from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import load_table as t
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filtering (Gopher rules, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_words,
+       len(list_distinct(w)) AS n_distinct_words,
+       list_max(list_transform(list_distinct(w),
+                               x -> len(list_filter(w, y -> y = x)))) AS top_word_count,
+       CASE WHEN len(w) >= 2
+            THEN len(list_distinct(list_transform(
+                     generate_series(1, len(w) - 1),
+                     i -> concat(w[i], ' ', w[i + 1]))))
+            ELSE 0 END AS n_distinct_bigrams,
+       (list_max(list_transform(list_distinct(w),
+                                x -> len(list_filter(w, y -> y = x)))) * 5 <= len(w)
+        AND (len(w) - len(list_distinct(w))) * 10 <= 7 * len(w)) AS keep
+FROM tok
+""",
+    doc="Gopher-style repetition signals per document: word counts, top-word "
+    "frequency, distinct-bigram count, and a keep flag (top word ≤ 20% of "
+    "tokens AND duplicate-word fraction ≤ 70%). All outputs are integers or "
+    "integer-comparison booleans — no float ever forms, so parity is exact. "
+    "Row-local higher-order functions only: zero shuffles at any scale.",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    top_count = F.array_max(
+        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    )
+    n = F.size("w")
+    n_distinct = F.size(F.array_distinct("w"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(w) - 1),"
+        " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    )
+    return doc.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        n_distinct.cast("long").alias("n_distinct_words"),
+        top_count.cast("long").alias("top_word_count"),
+        F.when(n >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+        ((top_count * 5 <= n) & ((n - n_distinct) * 10 <= 7 * n)).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage chunking (document → fixed-size training windows)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32  # words per passage
+
+
+@register(
+    "text_chunk_passages",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, ((len(w) - 1) // {_CHUNK}) + 1)) AS i
+        FROM tok)
+SELECT doc_id,
+       i - 1 AS chunk_id,
+       array_to_string(list_slice(w, (i - 1) * {_CHUNK} + 1, i * {_CHUNK}), ' ') AS passage,
+       least({_CHUNK}, len(w) - (i - 1) * {_CHUNK}) AS chunk_words
+FROM idx
+""",
+    doc=f"Split each document into consecutive {_CHUNK}-word passages with "
+    "stable (doc_id, chunk_id) addressing — the pre-tokenization windowing "
+    "step of a pretraining pipeline. The chunk array is built row-local "
+    "(sequence → slice → array_join) then posexploded: the only data "
+    "movement is the explode itself, no shuffle, no Python.",
+)
+def text_chunk_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK}),"
+        f" i -> array_join(slice(w, i * {_CHUNK} + 1, {_CHUNK}), ' '))"
+    )
+    return (
+        doc.select("doc_id", F.size("w").alias("n"), F.posexplode(chunks))
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("col").alias("passage"),
+            F.least(F.lit(_CHUNK), F.col("n") - F.col("pos") * _CHUNK)
+            .cast("long")
+            .alias("chunk_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain caps (bounded representation per source)
+# ---------------------------------------------------------------------------
+
+_CAP = 15
+
+
+@register(
+    "pipeline_domain_cap",
+    oracle=f"""
+SELECT source, doc_id, slot FROM (
+    SELECT source, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('cap:', CAST(doc_id AS VARCHAR)))
+           ) AS slot
+    FROM documents
+) WHERE slot <= {_CAP}
+""",
+    doc=f"Cap every source at {_CAP} documents, selected by deterministic "
+    "md5 order (an unbiased, reproducible per-domain sample — the CommonCrawl "
+    "anti-domination rule). One shuffle on source; the md5 sort key is "
+    "computed map-side. At real scale the rank window runs per source "
+    "partition — pair with AQE skew handling for mega-domains.",
+)
+def pipeline_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(key)
+    return (
+        doc.select("source", "doc_id", F.row_number().over(w).cast("long").alias("slot"))
+        .filter(F.col("slot") <= _CAP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard shuffle (deterministic training order without a global sort)
+# ---------------------------------------------------------------------------
+
+_SHARDS = 64
+
+
+@register(
+    "pipeline_shard_shuffle",
+    oracle=f"""
+SELECT doc_id,
+       md5(concat('shuffle42:', CAST(doc_id AS VARCHAR))) AS sort_key,
+       CAST(concat('0x', substring(md5(concat('shuffle42:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+           % {_SHARDS} AS shard
+FROM documents
+""",
+    doc=f"Deterministic global shuffle for training order: every doc gets a "
+    "salted md5 sort key and a shard in [0, {_SHARDS}) from the key's first "
+    "32 bits. Training order is (shard, sort_key) — writers partitionBy "
+    "shard and sort within, so the permutation materializes with one "
+    "shuffle and per-shard local sorts, never a single global sort/window "
+    "(the scale-killer a row_number() permutation would be at 100 TB). "
+    "Stateless and seed-stable: re-runs land every doc in the same place.",
+)
+def pipeline_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir)
+    key = F.md5(F.concat(F.lit("shuffle42:"), F.col("doc_id").cast("string")))
+    return doc.select(
+        "doc_id",
+        key.alias("sort_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % _SHARDS).alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub with audit counts)
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+\\.[a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH seeded AS (
+    SELECT doc_id,
+           concat(text,
+                  CASE WHEN doc_id % 3 = 0
+                       THEN concat(' contact user', CAST(doc_id AS VARCHAR), '@example.com')
+                       ELSE '' END,
+                  CASE WHEN doc_id % 4 = 0
+                       THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                       ELSE '' END) AS txt
+    FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(txt, '{_PHONE_RE}')) AS n_phones,
+       length(regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_len
+FROM seeded
+""",
+    doc="Regex PII scrub with audit counts. The corpus carries no natural "
+    "PII, so deterministic synthetic emails/phones are seeded into a third/"
+    "quarter of the docs first (both engines seed identically), then counted "
+    "(regexp_extract_all) and redacted (regexp_replace). Patterns restricted "
+    "to the Java∩RE2 common subset so both engines match the same spans. "
+    "Row-local: zero shuffles.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir)
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return doc.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(txt, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding k-means (iterative; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_kmeans",
+    oracle=None,  # iterative driver-state loop — not SQL-expressible
+    doc="Lloyd k-means (k=8, 5 iterations) over the embeddings table with "
+    "deterministic lowest-id init: per-cluster member counts and summed "
+    "squared distance, integer-scaled ×1e6 for stable hashing. Rows-only "
+    "driver check; tests/test_training_queries.py pins assignment "
+    "optimality, monotone inertia, and run-to-run determinism. See "
+    "operators/kmeans.py for the scale shape (literal-centroid scan + "
+    "k-row shuffle per iteration).",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir)
+    assigned, _, _ = kmeans_fit(emb, k=8, iters=5)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_members"),
+        # ×1e6 floor: identical IEEE double ops in any engine re-checking.
+        F.floor(F.sum("dist2") * 1e6).cast("long").alias("inertia_e6"),
+    )

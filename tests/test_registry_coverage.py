@@ -18,6 +18,7 @@ def test_every_oracle_key_in_a_parity_list():
     import tests.test_llm_queries as llm
     import tests.test_relational_queries as rel
     import tests.test_stream_queries as stream
+    import tests.test_training_queries as training
 
     load_all()
     covered = (
@@ -25,6 +26,7 @@ def test_every_oracle_key_in_a_parity_list():
         | set(cdc.CDC_QUERIES)
         | set(llm.ORACLE_CHECKED)
         | set(stream.ORACLE_CHECKED)
+        | set(training.ORACLE_CHECKED)
     )
     oracle_keys = {k for k, e in REGISTRY.items() if e.oracle is not None}
     missing = sorted(oracle_keys - covered)

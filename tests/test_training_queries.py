@@ -1,0 +1,155 @@
+"""Round-3 training-pipeline pack: oracle parity, k-means invariants,
+and plan-shape pins for the new curation operators."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from maxscale_cdc_connector_spark.plans import plan_summary
+from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+from tests.oracle import compare_query
+
+load_all()
+
+# Keys checked against the DuckDB oracle (mirrors the driver's check);
+# imported by tests/test_registry_coverage.py.
+ORACLE_CHECKED = [
+    "text_repetition_stats",
+    "text_chunk_passages",
+    "pipeline_domain_cap",
+    "pipeline_shard_shuffle",
+    "text_pii_redact",
+]
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_oracle_parity(spark, sf_dir, name) -> None:
+    compare_query(spark, sf_dir, name)
+
+
+# -- plan shapes ------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_repetition_stats", "text_chunk_passages", "text_pii_redact",
+     "pipeline_shard_shuffle"],
+)
+def test_row_local_ops_never_shuffle(spark, sf_dir, name) -> None:
+    """The row-local curation ops must compile to scan→project plans:
+    any Exchange here would shuffle the full corpus at scale."""
+    s = plan_summary(REGISTRY[name].fn(spark, sf_dir))
+    assert s.count("Exchange") == 0, f"{name}: {s.nodes}"
+    assert not s.has("BatchEvalPython"), f"{name}: Python UDF in hot path"
+
+
+def test_domain_cap_single_shuffle(spark, sf_dir) -> None:
+    s = plan_summary(REGISTRY["pipeline_domain_cap"].fn(spark, sf_dir))
+    assert s.count("Exchange") == 1, s.nodes
+
+
+# -- repetition semantics ---------------------------------------------------
+
+
+def test_repetition_keep_flag_is_exact_integer_logic(spark, sf_dir) -> None:
+    """keep ⟺ top_word_count/n ≤ 1/5 AND dup fraction ≤ 7/10, by
+    cross-multiplication — recompute from the integer outputs."""
+    rows = REGISTRY["text_repetition_stats"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        expect = (
+            r["top_word_count"] * 5 <= r["n_words"]
+            and (r["n_words"] - r["n_distinct_words"]) * 10 <= 7 * r["n_words"]
+        )
+        assert r["keep"] == expect, r
+
+
+def test_chunk_passages_reassemble_to_document(spark, sf_dir) -> None:
+    """Chunks of a doc, joined in chunk_id order, reproduce its text
+    exactly — nothing lost, nothing duplicated, boundaries correct."""
+    from maxscale_cdc_connector_spark.session import load_table
+
+    chunks = REGISTRY["text_chunk_passages"].fn(spark, sf_dir).collect()
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, "documents", sf_dir).collect()}
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        parts.sort(key=lambda r: r["chunk_id"])
+        assert [p["chunk_id"] for p in parts] == list(range(len(parts)))
+        assert " ".join(p["passage"] for p in parts) == docs[doc_id]
+        assert all(p["chunk_words"] == len(p["passage"].split(" ")) for p in parts)
+
+
+def test_pii_redact_counts_and_scrub(spark, sf_dir) -> None:
+    """Seeded emails/phones are counted and removed: redacted text
+    length reflects the substitutions, and docs seeded with neither
+    keep their original length."""
+    from maxscale_cdc_connector_spark.session import load_table
+
+    out = {r["doc_id"]: r for r in REGISTRY["text_pii_redact"].fn(spark, sf_dir).collect()}
+    base = {r["doc_id"]: len(r["text"]) for r in load_table(spark, "documents", sf_dir).collect()}
+    for doc_id, r in out.items():
+        if doc_id % 3 == 0:
+            assert r["n_emails"] >= 1
+        if doc_id % 4 == 0:
+            assert r["n_phones"] == 1
+        if doc_id % 3 != 0 and doc_id % 4 != 0:
+            assert r["n_emails"] == 0 and r["n_phones"] == 0
+            assert r["redacted_len"] == base[doc_id]
+
+
+def test_shard_shuffle_is_stable_and_bounded(spark, sf_dir) -> None:
+    a = REGISTRY["pipeline_shard_shuffle"].fn(spark, sf_dir).collect()
+    b = REGISTRY["pipeline_shard_shuffle"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seed-stable
+    assert all(0 <= r["shard"] < 64 for r in a)
+
+
+def test_domain_cap_limits_and_determinism(spark, sf_dir) -> None:
+    rows = REGISTRY["pipeline_domain_cap"].fn(spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert per_source and all(v <= 15 for v in per_source.values())
+
+
+# -- k-means invariants -----------------------------------------------------
+
+
+def _fit(spark, sf_dir, iters=5):
+    from maxscale_cdc_connector_spark.operators.kmeans import kmeans_fit
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_fit(emb, k=8, iters=iters)
+
+
+def test_kmeans_inertia_monotone_nonincreasing(spark, sf_dir) -> None:
+    _, _, inertias = _fit(spark, sf_dir)
+    assert len(inertias) == 5
+    for a, b in zip(inertias, inertias[1:]):
+        assert b <= a + 1e-6, inertias
+
+
+def test_kmeans_assignment_is_nearest_final_centroid(spark, sf_dir) -> None:
+    """Every row's cluster is the argmin-distance centroid (ties to the
+    lower id), cross-checked in pure Python."""
+    assigned, centroids, _ = _fit(spark, sf_dir, iters=3)
+    for r in assigned.select("embedding", "cluster", "dist2").collect():
+        dists = [
+            sum((x - y) ** 2 for x, y in zip(r["embedding"], c)) for c in centroids
+        ]
+        best = min(range(len(dists)), key=lambda j: (dists[j], j))
+        assert r["cluster"] == best
+        assert math.isclose(r["dist2"], dists[best], rel_tol=1e-9)
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir) -> None:
+    _, c1, i1 = _fit(spark, sf_dir, iters=2)
+    _, c2, i2 = _fit(spark, sf_dir, iters=2)
+    assert i1 == i2
+    assert c1 == c2
