@@ -46,6 +46,9 @@ HEADLINE = [
     ("q17_tpch_q3_shipping", "tpch_q3_shipping"),
     ("q18_tpch_q18_large_orders", "tpch_q18_large_orders"),
     ("q19_pipeline_pack_sequences", "pipeline_pack_sequences"),
+    ("q20_text_repetition_stats", "text_repetition_stats"),
+    ("q21_pipeline_shard_shuffle", "pipeline_shard_shuffle"),
+    ("q22_embedding_kmeans", "embedding_kmeans"),
 ]
 
 
