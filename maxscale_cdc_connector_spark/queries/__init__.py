@@ -12,7 +12,7 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # row), then keys not yet driver-verified, then keys whose newest green
 # row is oldest. Keys re-verified most recently go last. Every key has
 # full local oracle-parity coverage regardless of driver order
-# (tests/test_full_registry_parity.py), so rotation never leaves a
+# (tests/test_registry_coverage.py enforces the parity lists), so rotation never leaves a
 # regression unverifiable — the driver row is the *hard* evidence, the
 # local sweep is the regression net.
 

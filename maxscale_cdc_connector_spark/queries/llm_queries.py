@@ -868,3 +868,64 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dup-cluster assignment: connected components over near-dup pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_cc",
+    oracle=f"""
+WITH RECURSIVE {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id,
+       min(root) AS cluster_id,
+       (node = min(root)) AS is_canonical
+FROM reach GROUP BY node
+""",
+    doc="Dup-cluster assignment: connected components over the n-gram "
+    "Jaccard >= 0.8 pair graph (same edges as dedup_ngram_jaccard), each "
+    "doc labeled with the min doc_id in its component; is_canonical marks "
+    "the one copy a dedup pass would keep — the terminal step of every "
+    "near-dup pipeline (pairs alone don't say which docs form one group). "
+    "Spark side is iterative min-label propagation (operators/graph.py): "
+    "per iteration one equi-join + one groupBy min on the node key, "
+    "convergence by monotone sum(label), localCheckpoint per step to keep "
+    "the plan bounded. Oracle is a DuckDB recursive-CTE transitive "
+    "closure — correct but quadratic in component size; the iterative "
+    "formulation is the one that scales.",
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    edges = jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -1476,3 +1476,101 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (batch gaps-and-islands) and TPC-H Q13 distribution shape.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_sessionize",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+gaps AS (
+    SELECT *,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                  OR ts_us - lag(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+    SELECT *,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM gaps
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us
+FROM sess GROUP BY user_id, session_seq
+""",
+    doc="Batch sessionization (gaps-and-islands): a session breaks after a "
+    ">30 min silence per user; session ids are a running sum of break "
+    "flags. ONE shuffle total: the lag/sum windows hash-partition on "
+    "user_id, and the final groupBy(user_id, session_seq) is satisfied by "
+    "that same partitioning (HashPartitioning(user_id) clusters every "
+    "(user_id, *) group), so Catalyst plans no second exchange. The "
+    "deterministic (ts, event_id) order makes session numbering stable. "
+    "Batch analog of stream_session_window (streaming/ops.py session "
+    "windows); timestamps at microsecond precision (DuckDB truncates "
+    "parquet NANOS to micros).",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = e.withColumn(
+        "session_seq",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    oracle="""
+WITH per_cust AS (
+    SELECT o_custkey, count(*) AS n
+    FROM orders WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COALESCE(pc.n, 0) AS c_count
+    FROM customer c LEFT JOIN per_cust pc ON c.c_custkey = pc.o_custkey
+)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 shape (customer order-count distribution, zeros "
+    "included): aggregate orders BEFORE the join so the outer join sees "
+    "|custkey| rows, not |orders| — the fact table is shuffled once for "
+    "its own groupBy and never again. The customer side joins the "
+    "pre-agg (broadcast-able: one row per active customer), and the "
+    "final histogram groupBy moves |distinct counts| rows. Reference "
+    "formulation (LEFT JOIN then count per customer) shuffles the fact "
+    "twice; this one is the scale-correct rewrite.",
+)
+def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    per_cust = (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(F.coalesce("n", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )

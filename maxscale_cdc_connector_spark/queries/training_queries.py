@@ -292,3 +292,34 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ×1e6 floor: identical IEEE double ops in any engine re-checking.
         F.floor(F.sum("dist2") * 1e6).cast("long").alias("inertia_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA (distributed moments; rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_pca",
+    oracle=None,  # eigendecomposition — not SQL-expressible
+    doc="PCA projection of the embeddings table onto its top-2 principal "
+    "components: covariance from one mapInPandas moment-partial pass "
+    "(one row per task: count/sum/outer-product sum), driver-side eigh "
+    "of the 64x64 covariance, then a vectorized-UDF projection scan. "
+    "Coordinates are emitted x1e4-floored; eigenvector sign fixed by "
+    "largest-|entry|-positive convention so output is deterministic. "
+    "Rows-only driver check; tests/test_training_queries.py pins "
+    "variance accounting (trace == eigvalue sum), agreement with a "
+    "local NumPy PCA, and run-to-run determinism. See operators/pca.py "
+    "for the scale shape.",
+)
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.pca import pca_fit, project
+
+    emb = t(spark, "embeddings", sf_dir)
+    _, comps, mean, _ = pca_fit(emb, k=2)
+    return project(emb, comps, mean).select(
+        "vec_id",
+        F.floor(F.col("pc")[0] * 1e4).cast("long").alias("pc1_e4"),
+        F.floor(F.col("pc")[1] * 1e4).cast("long").alias("pc2_e4"),
+    )

@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "pipeline_source_mix",
     "pipeline_decontaminate",
     "simsearch_cosine_full",
+    "dedup_cluster_cc",
 ]
 
 

@@ -57,6 +57,8 @@ RELATIONAL = [
     "tpch_q14_promo_revenue",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_filter",
+    "win_sessionize",
+    "tpch_q13_custdist",
 ]
 
 

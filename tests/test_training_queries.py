@@ -153,3 +153,113 @@ def test_kmeans_deterministic_across_runs(spark, sf_dir) -> None:
     _, c2, i2 = _fit(spark, sf_dir, iters=2)
     assert i1 == i2
     assert c1 == c2
+
+
+# ---------------------------------------------------------------------------
+# Connected components (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark) -> None:
+    """Two chains and an isolated edge: labels = min node per component."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_direction_invariant(spark) -> None:
+    """Edge orientation must not matter (propagation is symmetrized)."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    fwd = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rev = spark.createDataFrame([(3, 2), (2, 1)], "src long, dst long")
+    a = sorted(map(tuple, connected_components(fwd).collect()))
+    b = sorted(map(tuple, connected_components(rev).collect()))
+    assert a == b == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_connected_components_diameter_cap_raises(spark) -> None:
+    """A path longer than max_iters propagation hops must error, not
+    silently return split clusters."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+
+
+def test_dedup_cluster_cc_clusters_known_dups(spark, sf_dir) -> None:
+    """Every doc's shifted copy (doc_id + 1e6) lands in the doc's own
+    cluster, and exactly one member per cluster is canonical."""
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+
+    out = REGISTRY["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    comp = {r["doc_id"]: r["cluster_id"] for r in out}
+    for doc_id, c in comp.items():
+        if doc_id < 1_000_000 and doc_id + 1_000_000 in comp:
+            assert comp[doc_id + 1_000_000] == c
+    by_cluster: dict[int, int] = {}
+    for r in out:
+        by_cluster[r["cluster_id"]] = by_cluster.get(r["cluster_id"], 0) + int(
+            r["is_canonical"]
+        )
+        assert r["cluster_id"] <= r["doc_id"]
+    assert all(n == 1 for n in by_cluster.values())
+
+
+# ---------------------------------------------------------------------------
+# PCA (operators/pca.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_local_numpy(spark, sf_dir) -> None:
+    """Distributed moment partials reproduce numpy's eigendecomposition
+    of the population covariance (values and |projections|)."""
+    import numpy as np
+
+    from maxscale_cdc_connector_spark.operators.pca import pca_fit, project
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    vals, comps, mean, n = pca_fit(emb, k=4)
+    x = np.asarray(
+        [r[0] for r in emb.select("embedding").collect()], dtype=np.float64
+    )
+    assert n == len(x)
+    ref_cov = np.cov(x, rowvar=False, bias=True)
+    ref_vals = np.sort(np.linalg.eigvalsh(ref_cov))[::-1][:4]
+    np.testing.assert_allclose(vals, ref_vals, rtol=1e-8)
+    # variance accounting: sum of ALL eigvals == trace of covariance
+    all_vals, _, _, _ = pca_fit(emb, k=x.shape[1])
+    np.testing.assert_allclose(all_vals.sum(), np.trace(ref_cov), rtol=1e-8)
+    # projections: distributed vs local, identical up to fp noise
+    got = {
+        r["vec_id"]: list(r["pc"])
+        for r in project(emb, comps, mean).select("vec_id", "pc").collect()
+    }
+    ids = [r[0] for r in emb.select("vec_id").collect()]
+    local = (x - mean) @ comps.T
+    for i, vid in enumerate(ids):
+        np.testing.assert_allclose(got[vid], local[i], atol=1e-9)
+
+
+def test_pca_deterministic_across_runs(spark, sf_dir) -> None:
+    from maxscale_cdc_connector_spark.operators.pca import pca_fit
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    v1, c1, m1, _ = pca_fit(emb, k=3)
+    v2, c2, m2, _ = pca_fit(emb, k=3)
+    assert v1.tolist() == v2.tolist()
+    assert c1.tolist() == c2.tolist()
+    assert m1.tolist() == m2.tolist()
