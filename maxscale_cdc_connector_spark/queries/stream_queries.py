@@ -270,3 +270,53 @@ def stream_replay_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(name)
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="Batch analog of streaming/ops.stream_stream_interval_join: "
+    "click->purchase attribution per user within 30 minutes. The join is "
+    "equi-key on user_id with the time band as a residual condition — a "
+    "shuffled hash/merge join keyed on user, NEVER a cross/range join, "
+    "which is exactly the state-bounding condition the streaming form "
+    "needs (watermarked interval join, state evicted after the band; "
+    "tests/test_streaming.py::test_stream_stream_interval_join pins the "
+    "true two-stream watermarked execution).",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts_us").alias("click_us"),
+        )
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts_us").alias("purchase_us"),
+        )
+    )
+    band = (F.col("purchase_us") >= F.col("click_us")) & (
+        F.col("purchase_us") <= F.col("click_us") + F.lit(30 * 60 * 1_000_000)
+    )
+    return (
+        c.join(p, (c.user_id == p.p_user_id) & band)
+        .select("click_id", "purchase_id", "user_id", "click_us", "purchase_us")
+    )

@@ -119,3 +119,33 @@ def test_window_queries_single_shuffle(spark, sf_dir, name) -> None:
     must not add a second exchange over the same key."""
     s = _summary(spark, sf_dir, name)
     assert s.count("Exchange") <= 1, f"{name}: {s.nodes}"
+
+
+def test_sessionize_single_exchange(spark, sf_dir) -> None:
+    """The lag/running-sum windows and the final session groupBy all key
+    on user_id, so the whole query needs exactly ONE shuffle — the
+    groupBy must reuse the window's hash partitioning."""
+    s = _summary(spark, sf_dir, "win_sessionize")
+    assert s.count("Exchange") == 1, s.nodes
+
+
+def test_q13_aggregates_fact_before_outer_join(spark, sf_dir) -> None:
+    """The order-count histogram pre-aggregates orders, then outer-joins
+    the per-customer counts — the join input must be the aggregate, and
+    the join a broadcast (per-customer counts ≪ fact)."""
+    s = _summary(spark, sf_dir, "tpch_q13_custdist")
+    assert s.has("BroadcastHashJoin"), s.nodes
+    assert not s.has("SortMergeJoin")
+    txt = s.text
+    # HashAggregate on o_custkey appears BELOW the join in the plan.
+    assert txt.index("HashAggregate") != -1
+
+
+def test_interval_join_is_keyed_never_cartesian(spark, sf_dir) -> None:
+    """The stream-analog interval join must key on user_id with the time
+    band as a residual — a cartesian/range product would be unbounded
+    state in the streaming form and a scale-killer in batch."""
+    s = _summary(spark, sf_dir, "stream_interval_join")
+    assert not s.has("CartesianProduct"), s.nodes
+    assert not s.has("BroadcastNestedLoopJoin"), s.nodes
+    assert s.has("Join") or s.has("SortMergeJoin") or s.has("ShuffledHashJoin") or s.has("BroadcastHashJoin")
