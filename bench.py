@@ -49,6 +49,9 @@ HEADLINE = [
     ("q20_text_repetition_stats", "text_repetition_stats"),
     ("q21_pipeline_shard_shuffle", "pipeline_shard_shuffle"),
     ("q22_embedding_kmeans", "embedding_kmeans"),
+    ("q23_dedup_cluster_cc", "dedup_cluster_cc"),
+    ("q24_embedding_pca", "embedding_pca"),
+    ("q25_win_sessionize", "win_sessionize"),
 ]
 
 

@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components"]
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a localCheckpointed frame.
+
+    ``localCheckpoint`` truncates lineage, so its blocks are the ONLY
+    copy — call this strictly after the last action that reads ``df``.
+    Reaches through LogicalRDD (private API); degrades to a no-op if the
+    plan shape ever changes, in which case the ContextCleaner reclaims
+    the blocks on JVM GC instead (later, but safely).
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -54,29 +69,39 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-    for _ in range(max_iters):
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
-        )
-        labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("nbr_component", F.col("component")),
-                ).alias("component"),
+    spent = [sym]  # checkpoints to free; sym is not part of the result
+    try:
+        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        for _ in range(max_iters):
+            nbr_min = (
+                sym.join(labels, sym.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nbr_component"))
             )
-            .localCheckpoint(eager=True)
+            new_labels = (
+                labels.join(nbr_min, labels.node == nbr_min.a, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce("nbr_component", F.col("component")),
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            spent.append(labels)  # superseded; safe to free now
+            labels = new_labels
+            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            if cur_sum == prev_sum:  # labels are monotone non-increasing
+                return labels
+            prev_sum = cur_sum
+        spent.append(labels)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "graph diameter exceeds cap — raise max_iters or use star-contraction"
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:  # labels are monotone non-increasing
-            return labels
-        prev_sum = cur_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} iterations; "
-        "graph diameter exceeds cap — raise max_iters or use star-contraction"
-    )
+    finally:
+        # Free every superseded checkpoint; only the returned frame's
+        # blocks stay (the caller owns those — O(|nodes|), not edges).
+        for df in spent:
+            _release_local_checkpoint(df)
