@@ -24,6 +24,7 @@ _CHANGED_THIS_ROUND = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_exact_docs",
+    "simsearch_batch_topk",  # two-stage top-k rewrite (reduce parallelism)
 )
 
 # Keys whose newest green driver row is CORRECTNESS_r01.

@@ -545,9 +545,13 @@ FROM ranked WHERE rn <= 5
 """,
     doc="Batch top-k: 5 nearest neighbors for each of 8 query vectors in "
     "ONE pass — broadcast the (small) query block against the corpus "
-    "scan, then per-query top-k via window rank. The blocked shape that "
-    "replaces per-query scans when serving many queries; at 100 TB the "
-    "query set broadcasts and the corpus is scanned exactly once.",
+    "scan, then per-query top-k in TWO window stages: rank within "
+    "(q_id, scan partition) first — that exchange spreads over "
+    "#queries * #partitions keys, so every reducer core works — keeping "
+    "k rows per (query, partition); the final per-query rank then sees "
+    "k*P candidate rows instead of the whole scored corpus. A single "
+    "per-q_id window would funnel the entire corpus through #queries "
+    "reducers — the skew that kills large query batches at 100 TB.",
 )
 def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -561,11 +565,27 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", dot("embedding", "qe").alias("sim"))
+        .select(
+            "q_id",
+            "vec_id",
+            dot("embedding", "qe").alias("sim"),
+            F.spark_partition_id().alias("pid"),
+        )
     )
-    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    order = (F.desc("sim"), F.asc("vec_id"))
+    # Stage 1: local top-k per (query, partition). The window key
+    # includes the physical partition id, so rows are already clustered
+    # and the rank is map-side after a cheap in-partition sort.
+    w_local = W.partitionBy("q_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= 5)
+        .drop("lrn", "pid")
+    )
+    # Stage 2: global top-k per query over the k*P survivors.
+    w = W.partitionBy("q_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("q_id", "vec_id", F.round("sim", 5).alias("sim"), "rn")
     )
