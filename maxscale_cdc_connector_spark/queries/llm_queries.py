@@ -949,3 +949,61 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM familiarity: corpus-statistics quality signal.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+bg AS (
+    SELECT doc_id, concat(w[i], ' ', w[i + 1]) AS bigram
+    FROM tok, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    WHERE len(w) >= 2
+),
+freq AS (SELECT bigram, count(*) AS f FROM bg GROUP BY bigram)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(f.f) AS BIGINT) AS sum_freq,
+       count(*) FILTER (WHERE f.f = 1) AS n_hapax,
+       max(f.f) AS max_freq
+FROM bg b JOIN freq f ON b.bigram = f.bigram
+GROUP BY b.doc_id
+""",
+    doc="Bigram-LM familiarity signal per document: each doc's bigrams "
+    "scored by their whole-corpus frequency — sum, hapax (corpus-unique) "
+    "count, and max, all integer-exact (a float perplexity would hit "
+    "rounding boundaries; rank order is identical). Boilerplate-heavy "
+    "docs score high sum_freq, noise/gibberish scores high n_hapax — "
+    "the cheap corpus-statistics quality filter between heuristics and "
+    "a real LM. Plan: explode bigrams once, groupBy(bigram) count, join "
+    "the stream back on bigram (AQE broadcasts the frequency table while "
+    "it fits; past that it's a shuffle join where the frequency side "
+    "reuses its aggregation exchange), then groupBy(doc_id). At 100 TB, "
+    "prune the frequency table to the top-M bigrams + an OTHER bucket "
+    "and the join stays broadcast at any corpus size.",
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    bigrams = F.expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> concat(x, ' ', w[i + 1]))"
+    )
+    bg = (
+        d.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+    )
+    freq = bg.groupBy("bigram").agg(F.count("*").alias("f"))
+    return (
+        bg.join(freq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("f").alias("sum_freq"),
+            F.count_if(F.col("f") == 1).cast("long").alias("n_hapax"),
+            F.max("f").alias("max_freq"),
+        )
+    )

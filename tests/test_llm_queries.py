@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "pipeline_decontaminate",
     "simsearch_cosine_full",
     "dedup_cluster_cc",
+    "text_bigram_lm",
 ]
 
 
