@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.envelope import ENVELOPE_COLUMNS, gtid_column
@@ -102,6 +102,38 @@ def changes_between(events: DataFrame, lo: int, hi: int) -> DataFrame:
     """Events with ``lo <= sequence < hi`` — a replay window, the batch
     analog of resuming from a GTID (cdc_connector.h:62-69)."""
     return events.filter((F.col("sequence") >= F.lit(lo)) & (F.col("sequence") < F.lit(hi)))
+
+
+def scd2_history(
+    events: DataFrame, key_cols: Sequence[str], value_cols: Sequence[str]
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the change log.
+
+    Every ``insert``/``update_after`` event opens a version valid from
+    its own sequence until the next version-or-delete event's sequence
+    for that key (GTID order is the stream's total order,
+    cdc_connector.h:65); a ``delete`` closes the last version without
+    opening one; the newest undeleted version has ``valid_to_seq`` NULL
+    and ``is_current`` true. ``update_before`` rows are pre-images, not
+    versions — they're excluded before the window so they can't shift
+    interval boundaries.
+
+    One shuffle total: a single ``lead()`` window keyed on the primary
+    key; the version filter is evaluated before the window so state per
+    key is the version count, not the event count.
+    """
+    boundary = events.filter(
+        F.col("event_type").isin("insert", "update_after", "delete")
+    )
+    w = W.partitionBy(*key_cols).orderBy("sequence", "event_number")
+    hist = boundary.withColumn("valid_to_seq", F.lead("sequence").over(w))
+    return hist.filter(F.col("event_type") != "delete").select(
+        *key_cols,
+        *value_cols,
+        F.col("sequence").alias("valid_from_seq"),
+        "valid_to_seq",
+        F.col("valid_to_seq").isNull().alias("is_current"),
+    )
 
 
 # ---------------------------------------------------------------------------

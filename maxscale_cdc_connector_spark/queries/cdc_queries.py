@@ -20,6 +20,7 @@ from maxscale_cdc_connector_spark.operators.cdc import (
     decode_events,
     latest_snapshot,
     resume_offset,
+    scd2_history,
     synthetic_customer_events,
     update_pairs,
 )
@@ -350,3 +351,36 @@ def cdc_schema_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ordinal int, field_name string, sql_type string, spark_type string"
     )
+
+
+@register(
+    "cdc_scd2_history",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+boundary AS (
+    SELECT * FROM cdc_events
+    WHERE event_type IN ('insert', 'update_after', 'delete')
+),
+hist AS (
+    SELECT *, lead(sequence) OVER (
+        PARTITION BY c_custkey ORDER BY sequence, event_number
+    ) AS valid_to_seq
+    FROM boundary
+)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       sequence AS valid_from_seq,
+       valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current
+FROM hist WHERE event_type <> 'delete'
+""",
+    doc="Type-2 SCD history from the change log: every insert/update_after "
+    "opens a version valid until the next version-or-delete for that key; "
+    "deletes close without opening; newest undeleted version is current. "
+    "The reference streams raw row events and leaves history to the "
+    "consumer (cdc_connector.h:240-258 exposes only per-event rows) — "
+    "this is the warehouse-side operator that consumer would build. One "
+    "lead() window = one shuffle on the primary key.",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    return scd2_history(events, ["c_custkey"], ["c_acctbal", "c_mktsegment"])

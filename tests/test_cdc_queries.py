@@ -14,6 +14,7 @@ CDC_QUERIES = [
     "cdc_snapshot_join_agg",
     "cdc_schema_fields",
     "cdc_decode_decimal",
+    "cdc_scd2_history",
 ]
 
 
@@ -99,3 +100,32 @@ def test_snapshot_semantics(spark, sf_dir):
             assert rows[k].c_mktsegment == orig.c_mktsegment
             assert rows[k].c_acctbal == orig.c_acctbal
     assert set(rows) == {k for k in base if k % 20 != 0}
+
+
+def test_scd2_intervals_contiguous_and_current_flags(spark, sf_dir) -> None:
+    """Per key: versions tile [first_seq, ...) with no gaps/overlaps;
+    exactly one current version unless the key ends deleted (then none);
+    updated keys carry two versions."""
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["cdc_scd2_history"].fn(spark, sf_dir).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r["c_custkey"], []).append(r)
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from_seq"])
+        deleted = key % 20 == 0
+        updated = key % 10 == 0
+        assert len(versions) == (2 if updated else 1)
+        n_current = sum(r["is_current"] for r in versions)
+        assert n_current == (0 if deleted else 1), (key, versions)
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to_seq"] == b["valid_from_seq"], (key, versions)
+        last = versions[-1]
+        if deleted:
+            assert last["valid_to_seq"] is not None  # closed by the delete
+        else:
+            assert last["valid_to_seq"] is None
+        if updated:
+            # the update opened a new version with the changed payload
+            assert versions[1]["c_mktsegment"] == "MACHINERY"
