@@ -384,3 +384,58 @@ FROM hist WHERE event_type <> 'delete'
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = synthetic_customer_events(spark, sf_dir)
     return scd2_history(events, ["c_custkey"], ["c_acctbal", "c_mktsegment"])
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+deltas AS (
+    SELECT c_nationkey,
+           CASE event_type
+                WHEN 'insert' THEN c_acctbal
+                WHEN 'update_after' THEN c_acctbal
+                WHEN 'update_before' THEN -c_acctbal
+                WHEN 'delete' THEN -c_acctbal
+           END AS d_acctbal,
+           CASE event_type
+                WHEN 'insert' THEN 1
+                WHEN 'update_after' THEN 1
+                WHEN 'update_before' THEN -1
+                WHEN 'delete' THEN -1
+           END AS d_rows
+    FROM cdc_events
+)
+SELECT c_nationkey,
+       CAST(sum(d_rows) AS BIGINT) AS n_rows,
+       round(sum(d_acctbal), 2) AS total_acctbal
+FROM deltas GROUP BY c_nationkey
+""",
+    doc="Incremental aggregate maintenance from the change log: every event "
+    "contributes a signed delta (+row for insert/update_after, -row for "
+    "update_before/delete), so the maintained per-nation totals equal the "
+    "recomputed snapshot aggregate WITHOUT materializing per-key state — "
+    "ONE scan of the deltas and a shuffle of |groups| partial rows, vs "
+    "the snapshot path's per-key groupBy. This is how a downstream "
+    "warehouse applies a CDC feed to a rollup at 100 TB: deltas stream "
+    "into a decomposable aggregate; equality with the snapshot aggregate "
+    "is pinned in pytest.",
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    sign = (
+        F.when(F.col("event_type").isin("insert", "update_after"), F.lit(1))
+        .when(F.col("event_type").isin("update_before", "delete"), F.lit(-1))
+    )
+    return (
+        events.select(
+            "c_nationkey",
+            (sign * F.col("c_acctbal")).alias("d_acctbal"),
+            sign.alias("d_rows"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("d_rows").cast("bigint").alias("n_rows"),
+            F.round(F.sum("d_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

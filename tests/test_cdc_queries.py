@@ -15,6 +15,7 @@ CDC_QUERIES = [
     "cdc_schema_fields",
     "cdc_decode_decimal",
     "cdc_scd2_history",
+    "cdc_incremental_agg",
 ]
 
 
@@ -129,3 +130,36 @@ def test_scd2_intervals_contiguous_and_current_flags(spark, sf_dir) -> None:
         if updated:
             # the update opened a new version with the changed payload
             assert versions[1]["c_mktsegment"] == "MACHINERY"
+
+
+def test_incremental_agg_equals_snapshot_agg(spark, sf_dir) -> None:
+    """Maintaining the rollup from signed deltas must land on exactly the
+    aggregate a full snapshot recompute produces (deleted keys net to
+    zero, update pairs swap old for new)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.cdc import (
+        latest_snapshot,
+        synthetic_customer_events,
+    )
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+
+    inc = {
+        r["c_nationkey"]: (r["n_rows"], r["total_acctbal"])
+        for r in REGISTRY["cdc_incremental_agg"].fn(spark, sf_dir).collect()
+        if r["n_rows"] != 0
+    }
+    snap = latest_snapshot(synthetic_customer_events(spark, sf_dir), ["c_custkey"])
+    full = {
+        r["c_nationkey"]: (r["n"], r["total"])
+        for r in snap.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total"),
+        )
+        .collect()
+    }
+    assert set(inc) == set(full)
+    for k in full:
+        assert inc[k][0] == full[k][0], k
+        assert abs(inc[k][1] - full[k][1]) < 0.02, k
