@@ -404,3 +404,55 @@ def test_stream_stream_interval_join(spark, event_log) -> None:
     # Every 4th key 1..40 was updated: insert seq=k joins update seq=100+k.
     want = {(k, 100 + k) for k in range(1, 41) if k % 4 == 0}
     assert rows == want
+
+
+def test_stream_incremental_agg_matches_snapshot(spark, event_log) -> None:
+    """The signed-delta rollup (cdc_incremental_agg's shape) maintained
+    under micro-batches — with replay dedup restoring exactly-once —
+    lands on the aggregate a batch snapshot recompute produces."""
+    from maxscale_cdc_connector_spark.operators.cdc import latest_snapshot
+    from maxscale_cdc_connector_spark.streaming.ops import dedup_exact
+
+    path, _ = event_log
+    sign = (
+        F.when(F.col("event_type").isin("insert", "update_after"), F.lit(1))
+        .when(F.col("event_type").isin("update_before", "delete"), F.lit(-1))
+    )
+
+    def deltas(df):
+        return (
+            df.select((F.col("id") % 2).alias("grp"), sign.alias("d_rows"),
+                      (sign * F.col("id")).alias("d_id"))
+            .groupBy("grp")
+            .agg(F.sum("d_rows").alias("n_rows"), F.sum("d_id").alias("id_sum"))
+        )
+
+    stream = dedup_exact(replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1))
+    q = (
+        deltas(stream)
+        .writeStream.format("memory")
+        .queryName("inc_agg")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["grp"]: (r["n_rows"], r["id_sum"])
+        for r in spark.sql("SELECT * FROM inc_agg").collect()
+        if r["n_rows"] != 0
+    }
+    snap = latest_snapshot(
+        replay_batch(spark, path, TEST_SCHEMA_RECORD).dropDuplicates(
+            ["domain", "server_id", "sequence", "event_number"]
+        ),
+        ["id"],
+    )
+    want = {
+        r["grp"]: (r["n"], r["id_sum"])
+        for r in snap.select((F.col("id") % 2).alias("grp"), "id")
+        .groupBy("grp")
+        .agg(F.count("*").alias("n"), F.sum("id").alias("id_sum"))
+        .collect()
+    }
+    assert got == want and len(want) == 2
