@@ -201,3 +201,52 @@ def ivf_topk(
         .limit(k)
         .select(id_col, F.round("sim", 5).alias("sim"))
     )
+
+
+def ivf_kmeans_topk(
+    embeddings: DataFrame,
+    query: DataFrame,
+    k: int = 20,
+    id_col: str = "vec_id",
+    n_clusters: int = 8,
+    nprobe: int = 3,
+    train_iters: int = 3,
+) -> DataFrame:
+    """IVF top-k with a LEARNED coarse quantizer (Lloyd k-means).
+
+    The strided-sample quantizer (``ivf_topk``) buckets by arbitrary
+    corpus vectors; training the centroids instead (operators/kmeans)
+    shapes buckets to the data distribution, which is what recovers
+    recall at a fixed nprobe on real embedding corpora. Probe selection
+    runs on the driver in NumPy — the centroid matrix IS driver-held
+    model state, so no join is needed to pick buckets; the corpus-side
+    plan is one assignment scan (vectorized pandas UDF) + an isin filter
+    + TakeOrderedAndProject. At production scale, assignment is computed
+    once at ingest and stored as a bucket column, turning each query
+    into a partition-pruned scan of nprobe buckets.
+    """
+    import numpy as np
+
+    from maxscale_cdc_connector_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    assigned, centroids, _ = kmeans_fit(
+        embeddings, vec_col="embedding", id_col=id_col,
+        k=n_clusters, iters=train_iters,
+    )
+    qv = np.asarray(query.select("embedding").head()[0], dtype=np.float64)
+    cmat = np.asarray(centroids, dtype=np.float64)
+    sims = cmat @ qv
+    # Deterministic probe order: higher sim first, lower cluster id on ties.
+    probe = sorted(range(len(sims)), key=lambda j: (-sims[j], j))[:nprobe]
+    q = F.broadcast(query.select(F.col("embedding").alias("q_embedding")))
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .crossJoin(q)
+        .select(F.col(id_col), dot("embedding", "q_embedding").alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, F.round("sim", 5).alias("sim"))
+    )

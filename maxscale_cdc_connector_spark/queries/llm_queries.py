@@ -1007,3 +1007,21 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("f").alias("max_freq"),
         )
     )
+
+
+@register(
+    "simsearch_ivf_kmeans_topk",
+    oracle=None,  # approximate (learned-quantizer bucket pruning) → rows-only.
+    doc="IVF approximate top-20 with a k-means-TRAINED coarse quantizer "
+    "(8 clusters, 3 Lloyd iterations, nprobe=3): probe selection is "
+    "driver-side NumPy over the model state, the corpus side is one "
+    "assignment scan + cluster filter + TakeOrderedAndProject. pytest "
+    "asserts recall vs brute force meets or beats the strided-sample "
+    "quantizer at equal probe budget.",
+)
+def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.simsearch import ivf_kmeans_topk
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    query = emb.filter(F.col("vec_id") == 0)
+    return ivf_kmeans_topk(emb, query, k=20)

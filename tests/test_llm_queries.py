@@ -221,3 +221,19 @@ def test_pack_sequences_invariants(spark, sf_dir):
         map(tuple, pack_sequences(docs.repartition(13), budget=budget, n_buckets=8).collect())
     )
     assert again == sorted(map(tuple, rows))
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """The learned quantizer must reach at least the strided quantizer's
+    recall at the same probe budget, and never miss the query itself."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    exact = [r.vec_id for r in REGISTRY["simsearch_topk_cosine"].fn(spark, sf_dir).limit(20).collect()]
+    strided = [r.vec_id for r in REGISTRY["simsearch_ivf_topk"].fn(spark, sf_dir).collect()]
+    learned = [r.vec_id for r in REGISTRY["simsearch_ivf_kmeans_topk"].fn(spark, sf_dir).collect()]
+    r_strided = len(set(strided) & set(exact)) / len(exact)
+    r_learned = len(set(learned) & set(exact)) / len(exact)
+    assert learned[0] == 0, "query vector itself must rank first"
+    assert r_learned >= r_strided - 1e-9, (r_learned, r_strided)
+    assert r_learned >= 0.5, r_learned
