@@ -44,6 +44,32 @@ def decode_events(raw: DataFrame, schema, value_col: str = "value") -> DataFrame
     return raw.select(F.from_json(F.col(value_col), schema).alias("e")).select("e.*")
 
 
+def split_dead_letter(
+    raw: DataFrame, schema, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with a dead-letter channel: (typed good rows, bad lines).
+
+    A line whose JSON fails to parse (or parses to a non-object) decodes
+    to an all-NULL struct under ``from_json``; such lines are routed to
+    the second frame with the raw payload preserved for replay/forensics
+    instead of silently becoming NULL rows — the protocol-layer strict
+    path raises instead (``CDCProtocolError``, protocol.py), but a
+    100 TB backfill over historical logs wants quarantine, not abort.
+    Both frames come from ONE scan (the parse is a row-local projection;
+    Spark evaluates from_json once per branch of the same cached plan —
+    or twice over a re-scan, both cheap and shuffle-free).
+    """
+    parsed = raw.withColumn("e", F.from_json(F.col(value_col), schema))
+    # from_json yields NULL for unparseable input; a JSON value that is
+    # not a change record parses to a struct with a NULL mandatory
+    # envelope (sequence is never absent in avrorouter output,
+    # cdc_connector.cpp:272-286).
+    is_bad = F.col("e").isNull() | F.col("e.sequence").isNull()
+    good = parsed.filter(~is_bad).select("e.*")
+    bad = parsed.filter(is_bad).select(F.col(value_col).alias("raw_line"))
+    return good, bad
+
+
 def with_gtid(events: DataFrame, col_name: str = "gtid") -> DataFrame:
     """Append the GTID string column (cdc_connector.h:199-208)."""
     return events.withColumn(col_name, gtid_column())

@@ -439,3 +439,58 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("d_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@register(
+    "cdc_point_in_time",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+as_of AS (SELECT * FROM cdc_events WHERE sequence <= 15000000),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM as_of
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+""",
+    doc="Point-in-time snapshot (time travel): the table as of GTID "
+    "sequence 15,000,000 — after the update wave, before any delete — "
+    "by filtering the replay window FIRST (a pushed-down range "
+    "predicate) and snapshotting with the same max_by hash aggregate as "
+    "cdc_latest_snapshot. The change log is the history; any historical "
+    "state is one filtered aggregate away, no stored snapshots needed.",
+)
+def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    asof = changes_between(events, 0, 15_000_001)
+    return latest_snapshot(asof, ["c_custkey"]).select(*PAYLOAD_COLS)
+
+
+@register(
+    "cdc_dead_letter",
+    oracle=None,  # exercises the malformed-line quarantine path; the mixed
+    # log is built in-process, so no parquet-side oracle exists.
+    doc="Dead-letter decode over a log with malformed lines mixed in: "
+    "good rows decode typed, bad lines are quarantined with the raw "
+    "payload preserved (split_dead_letter). Returns per-channel counts; "
+    "exact routing is pinned in tests/test_cdc_queries.py.",
+)
+def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.cdc import split_dead_letter
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    events = synthetic_customer_events(spark, sf_dir)
+    raw = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    junk = spark.createDataFrame(
+        [("{not json",), ('{"unrelated": 1}',), ("",), ('["array", "line"]',)],
+        "value string",
+    )
+    mixed = raw.unionByName(junk)
+    schema = schema_record_to_struct(CUSTOMER_SCHEMA_RECORD)
+    good, bad = split_dead_letter(mixed, schema)
+    return spark.createDataFrame(
+        [("good", good.count()), ("dead_letter", bad.count())],
+        "channel string, n long",
+    )

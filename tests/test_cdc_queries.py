@@ -16,6 +16,7 @@ CDC_QUERIES = [
     "cdc_decode_decimal",
     "cdc_scd2_history",
     "cdc_incremental_agg",
+    "cdc_point_in_time",
 ]
 
 
@@ -163,3 +164,44 @@ def test_incremental_agg_equals_snapshot_agg(spark, sf_dir) -> None:
     for k in full:
         assert inc[k][0] == full[k][0], k
         assert abs(inc[k][1] - full[k][1]) < 0.02, k
+
+
+def test_point_in_time_is_pre_delete_post_update(spark, sf_dir) -> None:
+    """As-of sequence 15M: updates applied, deletes not yet — every key
+    present (including %20 keys), updated segments visible."""
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+    from maxscale_cdc_connector_spark.session import load_table
+
+    rows = {r["c_custkey"]: r for r in REGISTRY["cdc_point_in_time"].fn(spark, sf_dir).collect()}
+    base = {r["c_custkey"]: r for r in load_table(spark, "customer", sf_dir).collect()}
+    assert set(rows) == set(base)  # deletes (seq 20M+) excluded from the window
+    for k, r in rows.items():
+        if k % 10 == 0:
+            assert r["c_mktsegment"] == "MACHINERY"
+        else:
+            assert r["c_mktsegment"] == base[k]["c_mktsegment"]
+
+
+def test_dead_letter_routes_exactly_the_malformed_lines(spark, sf_dir) -> None:
+    from maxscale_cdc_connector_spark.operators.cdc import (
+        split_dead_letter,
+        synthetic_customer_events,
+    )
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+    from pyspark.sql import functions as F
+
+    events = synthetic_customer_events(spark, sf_dir)
+    n_events = events.count()
+    raw = events.select(F.to_json(F.struct(*events.columns)).alias("value"))
+    junk_lines = ["{not json", '{"unrelated": 1}', "", '["array", "line"]']
+    mixed = raw.unionByName(
+        spark.createDataFrame([(j,) for j in junk_lines], "value string")
+    )
+    good, bad = split_dead_letter(mixed, schema_record_to_struct(CUSTOMER_SCHEMA_RECORD))
+    assert good.count() == n_events
+    assert sorted(r["raw_line"] for r in bad.collect()) == sorted(junk_lines)
+    # typed channel round-trips: same sequences as the source events
+    assert good.select(F.sum("sequence")).collect()[0][0] == events.select(
+        F.sum("sequence")
+    ).collect()[0][0]
