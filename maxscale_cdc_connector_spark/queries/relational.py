@@ -1574,3 +1574,40 @@ def tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
     )
+
+
+@register(
+    "sql_api_join_agg",
+    oracle="""
+SELECT n.n_name,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY n.n_name
+""",
+    doc="SQL entry point: the identical query text a DataFrame user would "
+    "compose, submitted through spark.sql() over the registered temp "
+    "views — proving the SQL and DataFrame surfaces are one engine "
+    "(same Catalyst plan: filter pushdown on orders, broadcast dims, "
+    "partial agg). The reference's consumers typically sit behind a SQL "
+    "warehouse; this is their direct path in.",
+)
+def sql_api_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.session import load_tables
+
+    load_tables(spark, sf_dir)  # registers temp views over the parquet
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY n.n_name
+        """
+    )

@@ -149,3 +149,29 @@ def test_interval_join_is_keyed_never_cartesian(spark, sf_dir) -> None:
     assert not s.has("CartesianProduct"), s.nodes
     assert not s.has("BroadcastNestedLoopJoin"), s.nodes
     assert s.has("Join") or s.has("SortMergeJoin") or s.has("ShuffledHashJoin") or s.has("BroadcastHashJoin")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path) -> None:
+    """Hive-style partitioned output + a partition-key filter must prune
+    at planning time: the scan's PartitionFilters carry the predicate
+    and only the matching directory is read."""
+    from maxscale_cdc_connector_spark.plans import explain_string
+    from maxscale_cdc_connector_spark.session import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    load_table(spark, "documents", sf_dir).write.partitionBy("lang").parquet(out)
+    scan = spark.read.parquet(out).filter("lang = 'en'")
+    txt = explain_string(scan, "formatted")
+    assert "PartitionFilters" in txt
+    assert "lang" in txt.split("PartitionFilters", 1)[1].splitlines()[0]
+    got = {r["lang"] for r in scan.select("lang").distinct().collect()}
+    assert got <= {"en"}
+
+
+def test_sql_api_same_plan_as_dataframe(spark, sf_dir) -> None:
+    """spark.sql and the DataFrame API compile to the same physical
+    shape: broadcast joins on both dims, partial aggregation."""
+    s = _summary(spark, sf_dir, "sql_api_join_agg")
+    assert s.count("BroadcastHashJoin") == 2, s.nodes
+    assert s.count("HashAggregate") >= 2
+    assert not s.has("CartesianProduct")

@@ -59,6 +59,7 @@ RELATIONAL = [
     "tpch_q19_disjunctive_filter",
     "win_sessionize",
     "tpch_q13_custdist",
+    "sql_api_join_agg",
 ]
 
 
