@@ -1025,3 +1025,30 @@ def simsearch_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     query = emb.filter(F.col("vec_id") == 0)
     return ivf_kmeans_topk(emb, query, k=20)
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 100
+""",
+    doc="Corpus vocabulary heavy hitters: exact top-100 words by "
+    "frequency with a deterministic (count desc, word) tie-break — the "
+    "vocab-building / stopword-discovery primitive. Plan: explode once, "
+    "hash agg with map-side combine (shuffle = |distinct words|), then "
+    "TakeOrderedAndProject — per-partition heaps + driver merge of "
+    "100-row heads, never a global sort of the vocabulary.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )

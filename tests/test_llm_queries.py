@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "simsearch_cosine_full",
     "dedup_cluster_cc",
     "text_bigram_lm",
+    "text_vocab_topk",
 ]
 
 
