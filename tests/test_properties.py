@@ -160,3 +160,60 @@ def test_schema_record_roundtrip_through_json(spark) -> None:
         df.toJSON(), schema=struct
     )
     assert back.schema == struct and back.first()["b"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs a pure-Python union-find reference.
+# ---------------------------------------------------------------------------
+
+
+def _union_find_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Components labeled by their minimum node id.
+    roots: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        roots[r] = min(roots.get(r, n), n)
+    return {n: roots[find(n)] for n in parent}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges) -> None:
+    """Min-label propagation agrees with union-find on random graphs
+    (self-loops and duplicate/reversed edges included)."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iters=40).collect()
+    }
+    want = _union_find_components(edges)
+    assert got == want
