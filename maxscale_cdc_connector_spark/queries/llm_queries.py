@@ -1052,3 +1052,123 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup, corpus rewrite, and profiling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental_new_docs",
+    oracle="""
+WITH corpus AS (
+    SELECT md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id < 250
+),
+batch AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+    FROM documents WHERE doc_id >= 250
+)
+SELECT b.doc_id FROM batch b
+WHERE b.fp NOT IN (SELECT fp FROM corpus)
+""",
+    doc="Incremental dedup: a new crawl batch is admitted only where its "
+    "normalized-content digest is unseen in the existing corpus — a "
+    "left-anti join on the digest. At 100 TB the corpus side is a "
+    "digest-only table (32 bytes/doc); the anti join shuffles digests, "
+    "never documents, and a bloom-filter pre-pass prunes most probes "
+    "map-side. The daily-ingest shape: detect against history without "
+    "rescanning history's payloads.",
+)
+def dedup_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    fp = F.md5(normalize("text")).alias("fp")
+    corpus = d.filter(F.col("doc_id") < 250).select(fp)
+    batch = d.filter(F.col("doc_id") >= 250).select("doc_id", fp)
+    return batch.join(corpus, "fp", "left_anti").select("doc_id")
+
+
+@register(
+    "dedup_rewrite_corpus",
+    oracle=f"""
+WITH RECURSIVE {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+drop_set AS (
+    SELECT node FROM reach GROUP BY node HAVING node <> min(root)
+)
+SELECT d.doc_id FROM dup_docs d
+WHERE d.doc_id NOT IN (SELECT node FROM drop_set)
+""",
+    doc="Terminal dedup step — REWRITE the corpus: detect near-dup pairs, "
+    "cluster them (connected components), keep only each cluster's "
+    "canonical (min-id) member plus all unclustered docs. A left-anti "
+    "join of the corpus against the non-canonical drop set; the drop "
+    "set is O(|duplicates|), broadcastable. This is the query whose "
+    "output actually feeds the tokenizer.",
+)
+def dedup_rewrite_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    edges = jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    drop = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return corpus.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "profile_table",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(count(*) - count(l_returnflag) AS BIGINT) AS returnflag_nulls,
+       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS returnflag_distinct,
+       CAST(min(l_quantity) AS BIGINT) AS qty_min,
+       CAST(max(l_quantity) AS BIGINT) AS qty_max,
+       round(avg(l_extendedprice), 4) AS price_avg,
+       CAST(min(l_shipdate) AS DATE) AS shipdate_min,
+       CAST(max(l_shipdate) AS DATE) AS shipdate_max
+FROM lineitem
+""",
+    doc="Single-pass data profiling over the fact table: row count, null "
+    "count, distinct cardinality, min/max/avg per column — ALL computed "
+    "in one scan and one 1-row aggregate (the pre-training data-quality "
+    "gate). The only shuffle is the distinct count's partial dedup; "
+    "everything else is map-side combined. Profiling 100 TB costs one "
+    "pass, not one pass per column.",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("l_returnflag")).cast("bigint").alias("returnflag_nulls"),
+        F.countDistinct("l_returnflag").cast("bigint").alias("returnflag_distinct"),
+        F.min("l_quantity").cast("bigint").alias("qty_min"),
+        F.max("l_quantity").cast("bigint").alias("qty_max"),
+        F.round(F.avg("l_extendedprice"), 4).alias("price_avg"),
+        F.min("l_shipdate").cast("date").alias("shipdate_min"),
+        F.max("l_shipdate").cast("date").alias("shipdate_max"),
+    )

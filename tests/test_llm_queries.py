@@ -27,6 +27,9 @@ ORACLE_CHECKED = [
     "dedup_cluster_cc",
     "text_bigram_lm",
     "text_vocab_topk",
+    "dedup_incremental_new_docs",
+    "dedup_rewrite_corpus",
+    "profile_table",
 ]
 
 
@@ -238,3 +241,15 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     assert learned[0] == 0, "query vector itself must rank first"
     assert r_learned >= r_strided - 1e-9, (r_learned, r_strided)
     assert r_learned >= 0.5, r_learned
+
+
+def test_rewrite_corpus_drops_exactly_noncanonical(spark, sf_dir):
+    """Kept ids = corpus minus every non-canonical cluster member, and
+    each duplicate pair keeps exactly its lower id."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    kept = {r["doc_id"] for r in REGISTRY["dedup_rewrite_corpus"].fn(spark, sf_dir).collect()}
+    clusters = REGISTRY["dedup_cluster_cc"].fn(spark, sf_dir).collect()
+    for r in clusters:
+        assert (r["doc_id"] in kept) == bool(r["is_canonical"]), r
