@@ -60,6 +60,7 @@ RELATIONAL = [
     "win_sessionize",
     "tpch_q13_custdist",
     "sql_api_join_agg",
+    "fn_variant_props",
 ]
 
 
