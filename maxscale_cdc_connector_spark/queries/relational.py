@@ -1637,3 +1637,69 @@ def fn_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_value"),
         F.variant_get(v, "$.k", "bigint").isNotNull().alias("has_k"),
     )
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+stage1 AS (
+    SELECT user_id, min(ts_us) AS signup_us FROM e
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+stage2 AS (
+    SELECT e.user_id, min(e.ts_us) AS click_us
+    FROM e JOIN stage1 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'click' AND e.ts_us > s.signup_us
+    GROUP BY e.user_id
+),
+stage3 AS (
+    SELECT e.user_id, min(e.ts_us) AS purchase_us
+    FROM e JOIN stage2 s ON e.user_id = s.user_id
+    WHERE e.event_type = 'purchase' AND e.ts_us > s.click_us
+    GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM stage1) AS n_signup,
+       (SELECT count(*) FROM stage2) AS n_click_after,
+       (SELECT count(*) FROM stage3) AS n_purchase_after
+""",
+    doc="Ordered funnel (signup -> later click -> later purchase): each "
+    "stage is a min-timestamp aggregate of the previous stage's "
+    "survivors. All three stages shuffle on user_id, so Catalyst plans "
+    "ONE exchange of the events and reuses the partitioning for every "
+    "stage join and aggregate; the stage frames are per-user scalars "
+    "(one row per surviving user), so the joins never exceed |users|. "
+    "The sequence-pattern analytics shape (conversion, abandonment).",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, "events", sf_dir)
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .select("user_id", "event_type", "ts_us")
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("signup_us"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts_us") > F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("click_us"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts_us") > F.col("click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("purchase_us"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
+    )

@@ -61,6 +61,7 @@ RELATIONAL = [
     "tpch_q13_custdist",
     "sql_api_join_agg",
     "fn_variant_props",
+    "funnel_conversion",
 ]
 
 
