@@ -1667,11 +1667,12 @@ SELECT (SELECT count(*) FROM stage1) AS n_signup,
 """,
     doc="Ordered funnel (signup -> later click -> later purchase): each "
     "stage is a min-timestamp aggregate of the previous stage's "
-    "survivors. All three stages shuffle on user_id, so Catalyst plans "
-    "ONE exchange of the events and reuses the partitioning for every "
-    "stage join and aggregate; the stage frames are per-user scalars "
-    "(one row per surviving user), so the joins never exceed |users|. "
-    "The sequence-pattern analytics shape (conversion, abandonment).",
+    "survivors. Every exchange in the plan keys on user_id — each "
+    "event-type slice shuffles once and its stage's join + aggregate "
+    "reuse that partitioning (no repartitioning cascades); stage frames "
+    "are one row per surviving user, so no join input ever exceeds "
+    "|users|. The sequence-pattern analytics shape (conversion, "
+    "abandonment).",
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
