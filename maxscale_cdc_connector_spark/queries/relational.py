@@ -1704,3 +1704,44 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_click_after")))
         .crossJoin(s3.agg(F.count("*").alias("n_purchase_after")))
     )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+WITH e AS (
+    SELECT user_id, time_bucket(INTERVAL 7 DAY, ts, TIMESTAMP '1970-01-01') AS week FROM events
+),
+firsts AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, week FROM e)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_active
+FROM activity a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    doc="Retention cohorts: users bucketed by first-activity week, counted "
+    "per (cohort, weeks-since-cohort). Both the first-week aggregate and "
+    "the distinct-activity dedup shuffle on user_id, the cohort join "
+    "reuses that partitioning, and the final (cohort, offset) histogram "
+    "moves |cohorts x offsets| rows. 7-day buckets aligned to the Unix epoch on both "
+    "engines (Spark windows default to it; DuckDB needs the explicit "
+    "origin — its default is 2000-01-03); ts compared at microsecond precision.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        t(spark, "events", sf_dir)
+        .withColumn("ts_us", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("user_id", F.window("ts_us", "7 days").getField("start").alias("week"))
+    )
+    firsts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("bigint").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )

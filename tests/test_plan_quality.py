@@ -175,3 +175,14 @@ def test_sql_api_same_plan_as_dataframe(spark, sf_dir) -> None:
     assert s.count("BroadcastHashJoin") == 2, s.nodes
     assert s.count("HashAggregate") >= 2
     assert not s.has("CartesianProduct")
+
+
+def test_funnel_exchanges_all_key_on_user(spark, sf_dir) -> None:
+    """Every hash exchange in the funnel keys on user_id — stage joins
+    and aggregates reuse each branch's partitioning, never cascade
+    repartitions on other keys."""
+    s = _summary(spark, sf_dir, "funnel_conversion")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", s.text):
+        assert m.group(1).startswith("user_id"), m.group(0)

@@ -62,6 +62,7 @@ RELATIONAL = [
     "sql_api_join_agg",
     "fn_variant_props",
     "funnel_conversion",
+    "retention_cohorts",
 ]
 
 
