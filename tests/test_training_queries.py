@@ -263,3 +263,13 @@ def test_pca_deterministic_across_runs(spark, sf_dir) -> None:
     assert v1.tolist() == v2.tolist()
     assert c1.tolist() == c2.tolist()
     assert m1.tolist() == m2.tolist()
+
+
+def test_connected_components_empty_edges(spark) -> None:
+    """No edges → empty labeling with the right schema, no errors."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(empty)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
