@@ -140,6 +140,7 @@ def stream_stream_interval_join(
     right_ts: str,
     watermark: str,
     max_delay_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream join within a time interval.
 
@@ -148,6 +149,11 @@ def stream_stream_interval_join(
     its state is evicted (Structured Streaming's interval-join contract).
     The join condition is equi-key + time bound, which is what keeps the
     state keyed and finite at 100 TB stream rates.
+
+    ``how="left_outer"`` additionally emits unmatched left rows with a
+    NULL right side — but only once the watermark passes the end of
+    their interval (the engine can't declare "no match" earlier), so
+    outer results trail the inner ones by up to watermark + delay.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
@@ -156,7 +162,7 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 # ---------------------------------------------------------------------------

@@ -456,3 +456,75 @@ def test_stream_incremental_agg_matches_snapshot(spark, event_log) -> None:
         .collect()
     }
     assert got == want and len(want) == 2
+
+
+def test_stream_stream_left_outer_interval_join(spark, event_log, tmp_path) -> None:
+    """Left-outer interval join: matched inserts pair with their update;
+    unmatched inserts emit with a NULL right side once the watermark
+    passes their interval — no left row is ever lost."""
+    from maxscale_cdc_connector_spark.streaming.ops import stream_stream_interval_join
+
+    src, _ = event_log
+    # Outer-side emission needs a LATER batch to advance the watermark
+    # past each row's interval end. Each side's watermark operator sits
+    # AFTER its event_type filter, so the flush batch must contain an
+    # event of EACH side's type — a flush insert alone never advances
+    # the right (update_after) watermark, and left state finalizes only
+    # when the RIGHT watermark passes left_ts + delay.
+    import shutil
+
+    path = str(tmp_path / "log_with_flush")
+    shutil.copytree(src, path)
+    _write_log(
+        os.path.join(path, "part-zzz-flush.jsonl"),
+        [
+            make_event(9999, id_=9999, name="flush"),
+            make_event(9998, "update_after", 1, id_=9998, name="flush"),
+        ],
+    )
+
+    def side(event_type, ts_name, prefix):
+        s = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+        return s.filter(F.col("event_type") == event_type).select(
+            F.col("id").alias(f"{prefix}id") if prefix else F.col("id"),
+            F.timestamp_seconds(F.col("timestamp")).alias(ts_name),
+            F.col("sequence").alias(f"{prefix}seq"),
+        )
+
+    joined = stream_stream_interval_join(
+        side("insert", "ins_ts", ""),
+        side("update_after", "upd_ts", "u_").withColumnRenamed("u_id", "id"),
+        key="id",
+        left_ts="ins_ts",
+        right_ts="upd_ts",
+        watermark="10 seconds",
+        max_delay_seconds=150,
+        how="left_outer",
+    )
+    q = (
+        joined.select("seq", "u_seq")
+        .writeStream.format("memory")
+        .queryName("ssjoin_outer")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {
+        (r["seq"], r["u_seq"])
+        for r in spark.sql("SELECT * FROM ssjoin_outer").collect()
+    }
+    matched = {(k, 100 + k) for k in range(1, 41) if k % 4 == 0}
+    assert matched <= rows
+    # The flush update (no matching insert) must NOT appear: left-outer
+    # drops unmatched right rows.
+    assert not any(u == 9998 for _, u in rows)
+    unmatched_emitted = {s for s, u in rows if u is None and s != 9999}
+    # Sequences 1..40 inserted; non-%4 keys have no update. availableNow
+    # ends the stream by advancing the watermark to the end of input, so
+    # every unmatched insert must have been emitted with NULL by then.
+    want_unmatched = {k for k in range(1, 41) if k % 4 != 0}
+    assert unmatched_emitted == want_unmatched, (
+        sorted(want_unmatched - unmatched_emitted),
+        sorted(unmatched_emitted - want_unmatched),
+    )
