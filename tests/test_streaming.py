@@ -528,3 +528,48 @@ def test_stream_stream_left_outer_interval_join(spark, event_log, tmp_path) -> N
         sorted(want_unmatched - unmatched_emitted),
         sorted(unmatched_emitted - want_unmatched),
     )
+
+
+def test_windowed_agg_under_rocksdb_state_store(spark, event_log) -> None:
+    """The tumbling agg runs identically under the RocksDB state store
+    provider — the bounded-memory state backend a 100 TB stream needs
+    (HDFS-backed in-memory maps are the small-state default)."""
+    path, _ = event_log
+    ts = F.timestamp_seconds(F.col("timestamp"))
+    aggs = [F.count("*").alias("n"), F.sum("id").alias("id_sum")]
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = tumbling_agg(
+            replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+            .withColumn("ts", ts),
+            "ts", "30 seconds", [], aggs,
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("rocksdb_agg")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = {
+            (r["win"]["start"], r["n"], r["id_sum"])
+            for r in spark.sql("SELECT * FROM rocksdb_agg").collect()
+        }
+        batch = tumbling_agg(
+            replay_batch(spark, path, TEST_SCHEMA_RECORD).withColumn("ts", ts),
+            "ts", "30 seconds", [], aggs,
+        )
+        want = {
+            (r["win"]["start"], r["n"], r["id_sum"]) for r in batch.collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
