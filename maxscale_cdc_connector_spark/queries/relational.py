@@ -1745,3 +1745,44 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+SELECT l_orderkey FROM lineitem WHERE l_quantity > 10
+INTERSECT ALL
+SELECT l_orderkey FROM lineitem WHERE l_returnflag <> 'R'
+""",
+    doc="INTERSECT ALL (multiset intersection — duplicates kept at the "
+    "minimum multiplicity across the sides), completing the bag-semantics "
+    "set-op family next to EXCEPT ALL.",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    a = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    b = li.filter(F.col("l_returnflag") != "R").select("l_orderkey")
+    return a.intersectAll(b)
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+SELECT o_orderkey, metric, value FROM (
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(o_custkey AS DOUBLE) AS custkey
+    FROM orders
+) UNPIVOT (value FOR metric IN (price, custkey))
+""",
+    doc="Wide-to-long reshape (UNPIVOT/melt) — the inverse of agg_pivot: "
+    "row-local 1-to-N expansion, no shuffle at any scale (the long form "
+    "is what feeds per-metric windows and sketches).",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "value")

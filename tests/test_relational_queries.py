@@ -63,6 +63,8 @@ RELATIONAL = [
     "fn_variant_props",
     "funnel_conversion",
     "retention_cohorts",
+    "set_intersect_all",
+    "reshape_unpivot",
 ]
 
 
