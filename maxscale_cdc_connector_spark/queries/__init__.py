@@ -25,6 +25,7 @@ _CHANGED_THIS_ROUND = (
     "dedup_ngram_jaccard",
     "dedup_exact_docs",
     "simsearch_batch_topk",  # two-stage top-k rewrite (reduce parallelism)
+    "agg_skew_salted",       # avg now integer-exact (order-independent at scale)
 )
 
 # Keys whose newest green driver row is CORRECTNESS_r01.

@@ -891,18 +891,25 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_skew_salted",
     oracle="""
 SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS qty,
-       round(sum(l_extendedprice) / count(*), 4) AS avg_price
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+            // count(*) AS BIGINT) AS avg_price_e4
 FROM lineitem GROUP BY l_suppkey
 """,
     doc="Two-stage salted aggregation: partial per (key, salt), merge per "
     "key — count merges as sum-of-counts, avg as sum/sum. Result-"
     "identical to the direct groupBy (the oracle), but a dominant key "
-    "collapses across 8 parallel tasks first.",
+    "collapses across 8 parallel tasks first. The average is emitted in "
+    "integer 1e-4 price units from an exact BIGINT cents sum: a float "
+    "sum's last ulp depends on summation ORDER, and the salted two-stage "
+    "order differs from the oracle's — at sf0.1 one row's round(x, 4) "
+    "landed on a .00005 boundary and flipped. Exact-integer partials "
+    "make the result order-independent at any scale.",
 )
 def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.skew import salted_agg
 
     li = t(spark, "lineitem", sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return salted_agg(
         li,
         keys=("l_suppkey",),
@@ -910,12 +917,15 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         partials=[
             (F.count("*"), "p_n"),
             (F.sum("l_quantity"), "p_qty"),
-            (F.sum("l_extendedprice"), "p_price"),
+            (F.sum(cents), "p_cents"),
         ],
         finals=[
             (F.sum("p_n"), "n"),
             (F.round(F.sum("p_qty"), 2), "qty"),
-            (F.round(F.sum("p_price") / F.sum("p_n"), 4), "avg_price"),
+            (
+                F.expr("(sum(p_cents) * 100) DIV sum(p_n)"),
+                "avg_price_e4",
+            ),
         ],
     )
 
