@@ -26,6 +26,8 @@ _CHANGED_THIS_ROUND = (
     "dedup_exact_docs",
     "simsearch_batch_topk",  # two-stage top-k rewrite (reduce parallelism)
     "agg_skew_salted",       # avg now integer-exact (order-independent at scale)
+    "agg_hash",              # same class, fixed proactively
+    "profile_table",         # same (new this round anyway)
 )
 
 # Keys whose newest green driver row is CORRECTNESS_r01.

@@ -1148,7 +1148,8 @@ SELECT count(*) AS n_rows,
        CAST(count(DISTINCT l_returnflag) AS BIGINT) AS returnflag_distinct,
        CAST(min(l_quantity) AS BIGINT) AS qty_min,
        CAST(max(l_quantity) AS BIGINT) AS qty_max,
-       round(avg(l_extendedprice), 4) AS price_avg,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+            // count(*) AS BIGINT) AS price_avg_e4,
        CAST(min(l_shipdate) AS DATE) AS shipdate_min,
        CAST(max(l_shipdate) AS DATE) AS shipdate_max
 FROM lineitem
@@ -1168,7 +1169,10 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_returnflag").cast("bigint").alias("returnflag_distinct"),
         F.min("l_quantity").cast("bigint").alias("qty_min"),
         F.max("l_quantity").cast("bigint").alias("qty_max"),
-        F.round(F.avg("l_extendedprice"), 4).alias("price_avg"),
+        F.expr(
+            "(sum(cast(round(l_extendedprice * 100) as bigint)) * 100)"
+            " DIV count(*)"
+        ).alias("price_avg_e4"),
         F.min("l_shipdate").cast("date").alias("shipdate_min"),
         F.max("l_shipdate").cast("date").alias("shipdate_max"),
     )

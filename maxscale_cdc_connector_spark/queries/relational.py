@@ -309,7 +309,8 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
+            // count(*) AS BIGINT) AS avg_price_e4,
        max(l_extendedprice) AS max_price,
        count(*) AS n_rows
 FROM lineitem
@@ -318,7 +319,10 @@ GROUP BY l_returnflag, l_linestatus
 """,
     doc="TPC-H Q1-shaped hash aggregate: 7 aggregates over 2 grouping keys; "
     "partial aggregation collapses each scan partition to ≤|groups| rows "
-    "before the shuffle.",
+    "before the shuffle. avg_qty rounds safely (integer-valued source, "
+    "exact float sums at any order); the price average is integer 1e-4 "
+    "units from an exact cents sum — round(avg(float),4) is summation-"
+    "order-dependent at the .00005 lattice (see agg_skew_salted).",
 )
 def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, "lineitem", sf_dir).filter(
@@ -331,7 +335,10 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_disc_price"
         ),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.expr(
+            "(sum(cast(round(l_extendedprice * 100) as bigint)) * 100)"
+            " DIV count(*)"
+        ).alias("avg_price_e4"),
         F.max("l_extendedprice").alias("max_price"),
         F.count("*").alias("n_rows"),
     )
