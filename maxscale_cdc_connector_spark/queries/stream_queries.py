@@ -320,3 +320,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(p, (c.user_id == p.p_user_id) & band)
         .select("click_id", "purchase_id", "user_id", "click_us", "purchase_us")
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+""",
+    doc="Batch analog of the LEFT-OUTER watermarked interval join: every "
+    "click row survives; unconverted clicks carry a NULL purchase side "
+    "(the abandonment signal). Same keyed-join + residual-band plan as "
+    "the inner form; the true streaming semantics — outer rows emit "
+    "only after the watermark closes their interval, and the advancing "
+    "batch must carry BOTH sides' event types — are pinned in "
+    "tests/test_streaming.py::test_stream_stream_left_outer_interval_join.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_us"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    band = (F.col("purchase_us") >= F.col("click_us")) & (
+        F.col("purchase_us") <= F.col("click_us") + F.lit(30 * 60 * 1_000_000)
+    )
+    return c.join(p, (c.user_id == p.p_user_id) & band, "left").select(
+        "click_id", "purchase_id", "user_id", "click_us", "purchase_us"
+    )

@@ -11,6 +11,7 @@ ORACLE_CHECKED = [
     "stream_dedup_exact",
     "stream_snapshot_sink",
     "stream_interval_join",
+    "stream_interval_join_outer",
 ]
 
 
