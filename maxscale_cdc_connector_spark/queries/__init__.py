@@ -18,16 +18,28 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
+# Round 4: the ten events-table keys broken by the testdata ts-type drift
+# (nanos LongType → timestamp[us]), now normalized via session.events_ts_us.
 _CHANGED_THIS_ROUND = (
-    "agg_collect_set",       # result serialization changed (array → CSV string)
-    "dedup_minhash_lsh",     # _ensure_parallelism fallback changed
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
+    "win_sessionize",
+    "funnel_conversion",
+    "retention_cohorts",
+    "join_asof_prev_event",
+    "join_asof_nearest_event",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_interval_join",
+    "stream_interval_join_outer",  # never had a green row; oracle exists
+)
+
+# Sentinel keys pinned permanently in the driver's verification prefix:
+# one trivially-stable key per major pack, so a systemic breakage (env,
+# loader, session) shows up as a sentinel flip rather than a silent pass.
+_SENTINELS = (
+    "cdc_decode",
+    "agg_hash",
     "dedup_exact_docs",
-    "simsearch_batch_topk",  # two-stage top-k rewrite (reduce parallelism)
-    "agg_skew_salted",       # avg now integer-exact (order-independent at scale)
-    "agg_hash",              # same class, fixed proactively
-    "profile_table",         # same (new this round anyway)
 )
 
 # Keys whose newest green driver row is CORRECTNESS_r01.
@@ -126,6 +138,48 @@ _VERIFIED_R2 = (
     "stream_replay_count",
 )
 
+# Keys whose newest green driver hash-row is CORRECTNESS_r03.
+_VERIFIED_R3 = (
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "simsearch_batch_topk",
+    "profile_table",
+    "agg_hash",
+    "agg_skew_salted",
+    "agg_collect_set",
+    "cdc_decode_decimal",
+    "cdc_scd2_history",
+    "cdc_incremental_agg",
+    "cdc_point_in_time",
+    "dedup_cluster_cc",
+    "text_bigram_lm",
+    "text_vocab_topk",
+    "dedup_incremental_new_docs",
+    "dedup_rewrite_corpus",
+    "tpch_q13_custdist",
+    "sql_api_join_agg",
+    "fn_variant_props",
+    "set_intersect_all",
+    "reshape_unpivot",
+    "stream_snapshot_sink",
+    "text_repetition_stats",
+    "text_chunk_passages",
+    "pipeline_domain_cap",
+    "pipeline_shard_shuffle",
+    "text_pii_redact",
+    "cdc_decode",
+    "cdc_gtid",
+    "cdc_latest_snapshot",
+    "cdc_resume_offset",
+    "cdc_update_pairs",
+    "cdc_changes_between",
+    "cdc_snapshot_join_agg",
+    "cdc_schema_fields",
+    "dedup_embedding_cosine",
+    "simsearch_topk_cosine",
+    "simsearch_pairwise_threshold",
+)
+
 
 def load_all() -> None:
     """Import every query pack (idempotent) so registration side-effects run."""
@@ -137,21 +191,25 @@ def load_all() -> None:
         training_queries,
     )
 
-    tiers = (
-        set(_CHANGED_THIS_ROUND),
-        set(_VERIFIED_R1) - set(_CHANGED_THIS_ROUND),
-        set(_VERIFIED_R2) - set(_CHANGED_THIS_ROUND),
-    )
-    known = set().union(*tiers)
+    changed = set(_CHANGED_THIS_ROUND)
+    sentinels = set(_SENTINELS) - changed
+    r3 = set(_VERIFIED_R3) - changed - sentinels
+    r2 = set(_VERIFIED_R2) - set(_VERIFIED_R3) - changed - sentinels
+    r1 = set(_VERIFIED_R1) - set(_VERIFIED_R2) - set(_VERIFIED_R3) - changed - sentinels
+    known = changed | sentinels | r1 | r2 | r3
 
     def tier(key: str) -> int:
-        if key in tiers[0]:
+        if key in changed:
             return 0
-        if key not in known:  # new this round: no driver row yet
+        if key in sentinels:
             return 1
-        if key in tiers[1]:
+        if key not in known:  # new this round: no driver row yet
             return 2
-        return 3
+        if key in r1:
+            return 3
+        if key in r2:
+            return 4
+        return 5  # r3: freshest evidence, verify last
 
     ordered = sorted(REGISTRY, key=lambda k: (tier(k), list(REGISTRY).index(k)))
     items = {k: REGISTRY[k] for k in ordered}

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import events_ts_timestamp, events_ts_us
 from maxscale_cdc_connector_spark.session import load_table as t
 
 
@@ -284,7 +285,7 @@ FROM events
     "at microsecond precision (DuckDB truncates parquet NANOS to micros).",
 )
 def join_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = events_ts_us(t(spark, "events", sf_dir))
     w = (
         W.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
@@ -1101,7 +1102,7 @@ FROM base
     "general as-of form SURVEY §2B names join_asof_nearest_event.",
 )
 def join_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = events_ts_us(t(spark, "events", sf_dir))
     err_ts = F.when(F.col("event_type") == "error", F.col("ts_us"))
     back = (
         W.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1538,7 +1539,7 @@ FROM sess GROUP BY user_id, session_seq
     "parquet NANOS to micros).",
 )
 def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = events_ts_us(t(spark, "events", sf_dir))
     w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap = F.col("ts_us") - F.lag("ts_us").over(w)
     is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
@@ -1692,11 +1693,7 @@ SELECT (SELECT count(*) FROM stage1) AS n_signup,
     "abandonment).",
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        t(spark, "events", sf_dir)
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
-        .select("user_id", "event_type", "ts_us")
-    )
+    e = events_ts_us(t(spark, "events", sf_dir)).select("user_id", "event_type", "ts_us")
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -1746,10 +1743,8 @@ GROUP BY 1, 2
     "origin — its default is 2000-01-03); ts compared at microsecond precision.",
 )
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = (
-        t(spark, "events", sf_dir)
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select("user_id", F.window("ts_us", "7 days").getField("start").alias("week"))
+    e = events_ts_timestamp(t(spark, "events", sf_dir)).select(
+        "user_id", F.window("ts_us", "7 days").getField("start").alias("week")
     )
     firsts = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     activity = e.distinct()

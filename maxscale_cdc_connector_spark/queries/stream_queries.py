@@ -7,10 +7,11 @@ with watermarks/state/micro-batches, are pinned by tests/test_streaming.py
 against the file-replay source, which the driver records as the weaker
 rows-only check via `stream_replay_count`).
 
-`events.ts` is parquet TIMESTAMP(NANOS) → LongType epoch-nanos under
-`nanosAsLong` (see session.load_table); DuckDB reads the same column as
-TIMESTAMP (µs). Parity: Spark converts nanos → `timestamp_micros(ts DIV
-1000)`, DuckDB uses the column directly; the session TZ is UTC on both.
+`events.ts`'s physical parquet type has drifted between testdata
+generations (TIMESTAMP(NANOS) vs timestamp[us]); session.events_ts_us /
+events_ts_timestamp normalize it to epoch-micros type-adaptively. DuckDB
+reads either physical type as a microsecond TIMESTAMP, so parity holds
+regardless of which the data ships with.
 """
 
 from __future__ import annotations
@@ -20,6 +21,7 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.operators.cdc import CDC_EVENTS_SQL, synthetic_customer_events
 from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import events_ts_timestamp, events_ts_us
 from maxscale_cdc_connector_spark.session import load_table as t
 from maxscale_cdc_connector_spark.streaming.ops import (
     dedup_exact,
@@ -30,8 +32,7 @@ from maxscale_cdc_connector_spark.streaming.ops import (
 
 
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir)
-    return e.withColumn("ts_us", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return events_ts_timestamp(t(spark, "events", sf_dir))
 
 
 @register(
@@ -296,7 +297,7 @@ JOIN events p
     "true two-stream watermarked execution).",
 )
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = events_ts_us(t(spark, "events", sf_dir))
     c = (
         e.filter(F.col("event_type") == "click")
         .select(
@@ -344,7 +345,7 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
     "tests/test_streaming.py::test_stream_stream_left_outer_interval_join.",
 )
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, "events", sf_dir).withColumn("ts_us", F.expr("ts DIV 1000"))
+    e = events_ts_us(t(spark, "events", sf_dir))
     c = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
         "user_id",

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -58,14 +60,52 @@ def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one of the test tables as a DataFrame (columnar parquet scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark rejects unless
-    ``nanosAsLong`` is on — set it here (runtime-settable) so queries work
-    under any caller's session, not just ours. The column then reads as
-    epoch-nanos LongType; queries convert as needed (DuckDB truncates the
-    same column to microseconds, so parity outputs use ``ts DIV 1000``).
+    ``nanosAsLong`` is set (runtime-settable, harmless otherwise) so an
+    ``events.ts`` stored as parquet TIMESTAMP(NANOS) still loads under any
+    caller's session instead of erroring. The physical type of ``ts`` has
+    drifted between testdata generations (NANOS → micros), so queries must
+    NOT assume a type: use :func:`events_ts_us` / :func:`events_ts_micros_col`
+    to normalize.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_ts_micros_col(df: DataFrame, col: str = "ts") -> Column:
+    """Epoch-microsecond BIGINT column from ``events.ts``, type-adaptively.
+
+    The testdata's physical type for ``ts`` has shipped as both parquet
+    TIMESTAMP(NANOS) (read as epoch-nanos LongType under ``nanosAsLong``)
+    and timestamp[us] (read as TIMESTAMP_NTZ). DuckDB reads either as a
+    microsecond timestamp, so epoch-micros is the parity representation:
+
+    - LongType (epoch nanos)  → ``ts DIV 1000``
+    - TIMESTAMP_NTZ           → ``timestampdiff(MICROSECOND, epoch, ts)``
+      (timezone-independent — a cast through TIMESTAMP_LTZ would shift by
+      the session offset under any non-UTC caller session)
+    - TIMESTAMP (LTZ)         → ``unix_micros(ts)``
+
+    All three are JVM-side catalyst expressions; whole-stage codegen keeps
+    them in the scan's projection, so the normalization is free at scale.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"{col} DIV 1000")
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})")
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(col))
+    raise TypeError(f"events.{col}: unsupported physical type {dt}")
+
+
+def events_ts_us(df: DataFrame, col: str = "ts", out: str = "ts_us") -> DataFrame:
+    """``df`` plus an epoch-microsecond BIGINT ``out`` column (see above)."""
+    return df.withColumn(out, events_ts_micros_col(df, col))
+
+
+def events_ts_timestamp(df: DataFrame, col: str = "ts", out: str = "ts_us") -> DataFrame:
+    """``df`` plus a microsecond-precision TIMESTAMP ``out`` column."""
+    return df.withColumn(out, F.timestamp_micros(events_ts_micros_col(df, col)))
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
