@@ -3,22 +3,21 @@ training-data pipeline runs after near-dup pair detection (MinHash/LSH
 pairs say "A ~ B"; components say "this whole set is one document",
 so one canonical copy is kept and the rest dropped).
 
-Spark-first shape: iterative min-label propagation. Each iteration is
-one equi-join (neighbor labels) + one groupBy min — both shuffle on the
-node key, so successive iterations reuse the same hash partitioning.
-Labels only ever decrease, so convergence is detected by comparing
-``sum(label)`` across iterations (one scalar action; no extra join).
-Per-iteration ``localCheckpoint`` truncates the logical plan, keeping
-analysis cost constant across iterations (an unbounded iterative join
-plan grows exponentially in Catalyst otherwise).
+Two algorithms, both pure DataFrame join/groupBy (shuffle on the node
+key, so successive rounds reuse the same hash partitioning):
 
-Iteration count is the graph diameter. Near-dup clusters are
-low-diameter (a dup cluster's edges come from shared shingles, which
-form near-cliques), so the default cap of 15 is generous; for
-high-diameter graphs at 100 TB scale, switch to the large-star /
-small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) which converges in O(log^2 n) rounds —
-same join/groupBy primitives, different propagation rule.
+- ``two_phase`` (default): alternating large-star / small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14). Converges in O(log^2 n) rounds worst-case, ~log n
+  in practice, INDEPENDENT of graph diameter — the right default at
+  100 TB where a single long path would stall propagation.
+- ``label_prop``: iterative min-label propagation; one join + groupBy
+  min per round, rounds = graph diameter. Cheaper per round, fine for
+  the near-clique, low-diameter graphs LSH dup-pairs produce.
+
+Per-round ``localCheckpoint`` truncates the logical plan, keeping
+Catalyst analysis cost constant across rounds (an unbounded iterative
+join plan grows exponentially otherwise).
 """
 
 from __future__ import annotations
@@ -48,7 +47,9 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iters: int = 15,
+    max_iters: int = 25,
+    algorithm: str = "two_phase",
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """Label each node with the smallest node id in its component.
 
@@ -56,9 +57,119 @@ def connected_components(
     Returns ``(node, component)``; only nodes appearing in ``edges`` are
     labeled (isolated nodes have no edges to say they exist).
 
+    ``rounds_out``, if given, receives the number of rounds executed
+    (appended) — used by tests to pin the O(log n) convergence bound.
+
     Raises ``RuntimeError`` if not converged within ``max_iters`` —
-    non-convergence means the diameter exceeded the cap, and a silently
-    partial labeling would split clusters.
+    a silently partial labeling would split clusters.
+    """
+    if algorithm == "two_phase":
+        return _two_phase(edges, src, dst, max_iters, rounds_out)
+    if algorithm == "label_prop":
+        return _label_prop(edges, src, dst, max_iters, rounds_out)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _two_phase(
+    edges: DataFrame, src: str, dst: str, max_iters: int, rounds_out: list | None
+) -> DataFrame:
+    """Alternating large-star / small-star contraction.
+
+    Invariant: ``e`` holds canonical directed edges ``(u, v)`` with
+    ``v < u`` (every node points toward a smaller one). Each round:
+
+    - large-star: every node ``x`` computes ``m = min(N(x) ∪ {x})`` over
+      the symmetrized edges and re-parents its LARGER neighbors onto
+      ``m`` — long paths fold in half.
+    - small-star: on the re-canonicalized edges, every node re-parents
+      its smaller-or-equal neighbors (and itself) onto its minimum —
+      flattening partial stars.
+
+    Fixed point = the edge set is a union of stars ``(u → component
+    min)``; reached in O(log^2 n) rounds worst case (SoCC'14, Thm 2),
+    diameter-independent. Each phase is one groupBy + one equi-join on
+    the node key plus a distinct — all shuffles on the same key.
+    """
+    a, b = "a", "b"
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical (u > v), self-loops dropped (nodes frame keeps them alive)
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias(a),
+            F.least(F.col(src), F.col(dst)).alias(b),
+        )
+        .where(F.col(a) != F.col(b))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spent: list[DataFrame] = []
+    converged = False
+    try:
+        for rounds in range(1, max_iters + 1):
+            # ---- large-star over symmetrized edges ----
+            sym = e.union(e.select(F.col(b).alias(a), F.col(a).alias(b)))
+            mins = sym.groupBy(a).agg(F.least(F.col(a), F.min(b)).alias("m"))
+            large = (
+                sym.join(mins, a)
+                .where(F.col(b) > F.col(a))
+                # emit (bigger neighbor -> star min); m <= a < b keeps the
+                # (u > v) canonical orientation with no self-loops
+                .select(F.col(b).alias(a), F.col("m").alias(b))
+                .distinct()
+            )
+            # ---- small-star ----
+            mins2 = large.groupBy(a).agg(F.min(b).alias("m"))
+            small = (
+                large.join(mins2, a)
+                .where(F.col(b) != F.col("m"))
+                .select(F.col(b).alias(a), F.col("m").alias(b))
+                .union(mins2.select(F.col(a), F.col("m").alias(b)))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # fixed point: equal sets (both are distinct, so count match +
+            # empty one-sided difference suffices)
+            same_count = small.count() == e.count()
+            if same_count and small.exceptAll(e).isEmpty():
+                spent.append(e)
+                e = small
+                converged = True
+                break
+            spent.append(e)
+            e = small
+        if not converged:
+            spent.append(e)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iters} iterations; "
+                "raise max_iters"
+            )
+        if rounds_out is not None:
+            rounds_out.append(rounds)
+        # stars: every non-root points straight at its component min;
+        # nodes absent from the star map (isolated / self-loop-only) are
+        # their own component.
+        labels = (
+            nodes.join(e, nodes.node == e.a, "left")
+            .select("node", F.coalesce(F.col(b), F.col("node")).alias("component"))
+        )
+        return labels
+    finally:
+        for df in spent:
+            _release_local_checkpoint(df)
+
+
+def _label_prop(
+    edges: DataFrame, src: str, dst: str, max_iters: int, rounds_out: list | None
+) -> DataFrame:
+    """Min-label propagation: rounds = graph diameter.
+
+    Labels only ever decrease, so convergence is detected by comparing
+    ``sum(label)`` across iterations (one scalar action; no extra join).
     """
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -72,7 +183,7 @@ def connected_components(
     spent = [sym]  # checkpoints to free; sym is not part of the result
     try:
         prev_sum = labels.agg(F.sum("component")).collect()[0][0]
-        for _ in range(max_iters):
+        for rounds in range(1, max_iters + 1):
             nbr_min = (
                 sym.join(labels, sym.b == labels.node)
                 .groupBy("a")
@@ -93,12 +204,14 @@ def connected_components(
             labels = new_labels
             cur_sum = labels.agg(F.sum("component")).collect()[0][0]
             if cur_sum == prev_sum:  # labels are monotone non-increasing
+                if rounds_out is not None:
+                    rounds_out.append(rounds)
                 return labels
             prev_sum = cur_sum
         spent.append(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} iterations; "
-            "graph diameter exceeds cap — raise max_iters or use star-contraction"
+            "graph diameter exceeds cap — raise max_iters or use two_phase"
         )
     finally:
         # Free every superseded checkpoint; only the returned frame's
