@@ -56,13 +56,16 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     harmless relative to the CPU-bound hashing it parallelizes.
 
     ``inputFiles()`` is empty for non-file-backed inputs (createDataFrame,
-    JDBC, a shuffled intermediate); falling through to an unconditional
-    repartition there would insert a shuffle even when the plan already
-    has ample partitions, so those fall back to the partition-count check.
+    JDBC, a shuffled intermediate). Those are left untouched: a shuffled
+    intermediate already has ``spark.sql.shuffle.partitions`` (sized to
+    cores), and ``createDataFrame`` parallelizes to ``defaultParallelism``
+    slices — so the only way to "check" would be a driver-side plan→RDD
+    conversion (``df.rdd.getNumPartitions()``) per call, whose cost is
+    worse than the underparallelism it would occasionally catch.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    n = len(df.inputFiles()) or df.rdd.getNumPartitions()
-    if n < target:
+    n = len(df.inputFiles())
+    if 0 < n < target:
         return df.repartition(target)
     return df
 

@@ -261,7 +261,14 @@ class SnapshotSink:
     def current(self, spark) -> DataFrame | None:
         if not os.path.isdir(self.path):
             return None
-        return spark.read.option("basePath", self.path).parquet(self.path)
+        # mergeSchema: after a mid-stream ALTER the state table holds
+        # bucket files written under both the pre- and post-ALTER schema;
+        # merged reading widens them into one schema with NULL backfill.
+        return (
+            spark.read.option("basePath", self.path)
+            .option("mergeSchema", "true")
+            .parquet(self.path)
+        )
 
     def _buckets_of(self, df: DataFrame) -> list[int]:
         return [r[0] for r in df.select(self.BUCKET_COL).distinct().collect()]
@@ -286,7 +293,11 @@ class SnapshotSink:
             # older event can never resurrect a deleted key; filter
             # tombstones only at read time (snapshot()).
             prev_touched = prev.filter(F.col(self.BUCKET_COL).isin(touched))
-            incoming = incoming.unionByName(prev_touched)
+            # allowMissingColumns: a post-ALTER batch carries columns the
+            # stored snapshot predates (and, on a dropped column, vice
+            # versa) — union the schemas and NULL-fill, the same backfill
+            # MariaDB applies to rows predating an ADD COLUMN.
+            incoming = incoming.unionByName(prev_touched, allowMissingColumns=True)
         ord_key = F.struct(F.col("sequence"), F.col("event_number"))
         merged = incoming.groupBy(*self.key_cols, self.BUCKET_COL).agg(
             *[

@@ -485,3 +485,98 @@ def test_schema_change_restart_wrapper_end_to_end(spark, tmp_path) -> None:
         if "extra" in r and r["sequence"] < 6:
             assert r["extra"] is None
             assert r["name"] == f"pre{r['sequence']}"
+
+
+def test_snapshot_sink_schema_evolution_across_restart(spark, tmp_path) -> None:
+    """An ALTER-added column reaches the persistent snapshot table.
+
+    The restart wrapper re-infers the widened schema and resumes
+    (previous test); this pins the sink side: the SnapshotSink's parquet
+    state, written pre-ALTER, must absorb post-ALTER batches — the new
+    column appears in the snapshot with values for post-ALTER keys and
+    NULL backfill for keys last touched before the ALTER (the same
+    backfill MariaDB applies to rows predating an ADD COLUMN).
+    """
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.streaming.restart import (
+        run_with_schema_restarts,
+    )
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 10}
+    ]
+    first = [make_event(s, id_=s, name=f"pre{s}") for s in range(1, 6)]
+    ckpt = str(tmp_path / "ckpt")
+    sink = SnapshotSink(str(tmp_path / "state"), ["id"], n_buckets=4)
+
+    def snap() -> dict[int, dict]:
+        try:
+            return {r["id"]: r.asDict() for r in sink.snapshot(spark).collect()}
+        except Exception:  # state dir not created yet
+            return {}
+
+    with FakeMaxScale(TEST_SCHEMA_RECORD, first) as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def attach_sink(df):
+            return (
+                df.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        def stop_when() -> bool:
+            rows = snap()
+            return rows.get(10, {}).get("extra") == "post10"
+
+        result: dict = {}
+
+        def run() -> None:
+            result["restarts"] = run_with_schema_restarts(
+                spark,
+                {
+                    "host": "127.0.0.1",
+                    "port": str(srv.port),
+                    "user": srv.user,
+                    "password": srv.password,
+                    "table": srv.table,
+                    "pollseconds": "0.3",
+                },
+                attach_sink,
+                stop_when=stop_when,
+                timeout=90.0,
+            )
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        # Pre-ALTER state must be on disk (old schema) before the ALTER.
+        deadline = time.time() + 45
+        while time.time() < deadline and not set(range(1, 6)) <= set(snap()):
+            time.sleep(0.2)
+        assert set(range(1, 6)) <= set(snap()), "pre-ALTER snapshot never landed"
+        assert "extra" not in snap()[1], "state should predate the ALTER here"
+
+        srv.push_schema_change(new_schema)
+        for s in range(6, 11):
+            ev = make_event(s, id_=s, name=f"post{s}")
+            ev["extra"] = f"post{s}"
+            srv.push_event(ev)
+
+        t.join(timeout=90)
+        assert not t.is_alive(), "wrapper did not stop"
+
+    assert result["restarts"] == 1
+    rows = snap()
+    # All ten keys present; the ALTER-added column merged into the state.
+    assert set(range(1, 11)) <= set(rows)
+    assert {i: rows[i]["extra"] for i in range(6, 11)} == {
+        i: f"post{i}" for i in range(6, 11)
+    }
+    # NULL backfill for keys last written before the ALTER.
+    for i in range(1, 6):
+        assert rows[i]["extra"] is None, f"key {i} should be NULL-backfilled"
+        assert rows[i]["name"] == f"pre{i}"
