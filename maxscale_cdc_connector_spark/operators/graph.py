@@ -62,12 +62,25 @@ def connected_components(
 
     Raises ``RuntimeError`` if not converged within ``max_iters`` —
     a silently partial labeling would split clusters.
+
+    The input edge plan is materialized ONCE up front (eager
+    ``localCheckpoint``): both algorithms read it from multiple branches
+    (node extraction + canonicalization / symmetrization), and a typical
+    caller hands in an expensive upstream pipeline (the LSH/Jaccard pair
+    join) that must not be re-executed per branch.
     """
-    if algorithm == "two_phase":
-        return _two_phase(edges, src, dst, max_iters, rounds_out)
-    if algorithm == "label_prop":
-        return _label_prop(edges, src, dst, max_iters, rounds_out)
-    raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm not in ("two_phase", "label_prop"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    edges0 = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
+    try:
+        if algorithm == "two_phase":
+            return _two_phase(edges0, src, dst, max_iters, rounds_out)
+        return _label_prop(edges0, src, dst, max_iters, rounds_out)
+    finally:
+        # Both algorithms return frames whose lineage stops at their own
+        # checkpoints (nodes/e/labels), so the input blocks can be freed
+        # as soon as the algorithm body has materialized them.
+        _release_local_checkpoint(edges0)
 
 
 def _two_phase(
@@ -91,11 +104,14 @@ def _two_phase(
     the node key plus a distinct — all shuffles on the same key.
     """
     a, b = "a", "b"
+    # Eager: the returned ``labels`` frame reads ``nodes`` lazily, after
+    # the dispatcher has already freed the input-edge blocks — a lazy
+    # checkpoint here would try to recompute from truncated lineage.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # canonical (u > v), self-loops dropped (nodes frame keeps them alive)
     e = (
