@@ -1176,3 +1176,97 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").cast("date").alias("shipdate_min"),
         F.max("l_shipdate").cast("date").alias("shipdate_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: containment dedup + range similarity query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(least(sa.set_size, sb.set_size) AS BIGINT) AS min_size
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common * 10 >= 9 * least(sa.set_size, sb.set_size)
+""",
+    doc="Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.9 over the "
+    "5-gram shingle sets — catches a document EMBEDDED in a longer one, "
+    "which symmetric Jaccard misses (a 100-word doc pasted into a "
+    "1000-word doc has Jaccard ≈ 0.1 but containment 1.0). Same "
+    "inverted-index equi-join as dedup_ngram_jaccard (never all-pairs); "
+    "the threshold is a cross-multiplied integer comparison and the "
+    "outputs are exact counts, so the hash can't drift.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    shingles = shingle_sets(corpus)
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b"))
+    min_size = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("n_common") * 10 >= 9 * min_size)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            min_size.cast("bigint").alias("min_size"),
+        )
+    )
+
+
+@register(
+    "simsearch_range_query",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7),
+scored AS (
+    SELECT e.vec_id, {_dot_sql('e.embedding', 'q.qe')} AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 7
+)
+SELECT vec_id, round(sim, 5) AS sim
+FROM scored WHERE sim >= 0.3
+""",
+    doc="Range similarity query: ALL vectors with cosine ≥ 0.3 of the "
+    "vec_id=7 embedding (the retrieval dual of top-k — 'everything this "
+    "similar', used for near-dup radius scans and recall evaluation). "
+    "Same single-scan shape as topk_cosine: broadcast 1-row query, JVM "
+    "dot products, but the predicate replaces the heap — the scan emits "
+    "matches directly, so no ordering bottleneck exists at any scale.",
+)
+def simsearch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.vectors import dot
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 7).select(F.col("embedding").alias("q_embedding"))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 7)
+        .crossJoin(q)
+        .select("vec_id", dot("embedding", "q_embedding").alias("sim"))
+        .filter(F.col("sim") >= 0.3)
+        .select("vec_id", F.round("sim", 5).alias("sim"))
+    )

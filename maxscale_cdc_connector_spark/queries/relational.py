@@ -1798,3 +1798,253 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").cast("double").alias("custkey"),
     )
     return o.unpivot("o_orderkey", ["price", "custkey"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H optimizer pack 2: subquery decorrelation, anti/semi joins with
+# residual predicates, scalar-aggregate gating. (The schema has no
+# partsupp/phone/commitdate, so q4/q16/q17/q22 are shape-adapted: same
+# plan stress, columns that exist.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+""",
+    doc="TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a "
+    "residual non-equi predicate (shipped >60 days after ordering — the "
+    "schema has no commitdate/receiptdate). The date filter prunes orders "
+    "before the join; the semi join shuffles on orderkey and emits at "
+    "most one row per order regardless of lineitem fan-out.",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, "lineitem", sf_dir)
+    late = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    doc="TPC-H Q6: the pure scan-predicate query — every filter is a "
+    "parquet pushed filter (range on shipdate, band on discount, bound on "
+    "quantity), no join, one scalar aggregate. At 100 TB this is the "
+    "query where pushdown + min/max row-group pruning IS the runtime; "
+    "the plan must show PushedFilters for all three columns.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM supplier s
+JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+    OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+  AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape: bilateral trade volume between two nations by "
+    "ship year. The nation dimension appears TWICE (supplier side and "
+    "customer side) — both copies broadcast with the disjunctive "
+    "nation-pair predicate applied after both joins; the fact side "
+    "shuffles only on its join keys.",
+)
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = t(spark, "supplier", sf_dir)
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = t(spark, "orders", sf_dir)
+    c = t(spark, "customer", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q16_parts_supplier",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    doc="TPC-H Q16 shape (lineitem stands in for partsupp): distinct "
+    "supplier count per part class, excluding suppliers from a NOT IN "
+    "subquery. The exclusion set is tiny → broadcast anti-join (s_suppkey "
+    "is non-null so NOT IN == anti-join); part predicates filter before "
+    "the fact join; count(DISTINCT) expands to a two-level aggregate.",
+)
+def tpch_q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad_supp = t(spark, "supplier", sf_dir).filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q17_small_qty_revenue",
+    oracle="""
+WITH thr AS (
+    SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thr
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) // 7
+       AS BIGINT) AS avg_yearly_e2
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN thr ON thr.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND l.l_quantity < thr.qty_thr
+""",
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part 20%-of-"
+    "average quantity threshold) decorrelated to a grouped aggregate "
+    "joined back to the fact. The brand filter broadcasts into both the "
+    "fact scan and the threshold join; the threshold is exact (integer-"
+    "valued quantities sum exactly as doubles) and output is integer "
+    "cents so the hash can't drift. Spark side restricts the threshold "
+    "build to the broadcast brand partkeys — at 100 TB that turns a "
+    "corpus-wide pre-aggregation into one over the selected parts only.",
+)
+def tpch_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    pk = t(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_b = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+    thr = li_b.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li_b.join(F.broadcast(thr), li_b.l_partkey == thr.t_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.expr(
+                "sum(cast(round(l_extendedprice * 100) as bigint)) DIV 7"
+            ).alias("avg_yearly_e2")
+        )
+    )
+
+
+@register(
+    "tpch_q22_idle_customers",
+    oracle="""
+WITH pos AS (
+    SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE c_acctbal > 0
+),
+thr AS (SELECT sum(cents) AS s, count(*) AS n FROM pos)
+SELECT nn.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS totacctbal_e2
+FROM customer c
+JOIN nation nn ON c.c_nationkey = nn.n_nationkey, thr
+WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * thr.n > thr.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY nn.n_name
+""",
+    doc="TPC-H Q22 shape (nation stands in for phone country code): "
+    "customers with above-average balance and no orders. The global "
+    "average is a 1-row scalar aggregate broadcast into the filter; "
+    "above-average is tested by exact integer cross-multiplication "
+    "(cents x count > cents-sum) so no float average can drift the "
+    "boundary; no-orders is a shuffled anti-join on custkey.",
+)
+def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir).select("o_custkey")
+    n = t(spark, "nation", sf_dir)
+    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(cents).alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(cents * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(cents).alias("totacctbal_e2"),
+        )
+    )

@@ -323,3 +323,167 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pc")[0] * 1e4).cast("long").alias("pc1_e4"),
         F.floor(F.col("pc")[1] * 1e4).cast("long").alias("pc2_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: token-budget sampling, passage-level dedup, composite gate.
+# ---------------------------------------------------------------------------
+
+_BUDGET = 12_000  # whitespace tokens
+
+
+@register(
+    "pipeline_token_budget_sample",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS mk,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY mk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+    FROM tok
+)
+SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_BUDGET}
+""",
+    doc=f"Deterministic token-budget sampling: docs in md5(doc_id) order "
+    f"are admitted until the running token total reaches {_BUDGET} — the "
+    "'give me exactly N tokens, reproducibly' primitive of corpus "
+    "construction. The running sum is a DISTRIBUTED prefix sum, not a "
+    "global-sort window: docs hash into 256 md5-prefix buckets, "
+    "per-bucket token totals (256 rows) get cumulative offsets in one "
+    "trivially-small window, and each bucket then cumsums internally "
+    "with the bucket offset added — the only single-partition step "
+    "touches 256 rows at ANY corpus size, so the plan survives 100 TB "
+    "where a bare `sum() OVER (ORDER BY ...)` (one partition holding "
+    "the whole corpus) dies.",
+)
+def pipeline_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("mk"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    ).withColumn("bk", F.substring("mk", 1, 2))
+    bucket_tot = d.groupBy("bk").agg(F.sum("n_tokens").alias("bt"))
+    # 256-row window: the ONLY unpartitioned step, size-independent.
+    off_w = Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_tot.select(
+        "bk", F.coalesce(F.sum("bt").over(off_w), F.lit(0)).alias("off")
+    )
+    in_w = (
+        Window.partitionBy("bk")
+        .orderBy("mk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.join(F.broadcast(offsets), "bk")
+        .withColumn("cum_tokens", (F.col("off") + F.sum("n_tokens").over(in_w)).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _BUDGET)
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, ((len(w) - 1) // {_CHUNK}) + 1)) AS i
+        FROM tok),
+chunks AS (
+    SELECT doc_id, i - 1 AS chunk_id,
+           array_to_string(list_slice(w, (i - 1) * {_CHUNK} + 1, i * {_CHUNK}), ' ') AS passage
+    FROM idx
+)
+SELECT md5(passage) AS passage_hash,
+       CAST(min(doc_id * 1000000 + chunk_id) // 1000000 AS BIGINT) AS keep_doc_id,
+       CAST(min(doc_id * 1000000 + chunk_id) % 1000000 AS BIGINT) AS keep_chunk_id,
+       count(*) AS n_copies
+FROM chunks GROUP BY md5(passage)
+""",
+    doc="Passage-level exact dedup (the C4/RefinedWeb step that removes "
+    "boilerplate repeated ACROSS documents, which whole-doc dedup cannot "
+    "see): chunk every document into 32-word passages, hash each, keep "
+    "the lexicographically first (doc_id, chunk_id) occurrence per "
+    "distinct passage. One row-local explode + ONE groupBy on the "
+    "passage digest — shuffle volume is |distinct passages| thanks to "
+    "map-side partial aggregation; the keep choice rides the same "
+    "aggregate as an encoded min, not a window.",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    chunks_expr = F.expr(
+        f"transform(sequence(0, (size(w) - 1) div {_CHUNK}),"
+        f" i -> array_join(slice(w, i * {_CHUNK} + 1, {_CHUNK}), ' '))"
+    )
+    chunks = doc.select("doc_id", F.posexplode(chunks_expr).alias("chunk_id", "passage"))
+    key = F.col("doc_id") * 1_000_000 + F.col("chunk_id")
+    return (
+        chunks.groupBy(F.md5("passage").alias("passage_hash"))
+        .agg(F.min(key).alias("k"), F.count("*").alias("n_copies"))
+        .select(
+            "passage_hash",
+            (F.col("k") / 1_000_000).cast("bigint").alias("keep_doc_id"),
+            (F.col("k") % 1_000_000).cast("bigint").alias("keep_chunk_id"),
+            "n_copies",
+        )
+    )
+
+
+@register(
+    "pipeline_quality_gate",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sig AS (
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                AS BIGINT) AS sum_word_len,
+           CAST(list_max(list_transform(list_distinct(w),
+                x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_count
+    FROM tok
+)
+SELECT doc_id, n_words,
+       (n_words >= 20 AND n_words <= 1000) AS flag_len,
+       (3 * n_words <= sum_word_len AND sum_word_len <= 8 * n_words) AS flag_word_len,
+       (top_word_count * 5 <= n_words) AS flag_repetition,
+       ((n_words >= 20 AND n_words <= 1000)
+        AND (3 * n_words <= sum_word_len AND sum_word_len <= 8 * n_words)
+        AND (top_word_count * 5 <= n_words)) AS keep
+FROM sig
+""",
+    doc="Composite quality gate: the single-pass keep/drop decision a "
+    "pretraining pipeline applies before tokenization, combining length "
+    "bounds (20-1000 words), mean-word-length bounds (3-8 chars, tested "
+    "as cross-multiplied integers so no float division exists), and the "
+    "Gopher top-word repetition rule (top word ≤ 20% of tokens). Each "
+    "rule keeps its own flag so drop-reason statistics are one groupBy "
+    "away. Entirely row-local — zero shuffles at any corpus size.",
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = t(spark, "documents", sf_dir).select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    n = F.size("w").cast("bigint")
+    sum_len = F.expr(
+        "aggregate(w, cast(0 as bigint), (acc, x) -> acc + length(x))"
+    )
+    top = F.array_max(
+        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    ).cast("bigint")
+    flag_len = (n >= 20) & (n <= 1000)
+    flag_word_len = (3 * n <= sum_len) & (sum_len <= 8 * n)
+    flag_rep = top * 5 <= n
+    return doc.select(
+        "doc_id",
+        n.alias("n_words"),
+        flag_len.alias("flag_len"),
+        flag_word_len.alias("flag_word_len"),
+        flag_rep.alias("flag_repetition"),
+        (flag_len & flag_word_len & flag_rep).alias("keep"),
+    )

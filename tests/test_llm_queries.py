@@ -30,6 +30,8 @@ ORACLE_CHECKED = [
     "dedup_incremental_new_docs",
     "dedup_rewrite_corpus",
     "profile_table",
+    "dedup_ngram_containment",
+    "simsearch_range_query",
 ]
 
 

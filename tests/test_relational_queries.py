@@ -65,6 +65,12 @@ RELATIONAL = [
     "retention_cohorts",
     "set_intersect_all",
     "reshape_unpivot",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q16_parts_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q22_idle_customers",
 ]
 
 

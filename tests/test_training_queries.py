@@ -21,6 +21,9 @@ ORACLE_CHECKED = [
     "pipeline_domain_cap",
     "pipeline_shard_shuffle",
     "text_pii_redact",
+    "pipeline_token_budget_sample",
+    "text_chunk_dedup",
+    "pipeline_quality_gate",
 ]
 
 
@@ -35,7 +38,7 @@ def test_oracle_parity(spark, sf_dir, name) -> None:
 @pytest.mark.parametrize(
     "name",
     ["text_repetition_stats", "text_chunk_passages", "text_pii_redact",
-     "pipeline_shard_shuffle"],
+     "pipeline_shard_shuffle", "pipeline_quality_gate"],
 )
 def test_row_local_ops_never_shuffle(spark, sf_dir, name) -> None:
     """The row-local curation ops must compile to scan→project plans:
