@@ -186,3 +186,56 @@ def test_funnel_exchanges_all_key_on_user(spark, sf_dir) -> None:
 
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", s.text):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir) -> None:
+    """TPC-H Q6 is a pure scan query: every predicate must reach the
+    parquet reader as a pushed data filter, and the scan must read only
+    the four referenced columns."""
+    s = _summary(spark, sf_dir, "tpch_q6_forecast_revenue")
+    assert s.pushes_filter_on("l_shipdate")
+    assert s.pushes_filter_on("l_discount")
+    assert s.pushes_filter_on("l_quantity")
+    assert not s.scans_column("l_orderkey")
+    assert not s.scans_column("l_returnflag")
+
+
+def test_q17_threshold_join_broadcasts(spark, sf_dir) -> None:
+    """The correlated-avg decorrelation must stay broadcast end-to-end
+    (brand partkeys into the fact scan, per-part thresholds back onto the
+    fact) — a sort-merge here would shuffle the fact twice."""
+    s = _summary(spark, sf_dir, "tpch_q17_small_qty_revenue")
+    assert s.has("BroadcastHashJoin")
+    assert not s.has("SortMergeJoin"), s.nodes
+    assert not s.has("CartesianProduct")
+
+
+def test_q22_scalar_gate_is_one_row_broadcast(spark, sf_dir) -> None:
+    """The global-average gate joins a 1-row aggregate: broadcast nested
+    loop on one row is fine, a CartesianProduct of two big sides is not."""
+    s = _summary(spark, sf_dir, "tpch_q22_idle_customers")
+    assert s.has("BroadcastHashJoin") or s.has("BroadcastNestedLoopJoin")
+    assert not s.has("CartesianProduct"), s.nodes
+
+
+def test_token_budget_window_is_bucket_partitioned(spark, sf_dir) -> None:
+    """The corpus-wide cumsum must run partitioned by md5 bucket; the only
+    unpartitioned window is over the 256 bucket totals."""
+    from pyspark.sql.window import Window  # noqa: F401
+
+    s = _summary(spark, sf_dir, "pipeline_token_budget_sample")
+    text = s.text
+    # The per-doc window is partitioned (partial windows over bk);
+    # an unpartitioned corpus window would show a SinglePartition
+    # exchange feeding a Window over the documents scan.
+    assert "partitionBy=[bk" in text.replace(" ", "") or "bk#" in text
+    assert s.has("Window")
+
+
+def test_chunk_dedup_shuffles_digests_only(spark, sf_dir) -> None:
+    """Passage dedup groups on the md5 digest — partial aggregation means
+    the shuffle carries (digest, min-key, count), never passages."""
+    s = _summary(spark, sf_dir, "text_chunk_dedup")
+    assert s.has("HashAggregate")
+    assert not s.has("SortMergeJoin")
+    assert not s.has("CartesianProduct")
