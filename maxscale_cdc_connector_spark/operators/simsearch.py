@@ -55,17 +55,79 @@ def topk_cosine(
     )
 
 
+PAIRWISE_BLOCK = 2048  # vectors per GEMM block (~0.5 MB of float32 at d=64)
+
+
 def pairwise_threshold(
     embeddings: DataFrame, tau: float, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Exact all-pairs with cosine ≥ tau (upper triangle)."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    scored = pairs.select("vec_a", "vec_b", dot("emb_a", "emb_b").alias("sim"))
-    return scored.filter(F.col("sim") >= tau).select(
-        "vec_a", "vec_b", F.round("sim", 5).alias("sim")
+    """Exact all-pairs with cosine ≥ tau (upper triangle), via block-GEMM.
+
+    All-pairs is quadratic by definition; what's negotiable is the
+    constant. A row-pair join evaluates the dot product one interpreted
+    higher-order expression per pair (56 s for 4k vectors at sf0.1); here
+    vectors are hashed into ⌈n/B⌉ blocks, block PAIRS are joined (the
+    quadratic step, but over ~n/B rows a side), and each block pair runs
+    ONE float64 BLAS matmul inside Arrow-batched ``mapInPandas`` — ~2000×
+    fewer JVM↔expression transitions for the same arithmetic.
+
+    Bit-exactness: the matmul (reassociated/FMA summation) only NOMINATES
+    candidates with a 1e-6 margin below tau; each candidate's similarity
+    is then recomputed as the strict left-to-right double fold
+    (``cumsum`` over the exact per-element products) — the same value
+    ``functions.vectors.dot`` and the DuckDB oracle produce, so swapping
+    the execution strategy cannot move the hash.
+    """
+    import math as _math
+
+    n = embeddings.count()
+    nb = max(1, _math.ceil(n / PAIRWISE_BLOCK))
+    packed = (
+        embeddings.withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "embedding")).alias("vs"))
     )
+    block_pairs = (
+        packed.select(F.col("blk").alias("bx"), F.col("vs").alias("vs_x"))
+        .join(
+            packed.select(F.col("blk").alias("by"), F.col("vs").alias("vs_y")),
+            F.col("bx") <= F.col("by"),
+        )
+    )
+
+    def gemm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ids_x = np.array([v["id"] for v in row["vs_x"]], dtype=np.int64)
+                mx = np.array([v["embedding"] for v in row["vs_x"]], dtype=np.float64)
+                ids_y = np.array([v["id"] for v in row["vs_y"]], dtype=np.int64)
+                my = np.array([v["embedding"] for v in row["vs_y"]], dtype=np.float64)
+                sims = mx @ my.T
+                ai, bi = np.nonzero((sims >= tau - 1e-6) & (ids_x[:, None] < ids_y[None, :]))
+                if len(ai) == 0:
+                    continue
+                # strict sequential refold of the exact products — the
+                # value the Catalyst/DuckDB expression computes
+                exact = np.cumsum(mx[ai] * my[bi], axis=1)[:, -1]
+                keep = exact >= tau
+                out_a.append(ids_x[ai][keep])
+                out_b.append(ids_y[bi][keep])
+                out_s.append(exact[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    scored = block_pairs.mapInPandas(gemm, "vec_a long, vec_b long, sim double")
+    return scored.select("vec_a", "vec_b", F.round("sim", 5).alias("sim"))
 
 
 def _srp_hyperplanes(dim: int, nbits: int = SRP_BITS, seed: int = 20260813) -> list[list[float]]:
