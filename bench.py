@@ -52,6 +52,10 @@ HEADLINE = [
     ("q23_dedup_cluster_cc", "dedup_cluster_cc"),
     ("q24_embedding_pca", "embedding_pca"),
     ("q25_win_sessionize", "win_sessionize"),
+    ("q26_tpch_q17_small_qty_revenue", "tpch_q17_small_qty_revenue"),
+    ("q27_tpch_q4_order_priority", "tpch_q4_order_priority"),
+    ("q28_text_chunk_dedup", "text_chunk_dedup"),
+    ("q29_pipeline_token_budget_sample", "pipeline_token_budget_sample"),
 ]
 
 

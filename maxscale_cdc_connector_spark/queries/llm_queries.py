@@ -1270,3 +1270,159 @@ def simsearch_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= 0.3)
         .select("vec_id", F.round("sim", 5).alias("sim"))
     )
+
+
+@register(
+    "embedding_normalize_l2",
+    oracle="""
+WITH n AS (
+    SELECT vec_id, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+)
+SELECT vec_id,
+       round(nrm, 5) AS l2_norm,
+       list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 5)) AS unit
+FROM n
+""",
+    doc="L2 normalization: the preprocessing step every cosine-based "
+    "dedup/ANN stage assumes (cosine ≡ dot only on unit vectors). "
+    "Row-local zip/aggregate expressions — zero shuffles at any scale; "
+    "emits the norm so downstream can assert unit-ness cheaply.",
+)
+def embedding_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.vectors import norm_l2
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    nrm = norm_l2("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(nrm, 5).alias("l2_norm"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") / nrm, 5)
+        ).alias("unit"),
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+    FROM embeddings
+)
+SELECT vec_id,
+       round(max_abs, 6) AS max_abs,
+       list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT)) AS q8
+FROM m
+""",
+    doc="Symmetric per-vector int8 quantization (q = round(x*127/max_abs)): "
+    "the 4x storage/bandwidth cut that makes 100 TB of embeddings "
+    "shippable to an ANN index; the per-vector scale rides along for "
+    "dequantization. Row-local, integer outputs (exact hash), zero "
+    "shuffles.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    return emb.select(
+        "vec_id",
+        F.round(max_abs, 6).alias("max_abs"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127 / max_abs).cast("bigint"),
+        ).alias("q8"),
+    )
+
+
+@register(
+    "embedding_knn_label_vote",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS qe, label AS true_label
+    FROM embeddings WHERE vec_id % 25 = 0
+),
+scored AS (
+    SELECT q.q_id, q.true_label, e.vec_id, e.label,
+           {_dot_sql('e.embedding', 'q.qe')} AS sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, true_label, label, sim,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+    FROM scored
+),
+votes AS (
+    SELECT q_id, true_label, label, count(*) AS n_votes
+    FROM ranked WHERE rn <= 5
+    GROUP BY q_id, true_label, label
+),
+best AS (
+    SELECT q_id, true_label, label, n_votes,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY n_votes DESC, label) AS vr
+    FROM votes
+)
+SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label,
+       CAST(n_votes AS BIGINT) AS n_votes
+FROM best WHERE vr = 1
+""",
+    doc="k-NN label voting (label denoising / weak supervision): every "
+    "25th vector is re-labeled by the majority label of its 5 nearest "
+    "neighbors (tie-break: smallest label) — the standard sanity pass "
+    "over labeled embedding corpora before training. Same two-stage "
+    "per-(query, partition) rank as simsearch_batch_topk, so no "
+    "per-query reducer funnel; the vote is a tiny (|queries| x "
+    "|labels|) aggregate. Integer outputs — exact hash.",
+)
+def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from maxscale_cdc_connector_spark.functions.vectors import dot
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("true_label"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "true_label",
+            "vec_id",
+            "label",
+            dot("embedding", "qe").alias("sim"),
+            F.spark_partition_id().alias("pid"),
+        )
+    )
+    order = (F.desc("sim"), F.asc("vec_id"))
+    w_local = W.partitionBy("q_id", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("lrn", F.row_number().over(w_local))
+        .filter(F.col("lrn") <= 5)
+        .drop("lrn", "pid")
+    )
+    w = W.partitionBy("q_id").orderBy(*order)
+    top5 = survivors.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("q_id", "true_label", "label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = W.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "q_id",
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col("label").cast("bigint").alias("pred_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )

@@ -32,6 +32,9 @@ ORACLE_CHECKED = [
     "profile_table",
     "dedup_ngram_containment",
     "simsearch_range_query",
+    "embedding_normalize_l2",
+    "embedding_quantize_int8",
+    "embedding_knn_label_vote",
 ]
 
 
