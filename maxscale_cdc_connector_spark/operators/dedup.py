@@ -111,7 +111,14 @@ def jaccard_pairs(
     Candidate generation is the equi-join on ``shingle`` — only documents
     that share at least one shingle ever meet; |A∩B| falls out of the
     join group count and |A|, |B| from per-doc set sizes.
+
+    The shingle frame feeds THREE branches (sizes + both join sides), so
+    it is persisted for the duration of the call and released through
+    :func:`cache.finalize` once the (small) pair result is materialized —
+    without the barrier the scan→explode→distinct pipeline re-executes
+    per branch.
     """
+    shingles = shingles.persist()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -124,13 +131,14 @@ def jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (
+    pairs = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
+    return finalize(pairs, [shingles])
 
 
 def _seeded_hash(seed: int, col: str | Column) -> Column:

@@ -2048,3 +2048,121 @@ def tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).alias("totacctbal_e2"),
         )
     )
+
+
+@register(
+    "tpch_q12_priority_class",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate
+GROUP BY l.l_returnflag
+""",
+    doc="TPC-H Q12 shape (returnflag stands in for shipmode): per-class "
+    "counts of urgent vs non-urgent orders among late-shipped lines. "
+    "The fact filter pushes to the scan; the residual ship-after-order "
+    "predicate rides the equi-join; the conditional counts are map-side "
+    "partial aggregates — integer outputs, exact hash.",
+)
+def tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+    SELECT l_suppkey AS supplier_no,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS total_revenue_e2
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_e2
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_e2 = (SELECT max(total_revenue_e2) FROM revenue)
+""",
+    doc="TPC-H Q15: top supplier by quarterly revenue — a scalar MAX over "
+    "a grouped aggregate gates the same aggregate (the view-reuse query). "
+    "The revenue aggregate computes ONCE behind a checkpoint-free "
+    "broadcast of its 1-row max; revenue is exact integer cents per line "
+    "item so the max-equality can never split on a float ulp across "
+    "engines.",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cents = F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents).alias("total_revenue_e2")
+    )
+    mx = revenue.agg(F.max("total_revenue_e2").alias("mx"))
+    s = t(spark, "supplier", sf_dir)
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_e2") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue_e2")
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    oracle="""
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY l.l_suppkey, l.l_partkey
+    HAVING sum(l_quantity) > 100
+)
+""",
+    doc="TPC-H Q20 shape: suppliers moving >100 units of any red part — "
+    "an IN subquery over a grouped HAVING, decorrelated to aggregate → "
+    "project → left-semi join. The part filter broadcasts into the fact "
+    "scan; quantities are integer-valued doubles so the HAVING sum is "
+    "exact at any aggregation order.",
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir).filter(F.col("p_name").startswith("red")).select("p_partkey")
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    s = t(spark, "supplier", sf_dir)
+    return (
+        s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )

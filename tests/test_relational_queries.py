@@ -71,6 +71,9 @@ RELATIONAL = [
     "tpch_q16_parts_supplier",
     "tpch_q17_small_qty_revenue",
     "tpch_q22_idle_customers",
+    "tpch_q12_priority_class",
+    "tpch_q15_top_supplier",
+    "tpch_q20_promotion_suppliers",
 ]
 
 
