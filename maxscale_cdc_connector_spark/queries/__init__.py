@@ -19,7 +19,10 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
 # Round 4: the ten events-table keys broken by the testdata ts-type drift
-# (nanos LongType → timestamp[us]), now normalized via session.events_ts_us.
+# (nanos LongType → timestamp[us]), now normalized via session.events_ts_us;
+# plus the five keys whose execution strategy changed this round
+# (block-GEMM all-pairs cosine; persisted-shingle Jaccard; once-
+# materialized connected-components input).
 _CHANGED_THIS_ROUND = (
     "win_sessionize",
     "funnel_conversion",
@@ -31,6 +34,11 @@ _CHANGED_THIS_ROUND = (
     "stream_session_window",
     "stream_interval_join",
     "stream_interval_join_outer",  # never had a green row; oracle exists
+    "simsearch_pairwise_threshold",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "dedup_rewrite_corpus",
 )
 
 # Sentinel keys pinned permanently in the driver's verification prefix:

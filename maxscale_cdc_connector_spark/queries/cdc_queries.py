@@ -494,3 +494,69 @@ def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("good", good.count()), ("dead_letter", bad.count())],
         "channel string, n long",
     )
+
+
+@register(
+    "cdc_sequence_gaps",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+seqs AS (SELECT DISTINCT domain, server_id, sequence FROM cdc_events),
+lagged AS (
+    SELECT domain, server_id, sequence,
+           lag(sequence) OVER (PARTITION BY domain, server_id
+                               ORDER BY sequence) AS prev_seq
+    FROM seqs
+)
+SELECT domain, server_id,
+       CAST(prev_seq + 1 AS BIGINT) AS gap_start,
+       CAST(sequence - 1 AS BIGINT) AS gap_end,
+       CAST(sequence - prev_seq - 1 AS BIGINT) AS gap_size
+FROM lagged
+WHERE prev_seq IS NOT NULL AND sequence > prev_seq + 1
+""",
+    doc="Sequence-gap detection — the operational 'did we lose events?' "
+    "monitor an at-least-once CDC consumer (cdc_connector.h:62-69 resume "
+    "contract) runs continuously. Emits every missing [gap_start, "
+    "gap_end] range per (domain, server_id) stream. The oracle is the "
+    "textbook per-stream lag() window; the Spark plan is the DISTRIBUTED "
+    "form: sequences bucket by DIV 100k, gaps INSIDE a bucket come from "
+    "a window partitioned by (stream, bucket) — thousands of independent "
+    "partitions, no per-stream reducer funnel — and gaps ACROSS bucket "
+    "boundaries from a per-bucket min/max aggregate (rows = #buckets, "
+    "not #events) lagged per stream. Same answer, no single-partition "
+    "sort of a 100 TB log.",
+)
+def cdc_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    bucket_width = 100_000
+    ev = synthetic_customer_events(spark, sf_dir)
+    seqs = ev.select("domain", "server_id", "sequence").distinct()
+    b = seqs.withColumn("bk", F.expr(f"sequence DIV {bucket_width}"))
+
+    gap_cols = [
+        F.col("domain"),
+        F.col("server_id"),
+        (F.col("prev_seq") + 1).cast("bigint").alias("gap_start"),
+        (F.col("sequence") - 1).cast("bigint").alias("gap_end"),
+        (F.col("sequence") - F.col("prev_seq") - 1).cast("bigint").alias("gap_size"),
+    ]
+    # Gaps inside a bucket: window keyed on (stream, bucket) — parallel.
+    w_in = W.partitionBy("domain", "server_id", "bk").orderBy("sequence")
+    inside = (
+        b.withColumn("prev_seq", F.lag("sequence").over(w_in))
+        .filter(F.col("prev_seq").isNotNull() & (F.col("sequence") > F.col("prev_seq") + 1))
+        .select(*gap_cols)
+    )
+    # Gaps across bucket boundaries: one row per non-empty bucket.
+    bounds = b.groupBy("domain", "server_id", "bk").agg(
+        F.min("sequence").alias("lo"), F.max("sequence").alias("hi")
+    )
+    w_bk = W.partitionBy("domain", "server_id").orderBy("bk")
+    across = (
+        bounds.withColumn("prev_seq", F.lag("hi").over(w_bk))
+        .withColumn("sequence", F.col("lo"))
+        .filter(F.col("prev_seq").isNotNull() & (F.col("sequence") > F.col("prev_seq") + 1))
+        .select(*gap_cols)
+    )
+    return inside.unionByName(across)

@@ -17,6 +17,7 @@ CDC_QUERIES = [
     "cdc_scd2_history",
     "cdc_incremental_agg",
     "cdc_point_in_time",
+    "cdc_sequence_gaps",
 ]
 
 

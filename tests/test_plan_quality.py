@@ -239,3 +239,12 @@ def test_chunk_dedup_shuffles_digests_only(spark, sf_dir) -> None:
     assert s.has("HashAggregate")
     assert not s.has("SortMergeJoin")
     assert not s.has("CartesianProduct")
+
+
+def test_sequence_gaps_window_is_bucket_partitioned(spark, sf_dir) -> None:
+    """The per-event lag window must key on (stream, bucket), never on the
+    stream alone — a bare per-stream window funnels the whole log through
+    one reducer. The tiny per-bucket boundary window is allowed."""
+    s = _summary(spark, sf_dir, "cdc_sequence_gaps")
+    assert s.has("Window")
+    assert "bk" in s.text, "per-event window lost its bucket key"
