@@ -1426,3 +1426,31 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_votes").cast("bigint").alias("n_votes"),
         )
     )
+
+
+@register(
+    "text_approx_top_k_words",
+    oracle=None,  # sketch output: row SET can split on arbitrary tie choice
+    # at the sketch boundary, so it gets a rows-only driver check; pytest
+    # pins exactness against the brute-force count on this corpus (the
+    # sketch tracks far more items than the vocabulary has).
+    doc="Heavy-hitter words via the approx_top_k sketch (completes the "
+    "mergeable-sketch family next to approx_count_distinct and "
+    "approx_percentile): one pass, fixed memory per partition, partial "
+    "sketches merge associatively — the 100 TB vocabulary profile where "
+    "an exact groupBy would shuffle the whole token stream. Results are "
+    "re-ranked deterministically (count DESC, word ASC) after the "
+    "sketch.",
+)
+def text_approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    tok = d.select(F.explode(words("text")).alias("w"))
+    sk = tok.agg(F.expr("approx_top_k(w, 10, 10000)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("word"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("word"))
+    )

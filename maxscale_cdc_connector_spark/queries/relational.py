@@ -2166,3 +2166,41 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
         .select("s_suppkey", "s_name")
     )
+
+
+@register(
+    "events_user_features",
+    oracle="""
+WITH e AS (
+    SELECT user_id, event_type, value,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us
+    FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS sum_value,
+       max(ts_us) AS last_seen_us,
+       CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT) AS n_active_days
+FROM e GROUP BY user_id
+""",
+    doc="Per-user feature extraction (the feature-engineering aggregate a "
+    "behavioral model trains on): event count, purchase count, value "
+    "total, recency, active-day count — ONE hash aggregate keyed on "
+    "user_id; the distinct-day count rides the same shuffle via partial "
+    "dedup. Uses the type-adaptive ts normalization "
+    "(session.events_ts_us), so the query survives the physical "
+    "timestamp type drifting between captures.",
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max("ts_us").alias("last_seen_us"),
+        F.countDistinct(F.expr("ts_us DIV 86400000000")).cast("bigint").alias("n_active_days"),
+    )

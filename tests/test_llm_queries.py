@@ -258,3 +258,33 @@ def test_rewrite_corpus_drops_exactly_noncanonical(spark, sf_dir):
     clusters = REGISTRY["dedup_cluster_cc"].fn(spark, sf_dir).collect()
     for r in clusters:
         assert (r["doc_id"] in kept) == bool(r["is_canonical"]), r
+
+
+def test_approx_top_k_words_counts_exact_modulo_boundary_ties(spark, sf_dir):
+    """The sketch tracks far more items than the vocabulary holds, so every
+    reported count must be EXACT and every reported word must belong to a
+    valid top-10 (its count >= the exact 10th-highest count); only the
+    arbitrary choice among boundary ties may differ from the brute force."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.functions.text_fns import words
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    approx = {
+        r.word: r.n
+        for r in REGISTRY["text_approx_top_k_words"].fn(spark, sf_dir).collect()
+    }
+    exact = dict(
+        load_table(spark, "documents", sf_dir)
+        .select(F.explode(words("text")).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    assert len(approx) == 10
+    kth = sorted(exact.values(), reverse=True)[9]
+    for w, n in approx.items():
+        assert exact[w] == n, f"{w}: sketch count {n} != exact {exact[w]}"
+        assert n >= kth, f"{w}: count {n} below the exact top-10 floor {kth}"

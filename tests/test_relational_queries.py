@@ -74,6 +74,7 @@ RELATIONAL = [
     "tpch_q12_priority_class",
     "tpch_q15_top_supplier",
     "tpch_q20_promotion_suppliers",
+    "events_user_features",
 ]
 
 
