@@ -200,14 +200,21 @@ def stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(log_dir)
     # Split the log into 4 files by sequence range so inserts, updates and
     # deletes for the same key land in DIFFERENT micro-batches — the merge
-    # must get the same answer as the batch oracle anyway.
+    # must get the same answer as the batch oracle anyway. Each range is
+    # written executor-side (coalesce(1).write.json) and moved into place;
+    # the previous driver-side toLocalIterator loop serialized the whole
+    # log through one Python process.
     bounds = [(0, 5_000_000), (5_000_000, 10_000_000),
               (10_000_000, 20_000_000), (20_000_000, 1 << 62)]
+    import glob
+
     for i, (lo, hi) in enumerate(bounds):
         part = ev.filter((F.col("sequence") >= lo) & (F.col("sequence") < hi))
-        with open(os.path.join(log_dir, f"part-{i:03d}.jsonl"), "w") as fh:
-            for row in part.toJSON().toLocalIterator():
-                fh.write(row + "\n")
+        tmp_dir = os.path.join(base, f"tmp-{i:03d}")
+        part.coalesce(1).write.mode("overwrite").json(tmp_dir)
+        (src_file,) = glob.glob(os.path.join(tmp_dir, "part-*.json"))
+        shutil.move(src_file, os.path.join(log_dir, f"part-{i:03d}.jsonl"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
 
     stream = replay_stream(
         spark, log_dir, CUSTOMER_SCHEMA_RECORD, max_files_per_trigger=1
