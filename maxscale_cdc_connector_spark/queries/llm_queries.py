@@ -1454,3 +1454,38 @@ def text_approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("word"))
     )
+
+
+@register(
+    "text_language_confusion",
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           {_lang_hits_sql('en')} AS en_hits,
+           {_lang_hits_sql('es')} AS es_hits,
+           {_lang_hits_sql('de')} AS de_hits,
+           {_lang_hits_sql('fr')} AS fr_hits
+    FROM documents
+),
+pred AS (
+    SELECT lang,
+           CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                WHEN de_hits >= fr_hits THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM scored
+)
+SELECT lang, lang_pred, count(*) AS n_docs
+FROM pred GROUP BY lang, lang_pred
+""",
+    doc="Language-ID confusion matrix: labeled lang vs stopword-heuristic "
+    "prediction — the classifier-quality eval a corpus-curation pipeline "
+    "runs before trusting a language filter (each off-diagonal cell is "
+    "misrouted training data). Row-local scoring + one tiny "
+    "(|langs| x |langs|) aggregate.",
+)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+
+    pred = REGISTRY["text_language_id"].fn(spark, sf_dir)
+    return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))

@@ -2204,3 +2204,58 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts_us").alias("last_seen_us"),
         F.countDistinct(F.expr("ts_us DIV 86400000000")).cast("bigint").alias("n_active_days"),
     )
+
+
+@register(
+    "orders_rfm_segmentation",
+    oracle="""
+WITH base AS (
+    SELECT o_custkey,
+           CAST(date_diff('day', DATE '1995-01-01',
+                CAST(max(o_orderdate) AS DATE)) AS BIGINT) AS recency_days,
+           count(*) AS frequency,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_e2
+    FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_e2,
+       CAST(ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS BIGINT) AS r_quartile,
+       CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_quartile,
+       CAST(ntile(4) OVER (ORDER BY monetary_e2, o_custkey) AS BIGINT) AS m_quartile
+FROM base
+""",
+    doc="RFM customer segmentation (recency / frequency / monetary "
+    "quartiles): the classic behavioral-cohort feature set. One hash "
+    "aggregate over orders (monetary kept in exact integer cents), then "
+    "three ntile windows over the |customers|-sized aggregate — the "
+    "windows order a table five orders of magnitude smaller than the "
+    "fact, with fully deterministic (metric, custkey) tie-breaks so "
+    "quartile boundaries are engine-independent.",
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    base = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("monetary_e2"),
+    )
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_e2",
+        F.ntile(4)
+        .over(W.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("r_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("f_quartile"),
+        F.ntile(4)
+        .over(W.orderBy(F.asc("monetary_e2"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("m_quartile"),
+    )

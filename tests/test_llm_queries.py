@@ -35,6 +35,7 @@ ORACLE_CHECKED = [
     "embedding_normalize_l2",
     "embedding_quantize_int8",
     "embedding_knn_label_vote",
+    "text_language_confusion",
 ]
 
 

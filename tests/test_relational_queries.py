@@ -75,6 +75,7 @@ RELATIONAL = [
     "tpch_q15_top_supplier",
     "tpch_q20_promotion_suppliers",
     "events_user_features",
+    "orders_rfm_segmentation",
 ]
 
 

@@ -301,3 +301,21 @@ def test_connected_components_empty_edges(spark) -> None:
     out = connected_components(empty)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_token_budget_sample_is_partitioning_invariant(spark, sf_dir) -> None:
+    """The distributed prefix sum must produce the identical admitted set
+    and cumulative totals regardless of how the input is partitioned —
+    the property that makes it safe to swap cluster sizes."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    fn = REGISTRY["pipeline_token_budget_sample"].fn
+    base = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in fn(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        skewed = {(r.doc_id, r.n_tokens, r.cum_tokens) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == skewed
