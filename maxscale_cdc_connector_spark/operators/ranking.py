@@ -1,0 +1,67 @@
+"""Distributed exact ranking: global row_number / ntile without a
+single-partition window.
+
+``F.ntile(k).over(Window.orderBy(...))`` (no partitionBy) funnels the
+whole input through ONE reducer — fine for a 1.5k-row aggregate, fatal
+for a 100M-row one. The distributed form here is the classic
+range-partitioned prefix sum:
+
+1. ``repartitionByRange`` on the order columns — the range partitioner
+   is order-preserving across partition ids, so partition *i* holds
+   ranks strictly below partition *i+1*;
+2. per-partition row counts (one tiny aggregate, rows = #partitions)
+   turned into cumulative offsets by a window over that tiny frame —
+   the ONLY unpartitioned step, size-independent of the data;
+3. global rank = partition offset + within-partition ``row_number``;
+4. tile from rank by the exact NTILE split (the first ``n mod k`` tiles
+   get ``n div k + 1`` rows), so results are bit-identical to the
+   window form — pinned by test.
+
+The order columns must define a TOTAL order (include a unique
+tie-breaker) or ranks — like window ntile's — would be nondeterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def exact_ntile(
+    df: DataFrame, order_by: list[Column], k: int, out: str = "tile"
+) -> DataFrame:
+    """``df`` plus column ``out`` = NTILE(k) over the given total order."""
+    pid = "_ent_pid"
+    ranged = df.repartitionByRange(*order_by).withColumn(pid, F.spark_partition_id())
+    # Tiny frame: one row per partition. Cumulative count of the
+    # preceding partitions = this partition's global rank offset.
+    w_off = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy(pid).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    offsets = (
+        ranged.groupBy(pid)
+        .agg(F.count(F.lit(1)).alias("_ent_cnt"))
+        .select(
+            pid,
+            F.coalesce(F.sum("_ent_cnt").over(w_off), F.lit(0)).alias("_ent_off"),
+            F.sum("_ent_cnt").over(w_all).alias("_ent_n"),
+        )
+    )
+    w_in = W.partitionBy(pid).orderBy(*order_by)
+    ranked = (
+        ranged.join(F.broadcast(offsets), pid)
+        .withColumn("_ent_rank", F.col("_ent_off") + F.row_number().over(w_in))
+    )
+    # Exact NTILE split, all integer arithmetic (DIV) so the tile is
+    # bit-identical to the window form on both engines.
+    q = f"(_ent_n DIV {k})"
+    r = f"(_ent_n % {k})"
+    big = f"({r} * ({q} + 1))"
+    tile = (
+        f"CAST(CASE WHEN _ent_rank <= {big} "
+        f"THEN (_ent_rank - 1) DIV ({q} + 1) "
+        f"ELSE {r} + (_ent_rank - {big} - 1) DIV {q} "
+        f"END + 1 AS BIGINT)"
+    )
+    return ranked.withColumn(out, F.expr(tile)).drop(
+        pid, "_ent_off", "_ent_n", "_ent_rank"
+    )

@@ -2227,12 +2227,16 @@ FROM base
     doc="RFM customer segmentation (recency / frequency / monetary "
     "quartiles): the classic behavioral-cohort feature set. One hash "
     "aggregate over orders (monetary kept in exact integer cents), then "
-    "three ntile windows over the |customers|-sized aggregate — the "
-    "windows order a table five orders of magnitude smaller than the "
-    "fact, with fully deterministic (metric, custkey) tie-breaks so "
-    "quartile boundaries are engine-independent.",
+    "three EXACT DISTRIBUTED ntiles (operators/ranking.exact_ntile: "
+    "range-partition + per-partition offset prefix sum) — the oracle's "
+    "unpartitioned ntile window would funnel all customers through one "
+    "reducer at scale; the distributed form is bit-identical (pinned in "
+    "tests) with deterministic (metric, custkey) tie-breaks so quartile "
+    "boundaries are engine-independent.",
 )
 def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_ntile
+
     o = t(spark, "orders", sf_dir)
     base = o.groupBy("o_custkey").agg(
         F.datediff(F.max("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
@@ -2241,21 +2245,21 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("monetary_e2"),
     )
+    base = exact_ntile(
+        base, [F.desc("recency_days"), F.asc("o_custkey")], 4, out="r_quartile"
+    )
+    base = exact_ntile(
+        base, [F.asc("frequency"), F.asc("o_custkey")], 4, out="f_quartile"
+    )
+    base = exact_ntile(
+        base, [F.asc("monetary_e2"), F.asc("o_custkey")], 4, out="m_quartile"
+    )
     return base.select(
         "o_custkey",
         "recency_days",
         "frequency",
         "monetary_e2",
-        F.ntile(4)
-        .over(W.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("r_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.asc("frequency"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("f_quartile"),
-        F.ntile(4)
-        .over(W.orderBy(F.asc("monetary_e2"), F.asc("o_custkey")))
-        .cast("bigint")
-        .alias("m_quartile"),
+        "r_quartile",
+        "f_quartile",
+        "m_quartile",
     )

@@ -98,3 +98,39 @@ def test_approx_distinct_rows_only(spark, sf_dir):
     truth = {r.l_returnflag: r.n_parts for r in exact.collect()}
     for flag, n in truth.items():
         assert abs(approx[flag] - n) / n < 0.05, (flag, approx[flag], n)
+
+
+def test_exact_ntile_matches_window_ntile(spark):
+    """The distributed ntile (range-partition + offset prefix sum) must be
+    bit-identical to the single-reducer window form, including the uneven
+    leading-tile split, n < k, and heavy ties."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.ranking import exact_ntile
+
+    for n, k in [(1, 4), (3, 4), (17, 4), (503, 7)]:
+        df = spark.range(n).select("id", (F.xxhash64("id") % 5).alias("v"))
+        order = [F.asc("v"), F.asc("id")]
+        got = {r.id: r.tile for r in exact_ntile(df, order, k).collect()}
+        want = {
+            r.id: r.t
+            for r in df.withColumn(
+                "t", F.ntile(k).over(W.orderBy(*order)).cast("bigint")
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_rfm_windows_partition_by_range_bucket(spark, sf_dir):
+    """The per-row rank windows must key on the range-partition id — an
+    unpartitioned ntile window over the customer aggregate would funnel
+    every customer through one reducer at scale. (The only unpartitioned
+    window allowed is the offsets frame: one row per partition.)"""
+    from maxscale_cdc_connector_spark.plans import plan_summary
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    s = plan_summary(REGISTRY["orders_rfm_segmentation"].fn(spark, sf_dir))
+    assert "_ent_pid" in s.text, "distributed ntile lost its partition key"
+    assert not s.has("NTile") or "_ent_pid" in s.text
