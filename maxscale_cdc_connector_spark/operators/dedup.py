@@ -96,9 +96,20 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def shingle_sets(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
 ) -> DataFrame:
-    """(id, shingle) pairs, set semantics (distinct)."""
+    """(id, shingle) pairs, set semantics (distinct).
+
+    The shingle is carried as its ``xxhash64`` (8 bytes) rather than the
+    ~40-char string: every downstream consumer (set sizes, the inverted-
+    index equi-join, intersection counts) needs only equality, so the
+    hash halves-to-fifths the bytes through BOTH shuffles (the distinct
+    and the join). Collision risk at 500k distinct shingles is ~7e-9
+    (birthday bound over 2^64) — far below any float-rounding tolerance
+    already accepted, and the DuckDB oracles compare only the derived
+    counts, which hashing preserves.
+    """
+    hashed = F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s))
     return (
-        docs.select(F.col(id_col), F.explode(word_shingles(text_col, k)).alias("shingle"))
+        docs.select(F.col(id_col), F.explode(hashed).alias("shingle"))
         .distinct()
     )
 
