@@ -165,8 +165,13 @@ def shingle_arrays(
     The per-doc shingle *set* as an array column: at scale this is the
     shape that matters, because signatures and verification both derive
     from it without ever exploding the corpus into (doc, shingle) rows.
+    Elements are ``xxhash64`` of the 5-gram (see :func:`shingle_sets` for
+    the collision analysis): the MinHash slots re-hash per seed and the
+    exact-Jaccard verification intersects sets — both need only element
+    identity, and 8-byte longs make the persisted arrays and the
+    candidate-verification joins ~5x lighter than 40-char strings.
     """
-    arr = F.array_distinct(word_shingles(text_col, k))
+    arr = F.array_distinct(F.transform(word_shingles(text_col, k), lambda s: F.xxhash64(s)))
     return docs.select(
         F.col(id_col), arr.alias("shingles"), F.size(arr).alias("set_size")
     )
