@@ -300,11 +300,15 @@ def simhash_fingerprints(
     """63-bit SimHash per document (Charikar): per-bit weighted majority
     of token hashes, token weight = term frequency. One explode + one
     hash-agg with 63 conditional sums — all codegen'd."""
+    # Hash BEFORE the (doc, token) aggregate: the fingerprint only ever
+    # reads xxhash64(w), so grouping on the 8-byte hash directly makes
+    # the term-frequency shuffle carry longs instead of strings with
+    # bit-identical output.
     tok = (
         docs.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
-        .groupBy(id_col, "w")
+        .select(id_col, F.xxhash64("w").alias("h"))
+        .groupBy(id_col, "h")
         .agg(F.count("*").alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
     )
     bit_sums = [
         F.sum(
