@@ -560,3 +560,86 @@ def cdc_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(*gap_cols)
     )
     return inside.unionByName(across)
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+snap1 AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+        ) AS rn
+        FROM cdc_events WHERE event_ts <= 1599999999
+    ) WHERE rn = 1 AND event_type <> 'delete'
+),
+snap2 AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+        ) AS rn
+        FROM cdc_events
+    ) WHERE rn = 1 AND event_type <> 'delete'
+)
+SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'removed'
+            WHEN a.c_custkey IS NULL THEN 'added'
+            ELSE 'changed' END AS change,
+       CAST(round(a.c_acctbal * 100) AS BIGINT) AS old_acctbal_e2,
+       CAST(round(b.c_acctbal * 100) AS BIGINT) AS new_acctbal_e2
+FROM snap1 a
+FULL OUTER JOIN snap2 b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL
+   OR a.c_acctbal <> b.c_acctbal OR a.c_name <> b.c_name
+   OR a.c_nationkey <> b.c_nationkey OR a.c_mktsegment <> b.c_mktsegment
+""",
+    doc="Snapshot diff between two points in time: what changed in the "
+    "table between T1 and T2 — the audit/reconciliation query a CDC "
+    "consumer runs to answer 'what did last night's replication do'. "
+    "Each snapshot is the hash-agg max_by state (no window sort) at its "
+    "cutoff; the diff is a full outer join on the primary key with "
+    "added/removed/changed classification. Both sides shuffle once on "
+    "the key and balances are exact integer cents.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = synthetic_customer_events(spark, sf_dir)
+    s1 = latest_snapshot(ev.filter(F.col("event_ts") <= 1_599_999_999), ["c_custkey"])
+    s2 = latest_snapshot(ev, ["c_custkey"])
+    a = s1.select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_acctbal").alias("bal1"),
+        F.col("c_name").alias("name1"),
+        F.col("c_nationkey").alias("nat1"),
+        F.col("c_mktsegment").alias("seg1"),
+    )
+    b = s2.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_acctbal").alias("bal2"),
+        F.col("c_name").alias("name2"),
+        F.col("c_nationkey").alias("nat2"),
+        F.col("c_mktsegment").alias("seg2"),
+    )
+    change = (
+        F.when(F.col("k2").isNull(), "removed")
+        .when(F.col("k1").isNull(), "added")
+        .otherwise("changed")
+    )
+    differs = (
+        F.col("k1").isNull()
+        | F.col("k2").isNull()
+        | (F.col("bal1") != F.col("bal2"))
+        | (F.col("name1") != F.col("name2"))
+        | (F.col("nat1") != F.col("nat2"))
+        | (F.col("seg1") != F.col("seg2"))
+    )
+    return (
+        a.join(b, a.k1 == b.k2, "full_outer")
+        .filter(differs)
+        .select(
+            F.coalesce(F.col("k1"), F.col("k2")).alias("c_custkey"),
+            change.alias("change"),
+            F.expr("cast(round(bal1 * 100) as bigint)").alias("old_acctbal_e2"),
+            F.expr("cast(round(bal2 * 100) as bigint)").alias("new_acctbal_e2"),
+        )
+    )

@@ -18,6 +18,7 @@ CDC_QUERIES = [
     "cdc_incremental_agg",
     "cdc_point_in_time",
     "cdc_sequence_gaps",
+    "cdc_snapshot_diff",
 ]
 
 
