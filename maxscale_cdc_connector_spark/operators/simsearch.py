@@ -58,8 +58,31 @@ def topk_cosine(
 PAIRWISE_BLOCK = 2048  # vectors per GEMM block (~0.5 MB of float32 at d=64)
 
 
+def _estimated_rows(df: DataFrame, fallback_row_bytes: int = 512) -> int:
+    """Catalyst's row-count estimate for ``df`` — NO job is run.
+
+    The optimized plan's statistics carry an exact ``rowCount`` when
+    available (e.g. after an aggregate or from analyzed tables) and a
+    ``sizeInBytes`` always (parquet file size for scans); divide the
+    latter by a conservative per-row byte guess. Callers must tolerate
+    an estimate — here it only sizes GEMM blocks, never filters rows.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(1, int(str(rc.get())))
+        return max(1, int(str(stats.sizeInBytes())) // fallback_row_bytes)
+    except Exception:  # stats API unavailable (e.g. Connect) — one block
+        return 1
+
+
 def pairwise_threshold(
-    embeddings: DataFrame, tau: float, id_col: str = "vec_id"
+    embeddings: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    block: int = PAIRWISE_BLOCK,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs with cosine ≥ tau (upper triangle), via block-GEMM.
 
@@ -71,6 +94,17 @@ def pairwise_threshold(
     ONE float64 BLAS matmul inside Arrow-batched ``mapInPandas`` — ~2000×
     fewer JVM↔expression transitions for the same arithmetic.
 
+    Block sizing uses Catalyst's plan statistics (or a caller-supplied
+    ``n_rows``), NOT an eager ``count()`` — no job runs before the
+    mapInPandas action itself, and the emitted pair set is independent
+    of the block count, so a rough estimate is safe.
+
+    Pair orientation: ids are hashed into blocks, so a pair's smaller id
+    can land in the HIGHER-numbered block. The upper-triangle mask
+    (``id_a < id_b``) therefore applies only on the diagonal block —
+    where both orientations of a pair appear in one matrix — while
+    cross-block pairs are all kept and re-oriented via min/max.
+
     Bit-exactness: the matmul (reassociated/FMA summation) only NOMINATES
     candidates with a 1e-6 margin below tau; each candidate's similarity
     is then recomputed as the strict left-to-right double fold
@@ -80,8 +114,8 @@ def pairwise_threshold(
     """
     import math as _math
 
-    n = embeddings.count()
-    nb = max(1, _math.ceil(n / PAIRWISE_BLOCK))
+    n = n_rows if n_rows is not None else _estimated_rows(embeddings)
+    nb = max(1, _math.ceil(n / block))
     packed = (
         embeddings.withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)))
         .groupBy("blk")
@@ -107,15 +141,23 @@ def pairwise_threshold(
                 ids_y = np.array([v["id"] for v in row["vs_y"]], dtype=np.int64)
                 my = np.array([v["embedding"] for v in row["vs_y"]], dtype=np.float64)
                 sims = mx @ my.T
-                ai, bi = np.nonzero((sims >= tau - 1e-6) & (ids_x[:, None] < ids_y[None, :]))
+                cand = sims >= tau - 1e-6
+                if row["bx"] == row["by"]:
+                    # Diagonal block: both orientations of every pair are
+                    # in this one matrix — keep the upper triangle only.
+                    cand &= ids_x[:, None] < ids_y[None, :]
+                ai, bi = np.nonzero(cand)
                 if len(ai) == 0:
                     continue
                 # strict sequential refold of the exact products — the
                 # value the Catalyst/DuckDB expression computes
                 exact = np.cumsum(mx[ai] * my[bi], axis=1)[:, -1]
                 keep = exact >= tau
-                out_a.append(ids_x[ai][keep])
-                out_b.append(ids_y[bi][keep])
+                ia, ib = ids_x[ai][keep], ids_y[bi][keep]
+                # Cross-block pairs arrive in hash order, not id order —
+                # restore the upper-triangle orientation explicitly.
+                out_a.append(np.minimum(ia, ib))
+                out_b.append(np.maximum(ia, ib))
                 out_s.append(exact[keep])
             if out_a:
                 yield pd.DataFrame(

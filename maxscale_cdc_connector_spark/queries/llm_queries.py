@@ -1282,14 +1282,19 @@ WITH n AS (
     FROM embeddings
 )
 SELECT vec_id,
+       CAST(g.i AS BIGINT) AS idx,
        round(nrm, 5) AS l2_norm,
-       list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 5)) AS unit
-FROM n
+       round(CAST(embedding[g.i + 1] AS DOUBLE) / nrm, 5) + 0.0 AS unit_val
+FROM n, LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) g
 """,
     doc="L2 normalization: the preprocessing step every cosine-based "
     "dedup/ANN stage assumes (cosine ≡ dot only on unit vectors). "
     "Row-local zip/aggregate expressions — zero shuffles at any scale; "
-    "emits the norm so downstream can assert unit-ness cheaply.",
+    "emits the norm so downstream can assert unit-ness cheaply. Output "
+    "is the exploded scalar form (vec_id, idx, unit_val) — full-fidelity "
+    "per-component values the differential harness can sort and hash "
+    "(raw array columns are uncanonicalizable); the array form is a "
+    "row-local collect_list away.",
 )
 def embedding_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.functions.vectors import norm_l2
@@ -1299,9 +1304,18 @@ def embedding_normalize_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(nrm, 5).alias("l2_norm"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") / nrm, 5)
-        ).alias("unit"),
+        F.posexplode(
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (both engines), so the
+            # harness's sort/%.6f-format sees one representation of zero.
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double") / nrm, 5) + F.lit(0.0)
+            )
+        ).alias("pos", "unit_val"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("idx"),
+        "l2_norm",
+        "unit_val",
     )
 
 
@@ -1314,16 +1328,18 @@ WITH m AS (
     FROM embeddings
 )
 SELECT vec_id,
+       CAST(g.i AS BIGINT) AS idx,
        round(max_abs, 6) AS max_abs,
-       list_transform(embedding,
-           x -> CAST(round(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT)) AS q8
-FROM m
+       CAST(round(CAST(embedding[g.i + 1] AS DOUBLE) * 127 / max_abs) AS BIGINT) AS q8_val
+FROM m, LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) g
 """,
     doc="Symmetric per-vector int8 quantization (q = round(x*127/max_abs)): "
     "the 4x storage/bandwidth cut that makes 100 TB of embeddings "
     "shippable to an ANN index; the per-vector scale rides along for "
     "dequantization. Row-local, integer outputs (exact hash), zero "
-    "shuffles.",
+    "shuffles. Output is the exploded scalar form (vec_id, idx, q8_val) "
+    "— integer-exact rows the differential harness can sort and hash "
+    "(raw array columns are uncanonicalizable).",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
@@ -1331,10 +1347,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.round(max_abs, 6).alias("max_abs"),
-        F.transform(
-            "embedding",
-            lambda x: F.round(x.cast("double") * 127 / max_abs).cast("bigint"),
-        ).alias("q8"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 127 / max_abs).cast("bigint"),
+            )
+        ).alias("pos", "q8_val"),
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("idx"),
+        "max_abs",
+        "q8_val",
     )
 
 

@@ -261,6 +261,48 @@ def test_rewrite_corpus_drops_exactly_noncanonical(spark, sf_dir):
         assert (r["doc_id"] in kept) == bool(r["is_canonical"]), r
 
 
+def test_pairwise_threshold_forced_blocking_matches_single_block(spark, sf_dir):
+    """Cross-block correctness: with block=64 the corpus splits into many
+    GEMM blocks, exercising the off-diagonal path where a pair's smaller
+    id can hash into the HIGHER-numbered block (ids enter blocks by hash,
+    not order). The emitted pair set must equal the single-block run's —
+    which is itself oracle-verified — including orientation (a < b)."""
+    from maxscale_cdc_connector_spark.operators.simsearch import pairwise_threshold
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    single = sorted(map(tuple, pairwise_threshold(emb, tau=0.4, n_rows=1).collect()))
+    blocked = sorted(
+        map(tuple, pairwise_threshold(emb, tau=0.4, block=64, n_rows=n).collect())
+    )
+    assert n // 64 >= 3, "corpus too small to force multiple blocks"
+    assert len(single) > 0
+    assert blocked == single
+    assert all(a < b for a, b, _ in blocked)
+
+
+def test_pairwise_threshold_plans_without_running_a_job(spark, sf_dir):
+    """Block sizing reads Catalyst plan statistics, not an eager count():
+    constructing (and analyzing) the pairs DataFrame must submit zero
+    Spark jobs — at 100 TB an eager count is a whole extra scan."""
+    from maxscale_cdc_connector_spark.operators.simsearch import pairwise_threshold
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    sc = spark.sparkContext
+    group = "pairwise-plan-only-test"
+    sc.setJobGroup(group, "plan construction must be job-free")
+    try:
+        df = pairwise_threshold(emb, tau=0.4)
+        _ = df.schema  # force analysis + the stats-based block sizing
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+    assert list(jobs) == [], f"plan construction ran jobs: {jobs}"
+
+
 def test_approx_top_k_words_counts_exact_modulo_boundary_ties(spark, sf_dir):
     """The sketch tracks far more items than the vocabulary holds, so every
     reported count must be EXACT and every reported word must belong to a
