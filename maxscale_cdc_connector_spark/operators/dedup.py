@@ -129,7 +129,10 @@ def jaccard_pairs(
     without the barrier the scan→explode→distinct pipeline re-executes
     per branch.
     """
-    shingles = shingles.persist()
+    # Persist an internal alias, not the caller's object: persist/
+    # unpersist key on the plan, and unpersisting the caller's own frame
+    # here would silently evict a cache the caller still relies on.
+    shingles = shingles.select("*").persist()
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -32,7 +32,19 @@ def exact_ntile(
 ) -> DataFrame:
     """``df`` plus column ``out`` = NTILE(k) over the given total order."""
     pid = "_ent_pid"
-    ranged = df.repartitionByRange(*order_by).withColumn(pid, F.spark_partition_id())
+    # The pid column embeds spark_partition_id over a SAMPLED range
+    # partitioning — nondeterministic across physical evaluations. Both
+    # the offsets aggregate and the join left side consume it, so the
+    # frame must have exactly ONE physical evaluation: checkpoint it
+    # eagerly (lineage truncated ⇒ re-evaluation impossible) rather than
+    # trusting exchange reuse to unify the two plan branches. The
+    # checkpointed blocks are the (pre-aggregated) ranking input, not
+    # the fact table, and are released by the ContextCleaner.
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     # Tiny frame: one row per partition. Cumulative count of the
     # preceding partitions = this partition's global rank offset.
     w_off = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)

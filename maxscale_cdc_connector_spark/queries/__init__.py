@@ -4,12 +4,18 @@ Importing this package registers all query packs. ``__spark_entry__.py``
 exposes :data:`REGISTRY` to the driver via ``queries()``/``oracle_sql()``.
 """
 
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
 from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, query_map, register
 
 # The driver emits CORRECTNESS rows for a bounded prefix of the registry
 # in registration order, so ``load_all`` orders keys by verification
 # staleness: keys changed or added this round first (they need a fresh
-# row), then keys not yet driver-verified, then keys whose newest green
+# row), then keys never driver-verified, then keys whose newest driver
 # row is oldest. Keys re-verified most recently go last. Every key has
 # full local oracle-parity coverage regardless of driver order
 # (tests/test_registry_coverage.py enforces the parity lists), so rotation never leaves a
@@ -18,27 +24,27 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
-# Round 4: the ten events-table keys broken by the testdata ts-type drift
-# (nanos LongType → timestamp[us]), now normalized via session.events_ts_us;
-# plus the five keys whose execution strategy changed this round
-# (block-GEMM all-pairs cosine; persisted-shingle Jaccard; once-
-# materialized connected-components input).
+# Round 5: the block-GEMM all-pairs kernel was fixed (cross-block pairs
+# whose smaller id hashed into the higher block were dropped) and its
+# block sizing moved to plan statistics — every consumer of
+# pairwise_threshold re-verifies; the two embedding array ops now emit
+# exploded scalar rows (the harness could not canonicalize raw arrays);
+# the k-NN query side gained a fixed-size cap; approx-top-k gained an
+# exact tie-safe oracle; jaccard_pairs persists an internal alias and
+# exact_ntile checkpoints its range-partitioned input once — their
+# consumers re-verify on the changed execution strategy.
 _CHANGED_THIS_ROUND = (
-    "win_sessionize",
-    "funnel_conversion",
-    "retention_cohorts",
-    "join_asof_prev_event",
-    "join_asof_nearest_event",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_interval_join",
-    "stream_interval_join_outer",  # never had a green row; oracle exists
     "simsearch_pairwise_threshold",
     "dedup_embedding_cosine",
+    "embedding_normalize_l2",
+    "embedding_quantize_int8",
+    "embedding_knn_label_vote",
+    "text_approx_top_k_words",
     "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
     "dedup_cluster_cc",
     "dedup_rewrite_corpus",
+    "orders_rfm_segmentation",
 )
 
 # Sentinel keys pinned permanently in the driver's verification prefix:
@@ -50,143 +56,36 @@ _SENTINELS = (
     "dedup_exact_docs",
 )
 
-# Keys whose newest green driver row is CORRECTNESS_r01.
-_VERIFIED_R1 = (
-    "cdc_decode",
-    "cdc_gtid",
-    "cdc_latest_snapshot",
-    "cdc_resume_offset",
-    "cdc_update_pairs",
-    "cdc_changes_between",
-    "cdc_snapshot_join_agg",
-    "cdc_schema_fields",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "simsearch_topk_cosine",
-    "simsearch_pairwise_threshold",
-    "simsearch_ivf_topk",
-    "text_stats",
-    "text_tokenize_tf",
-    "text_language_id",
-    "text_quality_score",
-    "text_fingerprint",
-    "text_token_count",
-    "multimodal_manifest",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "text_tfidf",
-    "simsearch_batch_topk",
-    "pipeline_pretrain_filter",
-    "simsearch_cosine_full",
-    "agg_approx_percentile",
-    "pipeline_pack_sequences",
-    "pipeline_decontaminate",
-    "project_filter",
-    "filter_like_in_between",
-    "join_inner_equi",
-    "join_broadcast",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_range_theta",
-    "join_theta_band",
-    "join_asof_prev_event",
-    "agg_hash",
-    "agg_distinct",
-    "agg_approx_distinct",
-)
 
-# Keys whose newest green driver row is CORRECTNESS_r02.
-_VERIFIED_R2 = (
-    "pipeline_hash_split",
-    "pipeline_source_mix",
-    "agg_rollup",
-    "agg_cube",
-    "agg_filtered",
-    "win_rank",
-    "win_analytic",
-    "win_frame_running",
-    "win_range_frame",
-    "sort_multi_key_limit",
-    "topk_per_group",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except_all",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_json_props",
-    "fn_array",
-    "fn_case_null",
-    "join_skew_salted",
-    "agg_skew_salted",
-    "subq_exists_not_in",
-    "subq_scalar_correlated",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_grouping_sets",
-    "join_asof_nearest_event",
-    "win_ntile_pct",
-    "agg_bool_count_if",
-    "set_except_distinct",
-    "fn_map_props",
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q10_returned",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_filter",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_dedup_exact",
-    "stream_replay_count",
-)
+def _newest_driver_rows() -> dict[str, int]:
+    """{key: newest round with driver evidence}, from the in-repo
+    ``CORRECTNESS_r*.json`` files.
 
-# Keys whose newest green driver hash-row is CORRECTNESS_r03.
-_VERIFIED_R3 = (
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "simsearch_batch_topk",
-    "profile_table",
-    "agg_hash",
-    "agg_skew_salted",
-    "agg_collect_set",
-    "cdc_decode_decimal",
-    "cdc_scd2_history",
-    "cdc_incremental_agg",
-    "cdc_point_in_time",
-    "dedup_cluster_cc",
-    "text_bigram_lm",
-    "text_vocab_topk",
-    "dedup_incremental_new_docs",
-    "dedup_rewrite_corpus",
-    "tpch_q13_custdist",
-    "sql_api_join_agg",
-    "fn_variant_props",
-    "set_intersect_all",
-    "reshape_unpivot",
-    "stream_snapshot_sink",
-    "text_repetition_stats",
-    "text_chunk_passages",
-    "pipeline_domain_cap",
-    "pipeline_shard_shuffle",
-    "text_pii_redact",
-    "cdc_decode",
-    "cdc_gtid",
-    "cdc_latest_snapshot",
-    "cdc_resume_offset",
-    "cdc_update_pairs",
-    "cdc_changes_between",
-    "cdc_snapshot_join_agg",
-    "cdc_schema_fields",
-    "dedup_embedding_cosine",
-    "simsearch_topk_cosine",
-    "simsearch_pairwise_threshold",
-)
+    Evidence = a green hash row (``hash_match``), or — for keys that are
+    rows-only by design — a completed ``no_oracle`` row with a row count.
+    Rows whose harness errored (any other ``err``) are NOT evidence: the
+    key stays maximally stale until a clean row lands. Generated instead
+    of hand-maintained lists so the rotation cannot rot as rounds pass.
+    """
+    root = Path(__file__).resolve().parents[2]
+    newest: dict[str, int] = {}
+    for path in root.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"r(\d+)", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        for key, row in data.items():
+            if not isinstance(row, dict):
+                continue
+            green_hash = row.get("hash_match") is True
+            rows_only = row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            if green_hash or rows_only:
+                newest[key] = max(newest.get(key, 0), rnd)
+    return newest
 
 
 def load_all() -> None:
@@ -201,25 +100,19 @@ def load_all() -> None:
 
     changed = set(_CHANGED_THIS_ROUND)
     sentinels = set(_SENTINELS) - changed
-    r3 = set(_VERIFIED_R3) - changed - sentinels
-    r2 = set(_VERIFIED_R2) - set(_VERIFIED_R3) - changed - sentinels
-    r1 = set(_VERIFIED_R1) - set(_VERIFIED_R2) - set(_VERIFIED_R3) - changed - sentinels
-    known = changed | sentinels | r1 | r2 | r3
+    newest = _newest_driver_rows()
 
-    def tier(key: str) -> int:
+    def tier(key: str) -> tuple[int, int]:
         if key in changed:
-            return 0
+            return (0, 0)
         if key in sentinels:
-            return 1
-        if key not in known:  # new this round: no driver row yet
-            return 2
-        if key in r1:
-            return 3
-        if key in r2:
-            return 4
-        return 5  # r3: freshest evidence, verify last
+            return (1, 0)
+        if key not in newest:  # new or never cleanly driver-verified
+            return (2, 0)
+        return (3, newest[key])  # oldest evidence first, freshest last
 
-    ordered = sorted(REGISTRY, key=lambda k: (tier(k), list(REGISTRY).index(k)))
+    reg_order = {k: i for i, k in enumerate(REGISTRY)}
+    ordered = sorted(REGISTRY, key=lambda k: (tier(k), reg_order[k]))
     items = {k: REGISTRY[k] for k in ordered}
     REGISTRY.clear()
     REGISTRY.update(items)

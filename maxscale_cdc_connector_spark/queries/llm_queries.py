@@ -1361,12 +1361,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-NN label voting: the query side is BROADCAST, so it must be O(K)
+# regardless of corpus size — a percentage-of-corpus query set grows
+# linearly with n and breaks the broadcast at cluster scale. The cap is
+# a pushed range predicate (vec_id < STRIDE*MAX), giving at most
+# KNN_MAX_QUERIES query vectors deterministically.
+KNN_QUERY_STRIDE = 25
+KNN_MAX_QUERIES = 512
+
+
 @register(
     "embedding_knn_label_vote",
     oracle=f"""
 WITH q AS (
     SELECT vec_id AS q_id, embedding AS qe, label AS true_label
-    FROM embeddings WHERE vec_id % 25 = 0
+    FROM embeddings
+    WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+      AND vec_id < {KNN_QUERY_STRIDE * KNN_MAX_QUERIES}
 ),
 scored AS (
     SELECT q.q_id, q.true_label, e.vec_id, e.label,
@@ -1396,12 +1407,14 @@ SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
 FROM best WHERE vr = 1
 """,
     doc="k-NN label voting (label denoising / weak supervision): every "
-    "25th vector is re-labeled by the majority label of its 5 nearest "
-    "neighbors (tie-break: smallest label) — the standard sanity pass "
-    "over labeled embedding corpora before training. Same two-stage "
-    "per-(query, partition) rank as simsearch_batch_topk, so no "
-    "per-query reducer funnel; the vote is a tiny (|queries| x "
-    "|labels|) aggregate. Integer outputs — exact hash.",
+    "25th vector (capped at KNN_MAX_QUERIES — the query side is a "
+    "broadcast, so it must stay O(K) as the corpus grows) is re-labeled "
+    "by the majority label of its 5 nearest neighbors (tie-break: "
+    "smallest label) — the standard sanity pass over labeled embedding "
+    "corpora before training. Same two-stage per-(query, partition) "
+    "rank as simsearch_batch_topk, so no per-query reducer funnel; the "
+    "vote is a tiny (|queries| x |labels|) aggregate. Integer outputs "
+    "— exact hash.",
 )
 def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -1409,7 +1422,10 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.functions.vectors import dot
 
     emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding", "label")
-    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+    q = emb.filter(
+        (F.col("vec_id") % KNN_QUERY_STRIDE == 0)
+        & (F.col("vec_id") < KNN_QUERY_STRIDE * KNN_MAX_QUERIES)
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"),
         F.col("label").alias("true_label"),
@@ -1453,22 +1469,27 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_approx_top_k_words",
-    oracle=None,  # sketch output: row SET can split on arbitrary tie choice
-    # at the sketch boundary, so it gets a rows-only driver check; pytest
-    # pins exactness against the brute-force count on this corpus (the
-    # sketch tracks far more items than the vocabulary has).
+    oracle="""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word)
+SELECT word, n FROM counts ORDER BY n DESC, word LIMIT 10
+""",
     doc="Heavy-hitter words via the approx_top_k sketch (completes the "
     "mergeable-sketch family next to approx_count_distinct and "
     "approx_percentile): one pass, fixed memory per partition, partial "
     "sketches merge associatively — the 100 TB vocabulary profile where "
-    "an exact groupBy would shuffle the whole token stream. Results are "
-    "re-ranked deterministically (count DESC, word ASC) after the "
-    "sketch.",
+    "an exact groupBy would shuffle the whole token stream. The sketch "
+    "over-fetches 32 candidates, then the final top-10 is chosen by the "
+    "deterministic (count DESC, word ASC) order — tie-safe at the k "
+    "boundary as long as the sketch's candidate set covers the ties, "
+    "which its 10000-slot capacity guarantees for this vocabulary "
+    "(pytest pins sketch counts == exact counts); the oracle is the "
+    "exact top-10 under the same total order.",
 )
 def text_approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     tok = d.select(F.explode(words("text")).alias("w"))
-    sk = tok.agg(F.expr("approx_top_k(w, 10, 10000)").alias("tk"))
+    sk = tok.agg(F.expr("approx_top_k(w, 32, 10000)").alias("tk"))
     return (
         sk.select(F.explode("tk").alias("e"))
         .select(
@@ -1476,6 +1497,7 @@ def text_approx_top_k_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("n"),
         )
         .orderBy(F.desc("n"), F.asc("word"))
+        .limit(10)
     )
 
 

@@ -36,6 +36,7 @@ ORACLE_CHECKED = [
     "embedding_quantize_int8",
     "embedding_knn_label_vote",
     "text_language_confusion",
+    "text_approx_top_k_words",
 ]
 
 

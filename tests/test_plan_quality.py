@@ -241,6 +241,26 @@ def test_chunk_dedup_shuffles_digests_only(spark, sf_dir) -> None:
     assert not s.has("CartesianProduct")
 
 
+def test_knn_label_vote_broadcast_side_is_bounded(spark, sf_dir) -> None:
+    """The k-NN query side is broadcast, so it must be O(K) regardless of
+    corpus size: the bounding range predicate (vec_id < STRIDE*MAX) must
+    reach the query-side parquet scan as a pushed filter, and the corpus
+    must never shuffle for this join."""
+    from maxscale_cdc_connector_spark.queries.llm_queries import (
+        KNN_MAX_QUERIES,
+        KNN_QUERY_STRIDE,
+    )
+
+    s = _summary(spark, sf_dir, "embedding_knn_label_vote")
+    cap = KNN_QUERY_STRIDE * KNN_MAX_QUERIES
+    assert any(
+        "vec_id" in p and str(cap) in p for p in s.pushed_filters
+    ), f"bounding cap {cap} not pushed to the query-side scan: {s.pushed_filters}"
+    assert s.has("BroadcastExchange"), s.nodes
+    assert not s.has("SortMergeJoin"), s.nodes
+    assert not s.has("CartesianProduct"), s.nodes
+
+
 def test_sequence_gaps_window_is_bucket_partitioned(spark, sf_dir) -> None:
     """The per-event lag window must key on (stream, bucket), never on the
     stream alone — a bare per-stream window funnels the whole log through
