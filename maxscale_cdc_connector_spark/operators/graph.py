@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
 
+# Convergence telemetry: rounds taken by the most recent
+# connected_components call in this process. A pathological corpus
+# (adversarial chain structure, LSH bucket blowup) shows up as a rising
+# round count long before it becomes a timeout — bench.py exports this
+# as ``cc_rounds`` so the number is recorded per round, not guessed.
+LAST_ROUNDS: int | None = None
+
 
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free the block-manager storage behind a localCheckpointed frame.
@@ -72,10 +79,15 @@ def connected_components(
     if algorithm not in ("two_phase", "label_prop"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     edges0 = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
+    ro = rounds_out if rounds_out is not None else []
     try:
         if algorithm == "two_phase":
-            return _two_phase(edges0, src, dst, max_iters, rounds_out)
-        return _label_prop(edges0, src, dst, max_iters, rounds_out)
+            out = _two_phase(edges0, src, dst, max_iters, ro)
+        else:
+            out = _label_prop(edges0, src, dst, max_iters, ro)
+        global LAST_ROUNDS
+        LAST_ROUNDS = ro[-1] if ro else None
+        return out
     finally:
         # Both algorithms return frames whose lineage stops at their own
         # checkpoints (nodes/e/labels), so the input blocks can be freed

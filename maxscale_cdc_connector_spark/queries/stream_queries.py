@@ -241,6 +241,85 @@ def stream_snapshot_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_snapshot_evolved",
+    oracle="""
+SELECT c_custkey,
+       c_name,
+       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END AS c_acctbal,
+       CASE WHEN c_custkey % 10 = 0 THEN 'MACHINERY' ELSE c_mktsegment END AS c_mktsegment,
+       CASE WHEN c_custkey % 10 = 0 THEN 'GOLD' ELSE NULL END AS c_tier
+FROM customer
+""",
+    doc="Snapshot sink across a mid-stream ALTER TABLE (the reference's "
+    "schema hot-swap, cdc_connector.cpp:339-344, meeting Spark's fixed-"
+    "schema-per-query model): phase 1 replays pre-ALTER inserts under the "
+    "original schema record; phase 2 — a NEW streaming incarnation, as "
+    "the schema-restart wrapper would start — replays post-ALTER updates "
+    "carrying an added c_tier column into the SAME state table. The "
+    "merged snapshot (parquet mergeSchema + unionByName allowMissing"
+    "Columns) must show NULL-backfilled c_tier on untouched keys and the "
+    "post-ALTER payload on updated ones — the same backfill MariaDB "
+    "applies to rows predating an ADD COLUMN. Exact-hash oracle over the "
+    "batch-derivable final state.",
+)
+def stream_snapshot_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+    from maxscale_cdc_connector_spark.streaming.ops import write_snapshot_stream
+
+    evolved_record = json.loads(CUSTOMER_SCHEMA_RECORD)
+    evolved_record["fields"] = evolved_record["fields"] + [
+        {"name": "c_tier", "type": "string", "real_type": "varchar", "length": 10}
+    ]
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    pre = ev.filter(F.col("event_type") == "insert")
+    post = ev.filter(F.col("event_type") == "update_after").withColumn(
+        "c_tier", F.lit("GOLD")
+    )
+
+    base = os.path.join(tempfile.gettempdir(), f"snapevolve-{uuid.uuid4().hex[:12]}")
+    state = os.path.join(base, "state")
+
+    def replay_phase(events: DataFrame, schema, log_name: str, ckpt_name: str) -> None:
+        log_dir = os.path.join(base, log_name)
+        events.coalesce(1).write.mode("overwrite").json(log_dir)
+        query, _ = write_snapshot_stream(
+            replay_stream(spark, log_dir, schema),
+            path=state,
+            key_cols=["c_custkey"],
+            checkpoint_dir=os.path.join(base, ckpt_name),
+            trigger={"availableNow": True},
+        )
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError(f"{log_name} replay did not finish in 300s")
+
+    try:
+        # Phase 1: pre-ALTER schema. Phase 2: separate checkpoint — a
+        # schema change forces a new streaming incarnation (the restart
+        # wrapper's contract); the state table carries over.
+        replay_phase(pre, CUSTOMER_SCHEMA_RECORD, "log-pre", "ckpt-pre")
+        replay_phase(post, evolved_record, "log-post", "ckpt-post")
+
+        from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+
+        snap = SnapshotSink(state, ["c_custkey"]).snapshot(spark).select(
+            "c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_tier"
+        )
+        out = snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_replay_count",
     oracle=None,  # true streaming execution — rows-only driver check.
     doc="File-replay smoke through the real Structured Streaming path: "

@@ -10,6 +10,7 @@ ORACLE_CHECKED = [
     "stream_session_window",
     "stream_dedup_exact",
     "stream_snapshot_sink",
+    "stream_snapshot_evolved",
     "stream_interval_join",
     "stream_interval_join_outer",
 ]
