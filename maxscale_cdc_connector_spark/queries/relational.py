@@ -2263,3 +2263,208 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_quartile",
         "m_quartile",
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H optimizer pack 4: the remaining expressible queries — q8 (market
+# share: two-level conditional aggregate over a 6-way join), q9 (profit
+# by nation/year; lineitem prices stand in for partsupp supplycost, which
+# the schema lacks), q21 (multi-supplier wait chains: one semi + one anti
+# self-correlated join on the same key). q2/q11 need partsupp and have no
+# faithful stand-in, so they are out of scope by schema, not by engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN sn.n_name = 'NATION_2'
+                      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+                    AS DOUBLE), 6) AS mkt_share
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = cn.n_regionkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE r.r_name = 'ASIA'
+  AND p.p_type = 'STANDARD'
+  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY o_year
+""",
+    doc="TPC-H Q8: a nation's market share inside one region's market for "
+    "one part type, by order year — the numerator is a conditional sum "
+    "over the same joined rows as the denominator, so ONE aggregate pass "
+    "computes both (no second join). All five dimensions (nation x2, "
+    "region, part-filtered, supplier) broadcast; the fact side shuffles "
+    "only on its join keys. Both sums are exact integer 1e-4 units "
+    "(summation-order-independent), so the 6 d.p. share hashes stably.",
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = t(spark, "customer", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    s = t(spark, "supplier", sf_dir)
+    p = t(spark, "part", sf_dir).filter(F.col("p_type") == "STANDARD")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol_e4 = F.expr(
+        "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", vol_e4).otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(vol_e4).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle="""
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS profit_e4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+    doc="TPC-H Q9 shape (no partsupp in the schema, so profit is gross "
+    "revenue rather than revenue minus supplycost — the join/agg shape "
+    "is unchanged): profit by supplier nation and order year for parts "
+    "matching a name substring. The part filter (non-sargable LIKE) "
+    "still prunes the fact early via the broadcast hash join; nation "
+    "and supplier broadcast; one shuffle for the final (nation, year) "
+    "aggregate. Profit is an exact integer 1e-4-unit sum (2dp price x "
+    "2dp discount lands on the 1e-4 lattice) — round(sum(float),2) is "
+    "summation-order-dependent at the half-cent boundary.",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.expr(
+                "sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint))"
+            ).alias("profit_e4")
+        )
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+WITH late AS (
+    SELECT l.l_orderkey, l.l_suppkey
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY ALL
+),
+order_supps AS (
+    SELECT l_orderkey, l_suppkey FROM lineitem GROUP BY ALL
+)
+SELECT s.s_name, count(*) AS numwait
+FROM late
+JOIN supplier s ON s.s_suppkey = late.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_1'
+  AND EXISTS (
+      SELECT 1 FROM order_supps o2
+      WHERE o2.l_orderkey = late.l_orderkey AND o2.l_suppkey <> late.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM late l3
+      WHERE l3.l_orderkey = late.l_orderkey AND l3.l_suppkey <> late.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 20
+""",
+    doc="TPC-H Q21 shape (late := shipped >90 days after ordering — the "
+    "schema has no commitdate/receiptdate): suppliers from one nation "
+    "who were the SOLE late supplier on a finished multi-supplier order. "
+    "The correlated EXISTS / NOT EXISTS pair decorrelates to a left-semi "
+    "and a left-anti self-join of the per-(order, supplier) frame on "
+    "l_orderkey with a suppkey-inequality residual — three shuffles on "
+    "the same key, which AQE coalesces; the supplier/nation dims "
+    "broadcast; final top-20 via TakeOrderedAndProject.",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    order_supps = li.select("l_orderkey", "l_suppkey").distinct()
+    s = t(spark, "supplier", sf_dir)
+    n = t(spark, "nation", sf_dir).filter(F.col("n_name") == "NATION_1")
+    other = order_supps.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    sole_late = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

@@ -35,7 +35,13 @@ def test_project_filter_pushdown_and_pruning(spark, sf_dir) -> None:
 def test_dim_joins_broadcast_not_shuffle(spark, sf_dir) -> None:
     """Small-dimension joins must be broadcast hash joins: no shuffle of
     the fact side, no sort-merge."""
-    for name in ["join_broadcast", "tpch_q3_shipping", "tpch_q5_local_supplier"]:
+    for name in [
+        "join_broadcast",
+        "tpch_q3_shipping",
+        "tpch_q5_local_supplier",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+    ]:
         s = _summary(spark, sf_dir, name)
         assert s.has("BroadcastHashJoin"), f"{name}: no broadcast join\n{s.text}"
         assert not s.has("CartesianProduct"), name
@@ -81,6 +87,7 @@ def test_equi_joins_never_cartesian(spark, sf_dir) -> None:
         "join_skew_salted",
         "tpch_q10_returned",
         "tpch_q18_large_orders",
+        "tpch_q21_waiting_suppliers",
     ]:
         s = _summary(spark, sf_dir, name)
         assert not s.has("CartesianProduct"), f"{name}\n{s.text}"

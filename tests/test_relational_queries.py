@@ -74,6 +74,9 @@ RELATIONAL = [
     "tpch_q12_priority_class",
     "tpch_q15_top_supplier",
     "tpch_q20_promotion_suppliers",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
     "events_user_features",
     "orders_rfm_segmentation",
 ]
