@@ -172,6 +172,107 @@ def pairwise_threshold(
     return scored.select("vec_a", "vec_b", F.round("sim", 5).alias("sim"))
 
 
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    block: int = PAIRWISE_BLOCK,
+    n_rows: int | None = None,
+    overfetch: int = 4,
+) -> DataFrame:
+    """Exact k-NN graph by cosine: ``(vec_id, neighbor, sim, rank)``.
+
+    THE embedding-curation primitive (near-dup clustering, diversity
+    sampling, label propagation all start from it). Distributed shape:
+
+    1. hash vectors into ⌈n/B⌉ blocks (same packing as
+       :func:`pairwise_threshold`); join ALL block pairs — each x-block
+       must meet every y-block, so the join is the full nb² grid, not
+       the triangle;
+    2. per block pair, ONE BLAS matmul nominates each x-row's top
+       ``k + overfetch`` candidates (the union of per-block top-k
+       provably contains the global top-k; the overfetch absorbs
+       BLAS-vs-exact ulp reordering at the cut);
+    3. nominated sims are recomputed with the strict sequential fold
+       (hash-stable, same value as the SQL expression);
+    4. a per-``vec_id`` window keeps the global top-k with the
+       deterministic (sim DESC, neighbor ASC) order — the shuffled rows
+       are O(n · nb · k), never n².
+
+    At 100 TB the exact grid is the wrong tool past ~1M vectors — cap
+    the corpus or swap stage 1-2 for the SRP-LSH candidate join
+    (:func:`srp_lsh_pairs`) and accept approximate recall; stages 3-4
+    are unchanged either way.
+    """
+    import math as _math
+
+    from pyspark.sql import Window as W
+
+    n = n_rows if n_rows is not None else _estimated_rows(embeddings)
+    nb = max(1, _math.ceil(n / block))
+    packed = (
+        embeddings.withColumn("blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(nb)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("id"), "embedding")).alias("vs"))
+    )
+    block_pairs = packed.select(
+        F.col("blk").alias("bx"), F.col("vs").alias("vs_x")
+    ).crossJoin(packed.select(F.col("blk").alias("by"), F.col("vs").alias("vs_y")))
+    fetch = k + overfetch
+
+    def gemm_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_x, out_y, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ids_x = np.array([v["id"] for v in row["vs_x"]], dtype=np.int64)
+                mx = np.array([v["embedding"] for v in row["vs_x"]], dtype=np.float64)
+                ids_y = np.array([v["id"] for v in row["vs_y"]], dtype=np.int64)
+                my = np.array([v["embedding"] for v in row["vs_y"]], dtype=np.float64)
+                sims = mx @ my.T
+                if row["bx"] == row["by"]:
+                    # No self-edges. Mask by ID, not matrix position: the
+                    # two collect_list evaluations need not agree on order.
+                    sims[ids_x[:, None] == ids_y[None, :]] = -np.inf
+                take = min(fetch, sims.shape[1])
+                # argpartition: per-x top-`take` candidates, O(|y|) per row
+                cand = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+                xi = np.repeat(np.arange(sims.shape[0]), take)
+                yi = cand.ravel()
+                keep = np.isfinite(sims[xi, yi])
+                xi, yi = xi[keep], yi[keep]
+                if len(xi) == 0:
+                    continue
+                # hash-stable refold of the exact products
+                exact = np.cumsum(mx[xi] * my[yi], axis=1)[:, -1]
+                out_x.append(ids_x[xi])
+                out_y.append(ids_y[yi])
+                out_s.append(exact)
+            if out_x:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.concatenate(out_x),
+                        "neighbor": np.concatenate(out_y),
+                        "sim": np.concatenate(out_s),
+                    }
+                )
+
+    nominated = block_pairs.mapInPandas(gemm_topk, "vec_id long, neighbor long, sim double")
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        nominated.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id",
+            "neighbor",
+            F.round("sim", 5).alias("sim"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def _srp_hyperplanes(dim: int, nbits: int = SRP_BITS, seed: int = 20260813) -> list[list[float]]:
     """Deterministic random hyperplanes (Charikar SRP-LSH). Seeded so
     signatures — and therefore buckets and results — are reproducible

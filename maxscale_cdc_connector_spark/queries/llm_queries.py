@@ -36,6 +36,7 @@ from maxscale_cdc_connector_spark.operators.multimodal import (
 )
 from maxscale_cdc_connector_spark.operators.simsearch import (
     ivf_topk,
+    knn_graph,
     pairwise_threshold,
     srp_lsh_pairs,
     topk_cosine,
@@ -1534,3 +1535,118 @@ def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred = REGISTRY["text_language_id"].fn(spark, sf_dir)
     return pred.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "simsearch_knn_graph",
+    oracle=f"""
+WITH s AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+           {_dot_sql('a.embedding', 'b.embedding')} AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+    SELECT vec_id, neighbor, sim,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor) AS rn
+    FROM s
+)
+SELECT vec_id, neighbor, round(sim, 5) AS sim, CAST(rn AS BIGINT) AS nn_rank
+FROM r WHERE rn <= 3
+""",
+    doc="Exact 3-NN graph by cosine over the whole corpus — the "
+    "embedding-curation primitive (near-dup clustering, diversity "
+    "sampling, and label propagation all start from it). Distributed "
+    "shape (operators/simsearch.knn_graph): blocked BLAS matmuls "
+    "nominate per-block top-(k+4) candidates, exact sequential refold "
+    "keeps the hash stable, one per-vec_id window takes the global "
+    "top-k — shuffled rows are O(n*nb*k), never the n^2 similarity "
+    "matrix. The oracle IS the quadratic join; the Spark plan never is.",
+)
+def simsearch_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    return knn_graph(emb, k=3).withColumnRenamed("rank", "nn_rank")
+
+
+@register(
+    "embedding_quantization_error",
+    oracle="""
+WITH m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+    FROM embeddings
+),
+e AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - CAST(round(CAST(x AS DOUBLE) * 127 / max_abs) AS BIGINT)
+                          * max_abs / 127)) AS errs
+    FROM m
+)
+SELECT vec_id,
+       round(list_max(errs), 6) AS max_err,
+       round(list_sum(errs) / len(errs), 6) AS mean_err
+FROM e
+""",
+    doc="Reconstruction-error report for the int8 quantization "
+    "(embedding_quantize_int8's round trip): per-vector max and mean "
+    "absolute error of dequantize(quantize(x)). The accept/reject gate "
+    "a pipeline runs before committing to a quantized index (symmetric "
+    "int8 bounds max_err by max_abs/254). Row-local arithmetic, zero "
+    "shuffles; identical left-to-right folds on both engines keep the "
+    "6 d.p. rounding stable.",
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    max_abs = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    errs = F.transform(
+        "embedding",
+        lambda x: F.abs(
+            x.cast("double")
+            - F.round(x.cast("double") * 127 / max_abs).cast("bigint") * max_abs / 127
+        ),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(F.array_max(errs), 6).alias("max_err"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda acc, x: acc + x) / F.size(errs), 6
+        ).alias("mean_err"),
+    )
+
+
+@register(
+    "text_token_percentiles_by_lang",
+    oracle="""
+WITH n AS (
+    SELECT lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99
+FROM n GROUP BY lang
+""",
+    doc="Per-language token-length percentiles (p50/p90/p99) — the "
+    "length-distribution profile a curation pipeline checks before "
+    "setting sequence-length budgets and truncation policies per "
+    "language. EXACT linear-interpolated percentiles (both engines "
+    "sort-and-interpolate identically); at 100 TB swap percentile for "
+    "approx_percentile and keep the same shape — one groupBy over "
+    "|langs| groups either way.",
+)
+def text_token_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    n_tokens = F.size(words("text")).cast("double")
+    return (
+        d.select("lang", n_tokens.alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(n_tokens, 0.99)"), 4).alias("p99"),
+        )
+    )

@@ -37,6 +37,9 @@ ORACLE_CHECKED = [
     "embedding_knn_label_vote",
     "text_language_confusion",
     "text_approx_top_k_words",
+    "simsearch_knn_graph",
+    "embedding_quantization_error",
+    "text_token_percentiles_by_lang",
 ]
 
 
@@ -281,6 +284,23 @@ def test_pairwise_threshold_forced_blocking_matches_single_block(spark, sf_dir):
     assert len(single) > 0
     assert blocked == single
     assert all(a < b for a, b, _ in blocked)
+
+
+def test_knn_graph_forced_blocking_matches_single_block(spark, sf_dir):
+    """Cross-block correctness for the k-NN graph: with block=64 every
+    vector's true neighbors are scattered across many y-blocks; the
+    union of per-block top-k must still recover the exact global top-k
+    (identical to the single-block run, which the oracle vouches for)."""
+    from maxscale_cdc_connector_spark.operators.simsearch import knn_graph
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    n = emb.count()
+    single = sorted(map(tuple, knn_graph(emb, k=3, n_rows=1).collect()))
+    blocked = sorted(map(tuple, knn_graph(emb, k=3, block=64, n_rows=n).collect()))
+    assert n // 64 >= 3, "corpus too small to force multiple blocks"
+    assert len(single) == 3 * n
+    assert blocked == single
 
 
 def test_pairwise_threshold_plans_without_running_a_job(spark, sf_dir):
