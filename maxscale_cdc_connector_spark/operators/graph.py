@@ -115,6 +115,8 @@ def _two_phase(
     diameter-independent. Each phase is one groupBy + one equi-join on
     the node key plus a distinct — all shuffles on the same key.
     """
+    from pyspark.sql import Window
+
     a, b = "a", "b"
     # Eager: the returned ``labels`` frame reads ``nodes`` lazily, after
     # the dispatcher has already freed the input-edge blocks — a lazy
@@ -135,41 +137,71 @@ def _two_phase(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Set signature of the current (distinct) edge set: one scan job on
+    # the checkpointed blocks. bit_xor of a 64-bit row hash is
+    # order-independent and overflow-free; it gates (never replaces) the
+    # exact exceptAll confirmation below.
+    def _sig(df: DataFrame) -> tuple:
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr(f"bit_xor(xxhash64({a}, {b}))").alias("x"),
+            ).collect()[0]
+        )
+
+    win = Window.partitionBy(a)
     spent: list[DataFrame] = []
     converged = False
     try:
+        e_sig = _sig(e)
         for rounds in range(1, max_iters + 1):
             # ---- large-star over symmetrized edges ----
+            # m = min(N(x) ∪ {x}) via a window min — ONE exchange on the
+            # node key (the groupBy+re-join form shuffles sym twice).
             sym = e.union(e.select(F.col(b).alias(a), F.col(a).alias(b)))
-            mins = sym.groupBy(a).agg(F.least(F.col(a), F.min(b)).alias("m"))
             large = (
-                sym.join(mins, a)
+                sym.withColumn("m", F.least(F.col(a), F.min(b).over(win)))
                 .where(F.col(b) > F.col(a))
                 # emit (bigger neighbor -> star min); m <= a < b keeps the
-                # (u > v) canonical orientation with no self-loops
+                # (u > v) canonical orientation with no self-loops.
+                # Duplicate emissions are NOT collapsed here — the
+                # small-star window min is multiplicity-blind and the
+                # round's final distinct dedups once, saving an exchange.
                 .select(F.col(b).alias(a), F.col("m").alias(b))
-                .distinct()
             )
             # ---- small-star ----
-            mins2 = large.groupBy(a).agg(F.min(b).alias("m"))
+            # Per group a with minimum m: every row emits its (b -> m)
+            # re-parenting (when b != m) AND the group's own (a -> m)
+            # star edge; the trailing distinct collapses the per-row
+            # (a -> m) copies. Identical output to the join+union form
+            # with one exchange instead of three.
+            emit = F.array(
+                F.when(
+                    F.col(b) != F.col("m"),
+                    F.struct(F.col(b).alias(a), F.col("m").alias(b)),
+                ),
+                F.struct(F.col(a).alias(a), F.col("m").alias(b)),
+            )
             small = (
-                large.join(mins2, a)
-                .where(F.col(b) != F.col("m"))
-                .select(F.col(b).alias(a), F.col("m").alias(b))
-                .union(mins2.select(F.col(a), F.col("m").alias(b)))
+                large.withColumn("m", F.min(b).over(win))
+                .select(F.explode(emit).alias("s"))
+                .where(F.col("s").isNotNull())
+                .select(F.col(f"s.{a}").alias(a), F.col(f"s.{b}").alias(b))
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-            # fixed point: equal sets (both are distinct, so count match +
-            # empty one-sided difference suffices)
-            same_count = small.count() == e.count()
-            if same_count and small.exceptAll(e).isEmpty():
+            # fixed point: equal sets. The (count, xor-hash) signature is
+            # one cheap job per round; only a signature match triggers
+            # the exact exceptAll confirmation (both sides distinct, so
+            # count match + empty one-sided difference suffices).
+            small_sig = _sig(small)
+            if small_sig == e_sig and small.exceptAll(e).isEmpty():
                 spent.append(e)
                 e = small
                 converged = True
                 break
             spent.append(e)
-            e = small
+            e, e_sig = small, small_sig
         if not converged:
             spent.append(e)
             raise RuntimeError(

@@ -24,7 +24,7 @@ from maxscale_cdc_connector_spark.functions.text_fns import (
 from maxscale_cdc_connector_spark.operators.dedup import (
     duplicated_corpus,
     exact_dedup,
-    jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_dedup_pairs,
     shingle_sets,
     simhash_near_pairs,
@@ -119,7 +119,7 @@ WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
-    return jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8)
+    return jaccard_pairs_prefix(corpus, min_jaccard=0.8)
 
 
 @register(
@@ -943,7 +943,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.graph import connected_components
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
-    edges = jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8).select("doc_a", "doc_b")
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
     cc = connected_components(edges, src="doc_a", dst="doc_b")
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -1133,7 +1133,7 @@ def dedup_rewrite_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.graph import connected_components
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
-    edges = jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8).select("doc_a", "doc_b")
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
     cc = connected_components(edges, src="doc_a", dst="doc_b")
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

@@ -2468,3 +2468,220 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral / association analytics (round 5 pack)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+    doc="First-order Markov transition counts over per-user event "
+    "sequences (the session-flow matrix behind next-action models and "
+    "funnel anomaly detection). One window shuffle partitioned by "
+    "user_id — millions of small partitions, no global sort — with a "
+    "deterministic (ts, event_id) tie-break, then a map-side-combinable "
+    "count over at most |event_types|^2 groups. Uses the type-adaptive "
+    "ts normalization (session.events_ts_us) so ordering survives the "
+    "parquet timestamp type drifting between captures.",
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(max(d.med), 4) AS median_value,
+       round(max(m.mad), 4) AS mad,
+       CAST(count(*) FILTER (WHERE d.adev > 3 * 1.4826 * m.mad) AS BIGINT)
+           AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+    doc="Robust outlier detection per event type: median + MAD (median "
+    "absolute deviation), flagging values beyond 3 scaled-MAD — the "
+    "standard robust z-score that mean/stddev-based rules get wrong "
+    "under heavy tails. Two grouped EXACT percentiles over "
+    "|event_types| groups with the per-type medians broadcast back "
+    "between them (the dimension side is tiny by construction); the "
+    "outlier comparison runs on unrounded doubles computed identically "
+    "in both engines. At 100 TB swap percentile for approx_percentile "
+    "— same two-pass shape, same broadcast.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(3) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@register(
+    "orders_market_basket",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+part_freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS together
+    FROM items a
+    JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY part_a, part_b
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.together AS BIGINT) AS together,
+       CAST(fa.f AS BIGINT) AS freq_a,
+       CAST(fb.f AS BIGINT) AS freq_b,
+       round(1.0 * p.together * n.n / (fa.f * fb.f), 6) AS lift
+FROM pairs p
+JOIN part_freq fa ON p.part_a = fa.l_partkey
+JOIN part_freq fb ON p.part_b = fb.l_partkey
+CROSS JOIN n_orders n
+WHERE p.together >= 2
+ORDER BY together DESC, part_a, part_b
+LIMIT 20
+""",
+    doc="Market-basket association mining: co-ordered part pairs with "
+    "support and lift (together / expected-if-independent). The pair "
+    "generation is a self-equi-join on l_orderkey — per-basket "
+    "quadratic, but basket size is bounded (TPC-H ≤ 7 lines; retail "
+    "carts are small constants), so the blowup is a bounded constant "
+    "per order, never corpus-quadratic. The support filter prunes "
+    "before the frequency joins (AQE broadcasts the part-frequency "
+    "side while it fits), the corpus total rides a broadcast 1-row "
+    "frame (no eager count on the driver), and the final top-20 is "
+    "TakeOrderedAndProject with a total (together DESC, part_a, "
+    "part_b) order — no global sort materializes.",
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("together"))
+        .where(F.col("together") >= 2)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("f").alias("freq_a")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("f").alias("freq_b")
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "together",
+            "freq_a",
+            "freq_b",
+            F.round(
+                F.lit(1.0) * F.col("together") * F.col("n")
+                / (F.col("freq_a") * F.col("freq_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("together"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "agg_mode_per_group",
+    oracle="""
+WITH cnt AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source),
+ranked AS (
+    SELECT lang, source, n,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY n DESC, source DESC) AS rk
+    FROM cnt
+)
+SELECT lang, source AS modal_source, CAST(n AS BIGINT) AS n_docs
+FROM ranked WHERE rk = 1
+""",
+    doc="Statistical mode per group (modal source per language) with a "
+    "deterministic (count DESC, source DESC) tie-break. Spark plan is "
+    "two map-side-combinable hash aggregates — count per (lang, "
+    "source), then max(struct(n, source)) per lang — NO window: the "
+    "oracle's row_number window is the textbook form, but a window "
+    "partitioned by a low-cardinality key funnels each language "
+    "through one reducer; max-of-struct gives the identical answer "
+    "with partial aggregation on every shuffle map side.",
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cnt = (
+        t(spark, "documents", sf_dir)
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cnt.groupBy("lang")
+        .agg(F.max(F.struct(F.col("n"), F.col("source"))).alias("s"))
+        .select(
+            "lang",
+            F.col("s.source").alias("modal_source"),
+            F.col("s.n").alias("n_docs"),
+        )
+    )

@@ -487,3 +487,68 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_rep.alias("flag_repetition"),
         (flag_len & flag_word_len & flag_rep).alias("keep"),
     )
+
+
+@register(
+    "pipeline_stratified_sample",
+    oracle="""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT min(n) AS m FROM counts),
+rated AS (
+    SELECT c.lang, c.n,
+           CAST((1000000 * t.m) // c.n AS BIGINT) AS rate_ppm
+    FROM counts c CROSS JOIN tgt t
+),
+sampled AS (
+    SELECT d.lang
+    FROM documents d JOIN rated r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < r.rate_ppm
+)
+SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.rate_ppm,
+       CAST(coalesce(s.k, 0) AS BIGINT) AS n_sampled
+FROM rated r
+LEFT JOIN (SELECT lang, count(*) AS k FROM sampled GROUP BY lang) s
+       ON r.lang = s.lang
+""",
+    doc="Stratified corpus rebalancing: per-language sampling rates "
+    "derived FROM THE DATA (equalize every language to the rarest "
+    "language's count), then a deterministic md5-hash Bernoulli filter "
+    "at those rates. Rates are exact integer parts-per-million "
+    "(integer division — no float boundary can flip a keep decision "
+    "across engines), and the hash is salted ('strat:') so this "
+    "sampler is independent of the split/mix hashes. Plan: tiny "
+    "per-lang count aggregate, 1-row global min broadcast onto it, "
+    "rate table broadcast onto the corpus scan — the full pass is one "
+    "scan + one broadcast join, no shuffle of the corpus at any scale.",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    tgt = counts.agg(F.min("n").alias("m"))
+    rated = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang", "n", F.expr("(1000000 * m) DIV n").alias("rate_ppm")
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    sampled_counts = (
+        docs.join(F.broadcast(rated), "lang")
+        .where(h < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        rated.join(sampled_counts, "lang", "left")
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            "rate_ppm",
+            F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

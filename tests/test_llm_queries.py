@@ -51,6 +51,34 @@ def test_llm_oracle_parity(spark, sf_dir, name):
     compare_query(spark, sf_dir, name)
 
 
+def test_prefix_filter_matches_plain_inverted_index(spark, sf_dir):
+    """The PPJoin-style prefix-filtered Jaccard join must be output-
+    identical to the unfiltered inverted-index join — the prefix filter
+    is a pure candidate-pruning step, and a too-short prefix would
+    silently LOSE pairs (the failure mode the decimal ceil guards)."""
+    from maxscale_cdc_connector_spark.operators.dedup import (
+        duplicated_corpus,
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingle_sets,
+    )
+    from maxscale_cdc_connector_spark.session import load_table
+
+    corpus = duplicated_corpus(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingle_sets(corpus), min_jaccard=0.8).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs_prefix(corpus, min_jaccard=0.8).collect()
+    }
+    assert prefix == plain
+    assert len(plain) > 0
+
+
 def test_minhash_lsh_subset_and_recall(spark, sf_dir):
     """LSH-verified pairs ⊆ exact Jaccard pairs; known duplicates (the
     id-shifted copies, Jaccard 1.0) are all recovered — identical docs

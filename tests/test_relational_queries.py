@@ -79,6 +79,10 @@ RELATIONAL = [
     "tpch_q21_waiting_suppliers",
     "events_user_features",
     "orders_rfm_segmentation",
+    "events_transition_matrix",
+    "events_anomaly_mad",
+    "orders_market_basket",
+    "agg_mode_per_group",
 ]
 
 

@@ -24,6 +24,7 @@ ORACLE_CHECKED = [
     "pipeline_token_budget_sample",
     "text_chunk_dedup",
     "pipeline_quality_gate",
+    "pipeline_stratified_sample",
 ]
 
 
