@@ -278,3 +278,77 @@ def _label_prop(
         # blocks stay (the caller owns those — O(|nodes|), not edges).
         for df in spent:
             _release_local_checkpoint(df)
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle census of an undirected graph: one row with
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering)``.
+
+    Degree-ordered node-iterator (Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11): orient every
+    edge from its lower-(degree, id) endpoint to the higher one, form
+    wedges only from each node's OUT-edges, and close them against the
+    canonical edge set. The orientation caps every node's out-degree at
+    O(sqrt(m)), so wedge volume is O(m^1.5) worst-case instead of
+    sum-of-degrees-squared — the whole point at 100 TB, where one hub
+    node would otherwise emit a quadratic wedge blowup through a single
+    reducer. All steps are keyed joins/groupBys; the only driver-side
+    values are the five scalar outputs.
+
+    ``clustering`` is the global coefficient 3·triangles / wedges
+    (rounded 6dp; NULL on a wedge-free graph).
+    """
+    # Eager checkpoint: the edge set feeds four branches (degree, both
+    # orientation joins, the wedge-closing semi-join) and typically
+    # carries an expensive upstream pair pipeline; blocks are reclaimed
+    # by the ContextCleaner once the caller's action completes.
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    # acyclic total orientation: lower (deg, id) -> higher (deg, id)
+    lower_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("o_src"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("o_dst"),
+        )
+    )
+    o1 = oriented.select(F.col("o_src"), F.col("o_dst").alias("x"))
+    o2 = oriented.select(F.col("o_src"), F.col("o_dst").alias("y"))
+    wedges = o1.join(o2, "o_src").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        e, (wedges.x == e.u) & (wedges.y == e.v), "left_semi"
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) DIV 2")).alias("n_wedges"),
+    )
+    return (
+        node_stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6
+            ).alias("clustering"),
+        )
+    )

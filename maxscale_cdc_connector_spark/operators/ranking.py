@@ -77,3 +77,39 @@ def exact_ntile(
     return ranked.withColumn(out, F.expr(tile)).drop(
         pid, "_ent_off", "_ent_n", "_ent_rank"
     )
+
+
+def exact_running_sum(
+    df: DataFrame, order_by: list[Column], value_col: str, out: str = "running"
+) -> DataFrame:
+    """``df`` plus column ``out`` = SUM(value) OVER (ORDER BY ...) —
+    the distributed form of a global cumulative sum.
+
+    Same range-partitioned prefix-sum machinery as :func:`exact_ntile`
+    (see module docstring): the only unpartitioned step is the
+    #partitions-row offset aggregate, so no single reducer ever sees the
+    data. The order columns must define a TOTAL order (unique
+    tie-breaker), which also makes the window's default RANGE frame
+    equal to a ROWS frame — no peer rows exist — so the result is
+    bit-identical to the single-reducer window form (pinned by test).
+    Keep ``value_col`` integral (e.g. exact cents) for cross-engine
+    parity: a float running sum is order-sensitive in the last ulp.
+    """
+    pid = "_ers_pid"
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy(pid)
+        .agg(F.sum(value_col).alias("_ers_s"))
+        .select(pid, F.coalesce(F.sum("_ers_s").over(w_off), F.lit(0)).alias("_ers_off"))
+    )
+    w_in = W.partitionBy(pid).orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets), pid)
+        .withColumn(out, F.col("_ers_off") + F.sum(value_col).over(w_in))
+        .drop(pid, "_ers_off")
+    )

@@ -2685,3 +2685,66 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.n").alias("n_docs"),
         )
     )
+
+
+@register(
+    "orders_abc_pareto",
+    oracle="""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                AS BIGINT) AS revenue_e2
+    FROM lineitem GROUP BY l_partkey
+),
+run AS (
+    SELECT l_partkey, revenue_e2,
+           sum(revenue_e2) OVER (ORDER BY revenue_e2 DESC, l_partkey) AS running,
+           sum(revenue_e2) OVER () AS total
+    FROM rev
+)
+SELECT CASE WHEN running * 10 <= 7 * total THEN 'A'
+            WHEN running * 10 <= 9 * total THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(revenue_e2) AS BIGINT) AS class_revenue_e2
+FROM run GROUP BY abc_class
+""",
+    doc="ABC / Pareto revenue classification: parts ranked by revenue, "
+    "cumulative share bucketed A (top 70% of revenue), B (to 90%), C "
+    "(tail) — the inventory-prioritization classic. Revenue is exact "
+    "integer cents and the class boundaries are integer "
+    "cross-multiplications (running*10 vs 7*total), so no float ever "
+    "decides a bucket. The oracle's global cumulative window funnels "
+    "every part through one reducer; the Spark plan uses the "
+    "distributed exact prefix sum (operators/ranking.exact_running_sum "
+    "— range partition + #partitions-row offset table), bit-identical "
+    "under the (revenue DESC, partkey) total order, with the corpus "
+    "total riding a broadcast 1-row frame.",
+)
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_running_sum
+
+    li = t(spark, "lineitem", sf_dir)
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+        .alias("revenue_e2")
+    )
+    total = rev.agg(F.sum("revenue_e2").alias("total"))
+    run = exact_running_sum(
+        rev, [F.desc("revenue_e2"), F.asc("l_partkey")], "revenue_e2", out="running"
+    )
+    abc = (
+        F.when(F.col("running") * 10 <= 7 * F.col("total"), "A")
+        .when(F.col("running") * 10 <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class")
+    )
+    return (
+        run.crossJoin(F.broadcast(total))
+        .select(abc, "revenue_e2")
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("revenue_e2").alias("class_revenue_e2"),
+        )
+    )

@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "simsearch_knn_graph",
     "embedding_quantization_error",
     "text_token_percentiles_by_lang",
+    "graph_triangle_count",
 ]
 
 

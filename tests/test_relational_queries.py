@@ -83,6 +83,7 @@ RELATIONAL = [
     "events_anomaly_mad",
     "orders_market_basket",
     "agg_mode_per_group",
+    "orders_abc_pareto",
 ]
 
 
@@ -127,6 +128,29 @@ def test_exact_ntile_matches_window_ntile(spark):
             ).collect()
         }
         assert got == want, (n, k)
+
+
+def test_exact_running_sum_matches_window_sum(spark):
+    """The distributed cumulative sum must be bit-identical to the
+    single-reducer window form under a total order, including n=1 and
+    value ties broken by the unique key."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.ranking import exact_running_sum
+
+    for n in [1, 17, 503]:
+        df = spark.range(n).select("id", (F.xxhash64("id") % 7).alias("v"))
+        order = [F.desc("v"), F.asc("id")]
+        got = {
+            r.id: r.running
+            for r in exact_running_sum(df, order, "v", out="running").collect()
+        }
+        want = {
+            r.id: r.w
+            for r in df.withColumn("w", F.sum("v").over(W.orderBy(*order))).collect()
+        }
+        assert got == want, n
 
 
 def test_rfm_windows_partition_by_range_bucket(spark, sf_dir):
