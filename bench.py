@@ -56,6 +56,12 @@ HEADLINE = [
     ("q27_tpch_q4_order_priority", "tpch_q4_order_priority"),
     ("q28_text_chunk_dedup", "text_chunk_dedup"),
     ("q29_pipeline_token_budget_sample", "pipeline_token_budget_sample"),
+    # round 5 additions — keep appending so earlier-round subsets stay
+    # directly comparable across BENCH_r*.json files.
+    ("q30_orders_market_basket", "orders_market_basket"),
+    ("q31_events_transition_matrix", "events_transition_matrix"),
+    ("q32_orders_abc_pareto", "orders_abc_pareto"),
+    ("q33_graph_triangle_count", "graph_triangle_count"),
 ]
 
 

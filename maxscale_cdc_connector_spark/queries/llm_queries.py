@@ -1712,3 +1712,61 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8)
     return triangle_stats(edges, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+srcmap AS (
+    SELECT doc_id, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, source FROM documents
+)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs p
+JOIN srcmap sa ON sa.doc_id = p.doc_a
+JOIN srcmap sb ON sb.doc_id = p.doc_b
+GROUP BY source_a, source_b
+""",
+    doc="Near-dup provenance matrix: which SOURCES duplicate which — "
+    "every Jaccard ≥ 0.8 pair mapped to its (source, source) cell. "
+    "The curation question this answers (\"is crawl-X a mirror of "
+    "crawl-Y? which feeds plagiarize each other?\") decides whole-"
+    "source drops before any per-doc dedup runs. Plan: the prefix-"
+    "filtered exact pair join (operators/dedup.jaccard_pairs_prefix), "
+    "then two keyed joins against the doc→source map and a count over "
+    "at most |sources|^2 cells — pair volume, never corpus volume, "
+    "crosses the provenance joins.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir)
+    corpus = duplicated_corpus(docs.select("doc_id", "text"))
+    pairs = jaccard_pairs_prefix(corpus, min_jaccard=0.8)
+    srcmap = duplicated_corpus(docs.select("doc_id", "source"))
+    sa = srcmap.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = srcmap.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -2748,3 +2748,48 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("revenue_e2").alias("class_revenue_e2"),
         )
     )
+
+
+@register(
+    "events_path_topk",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type, 1) OVER w AS p1,
+           lag(event_type, 2) OVER w AS p2
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat(p2, '>', p1, '>', event_type) AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
+""",
+    doc="Top-10 three-step behavioral paths (second-order Markov windows "
+    "over per-user event sequences) — the path-mining query behind "
+    "user-journey and funnel-discovery dashboards. Both lags share ONE "
+    "window spec, so the plan has a single user-keyed exchange; path "
+    "counts are map-side combinable (≤ |event_types|^3 groups) and the "
+    "top-10 is TakeOrderedAndProject under a total (n DESC, path) "
+    "order — no global sort at any scale.",
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        F.col("event_type"),
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    )
+    return (
+        seq.where(F.col("p2").isNotNull())
+        .select(
+            F.concat(F.col("p2"), F.lit(">"), F.col("p1"), F.lit(">"), F.col("event_type"))
+            .alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )

@@ -544,7 +544,7 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("k"))
     )
     return (
-        rated.join(sampled_counts, "lang", "left")
+        rated.join(F.broadcast(sampled_counts), "lang", "left")
         .select(
             "lang",
             F.col("n").alias("n_docs"),

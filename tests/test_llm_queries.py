@@ -41,6 +41,7 @@ ORACLE_CHECKED = [
     "embedding_quantization_error",
     "text_token_percentiles_by_lang",
     "graph_triangle_count",
+    "dedup_rate_by_source",
 ]
 
 

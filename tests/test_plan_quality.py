@@ -275,3 +275,43 @@ def test_sequence_gaps_window_is_bucket_partitioned(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "cdc_sequence_gaps")
     assert s.has("Window")
     assert "bk" in s.text, "per-event window lost its bucket key"
+
+
+def test_market_basket_keyed_joins_and_topk(spark, sf_dir) -> None:
+    """Pair generation must be an equi-join on l_orderkey (per-basket
+    quadratic, never corpus-cartesian) and the final top-20 must be
+    TakeOrderedAndProject, not a global sort. The 1-row corpus total
+    rides a broadcast."""
+    s = _summary(spark, sf_dir, "orders_market_basket")
+    assert not s.has("CartesianProduct"), s.nodes
+    assert s.has("TakeOrderedAndProject"), s.nodes
+    assert s.has("BroadcastExchange"), s.nodes
+
+
+def test_stratified_sample_is_single_scan_plus_broadcasts(spark, sf_dir) -> None:
+    """The corpus-side pass must never shuffle documents: the per-lang
+    rate table reaches the scan via broadcast joins only (the only
+    exchanges besides broadcasts belong to the tiny per-lang
+    aggregates)."""
+    s = _summary(spark, sf_dir, "pipeline_stratified_sample")
+    assert s.has("BroadcastExchange"), s.nodes
+    assert not s.has("CartesianProduct"), s.nodes
+    assert not s.has("SortMergeJoin"), s.nodes
+
+
+def test_transition_matrix_single_user_window(spark, sf_dir) -> None:
+    """One window exchange keyed on user_id, then a hash aggregate over
+    at most |event_types|^2 groups — no global sort anywhere."""
+    s = _summary(spark, sf_dir, "events_transition_matrix")
+    assert s.count("Window") == 1, s.nodes
+    assert s.has("HashAggregate"), s.nodes
+
+
+def test_abc_pareto_has_no_global_window(spark, sf_dir) -> None:
+    """The cumulative share must come from the distributed prefix sum:
+    any Window in the plan partitions by the range-partition id (the
+    #partitions-row offset frame), never an unpartitioned global sum
+    over the parts."""
+    s = _summary(spark, sf_dir, "orders_abc_pareto")
+    assert "_ers_pid" in s.text, "distributed prefix sum machinery missing"
+    assert s.has("BroadcastExchange"), s.nodes

@@ -84,6 +84,7 @@ RELATIONAL = [
     "orders_market_basket",
     "agg_mode_per_group",
     "orders_abc_pareto",
+    "events_path_topk",
 ]
 
 
