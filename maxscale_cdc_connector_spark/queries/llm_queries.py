@@ -1770,3 +1770,39 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+SELECT CAST(g.i AS BIGINT) AS dim,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS mean_val,
+       round(min(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS min_val,
+       round(max(CAST(embedding[g.i + 1] AS DOUBLE)), 6) AS max_val
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) g
+GROUP BY g.i
+""",
+    doc="Per-dimension embedding health profile (count / mean / min / "
+    "max for every coordinate): the feature-monitoring query that "
+    "catches dead dimensions, scale drift, and truncation artifacts "
+    "before an index is built on a broken encoder. posexplode then ONE "
+    "hash aggregate keyed on the dimension index — d groups total, "
+    "fully map-side combinable, so the shuffle carries d·|partitions| "
+    "partial rows no matter how many vectors exist. Mean is rounded "
+    "6dp on both engines (summation-order ulp absorption); min/max "
+    "are exact float32 values widened to double identically.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("embedding")
+    return (
+        emb.select(F.posexplode("embedding").alias("dim", "x"))
+        .groupBy(F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_val"),
+            F.round(F.min(F.col("x").cast("double")), 6).alias("min_val"),
+            F.round(F.max(F.col("x").cast("double")), 6).alias("max_val"),
+        )
+    )

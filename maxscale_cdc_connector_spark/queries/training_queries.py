@@ -552,3 +552,149 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("k"), F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+@register(
+    "pipeline_curation_funnel",
+    oracle="""
+WITH RECURSIVE dup_docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+),
+tok AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM dup_docs),
+sig AS (
+    SELECT doc_id, text, w,
+           CAST(len(w) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(w, x -> CAST(length(x) AS BIGINT)))
+                AS BIGINT) AS sum_word_len,
+           CAST(list_max(list_transform(list_distinct(w),
+                x -> len(list_filter(w, y -> y = x)))) AS BIGINT) AS top_word_count
+    FROM tok
+),
+q AS (
+    SELECT * FROM sig
+    WHERE n_words >= 20 AND n_words <= 1000
+      AND 3 * n_words <= sum_word_len AND sum_word_len <= 8 * n_words
+      AND top_word_count * 5 <= n_words
+),
+dig AS (
+    SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS digest
+    FROM q
+),
+keepers AS (SELECT digest, min(doc_id) AS keeper FROM dig GROUP BY digest),
+q2 AS (
+    SELECT d.* FROM dig d
+    JOIN keepers k ON d.digest = k.digest AND d.doc_id = k.keeper
+),
+shingled2 AS (
+    SELECT doc_id, unnest(generate_series(1, len(w) - 4)) AS i, w
+    FROM q2 WHERE len(w) >= 5
+),
+sh2 AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS shingle FROM shingled2
+),
+sizes2 AS (SELECT doc_id, count(*) AS set_size FROM sh2 GROUP BY doc_id),
+common2 AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs2 AS (
+    SELECT doc_a, doc_b FROM common2
+    JOIN sizes2 sa ON sa.doc_id = doc_a
+    JOIN sizes2 sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs2
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs2
+),
+reach(node, root) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+dropped AS (
+    SELECT node FROM reach GROUP BY node HAVING node != min(root)
+),
+q3 AS (SELECT * FROM q2 WHERE doc_id NOT IN (SELECT node FROM dropped))
+SELECT '1_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words FROM sig
+UNION ALL
+SELECT '2_quality', CAST(count(*) AS BIGINT), CAST(sum(n_words) AS BIGINT) FROM q
+UNION ALL
+SELECT '3_exact_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_words) AS BIGINT) FROM q2
+UNION ALL
+SELECT '4_near_dedup', CAST(count(*) AS BIGINT), CAST(sum(n_words) AS BIGINT) FROM q3
+""",
+    doc="End-to-end curation funnel report: document and token counts "
+    "surviving each stage of the canonical pretraining pipeline — raw "
+    "corpus → quality gate (length / mean-word-length / Gopher "
+    "repetition, all integer-exact) → exact dedup (min-id per "
+    "normalized digest) → near-dup removal (connected components over "
+    "the prefix-filtered Jaccard ≥ 0.8 graph of the survivors, "
+    "non-canonical members dropped). This is the one-glance honesty "
+    "check a data team reads before a training run: where documents "
+    "die, and how many tokens each stage costs. Every stage is the "
+    "already-verified distributed form (row-local gate, digest "
+    "groupBy, PPJoin prefix index, star contraction) — the funnel "
+    "composes them without adding any new shuffle shape; the oracle "
+    "is the same chain with a recursive-CTE closure standing in for "
+    "the contraction.",
+)
+def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.text_fns import normalize
+    from maxscale_cdc_connector_spark.operators.dedup import (
+        duplicated_corpus,
+        jaccard_pairs_prefix,
+    )
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    corpus = duplicated_corpus(
+        t(spark, "documents", sf_dir).select("doc_id", "text")
+    ).withColumn("w", F.split("text", " "))
+    n = F.size("w").cast("bigint")
+    sum_len = F.expr("aggregate(w, cast(0 as bigint), (acc, x) -> acc + length(x))")
+    top = F.array_max(
+        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
+    ).cast("bigint")
+    sig = corpus.select("doc_id", "text", n.alias("n_words"),
+                        sum_len.alias("sum_word_len"), top.alias("top_word_count"))
+    q = sig.where(
+        (F.col("n_words") >= 20) & (F.col("n_words") <= 1000)
+        & (3 * F.col("n_words") <= F.col("sum_word_len"))
+        & (F.col("sum_word_len") <= 8 * F.col("n_words"))
+        & (F.col("top_word_count") * 5 <= F.col("n_words"))
+    )
+    # Survivors feed three downstream branches (digest groupBy, the pair
+    # pipeline, the stage aggregates) — materialize once.
+    q = q.withColumn("digest", F.md5(normalize("text"))).localCheckpoint(eager=True)
+    keepers = q.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
+    q2 = (
+        q.join(
+            keepers,
+            (q.digest == keepers.digest) & (q.doc_id == keepers.keeper),
+            "left_semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = jaccard_pairs_prefix(q2.select("doc_id", "text"), min_jaccard=0.8)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    dropped = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    q3 = q2.join(dropped, "doc_id", "left_anti")
+    def stage(df, label):
+        return df.agg(
+            F.lit(label).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+        ).select("stage", "n_docs", "total_words")
+    return (
+        stage(sig, "1_raw")
+        .unionByName(stage(q, "2_quality"))
+        .unionByName(stage(q2, "3_exact_dedup"))
+        .unionByName(stage(q3, "4_near_dedup"))
+    )

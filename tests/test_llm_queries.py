@@ -42,6 +42,7 @@ ORACLE_CHECKED = [
     "text_token_percentiles_by_lang",
     "graph_triangle_count",
     "dedup_rate_by_source",
+    "embedding_dim_stats",
 ]
 
 

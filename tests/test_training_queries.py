@@ -25,6 +25,7 @@ ORACLE_CHECKED = [
     "text_chunk_dedup",
     "pipeline_quality_gate",
     "pipeline_stratified_sample",
+    "pipeline_curation_funnel",
 ]
 
 
