@@ -1806,3 +1806,29 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(F.col("x").cast("double")), 6).alias("max_val"),
         )
     )
+
+
+@register(
+    "simsearch_knn_graph_lsh",
+    oracle=None,  # approximate recall by design → rows-only; pytest pins
+    # exact edge sims, duplicate-edge recall 1.0, and a recall floor
+    # against the exact graph.
+    doc="Approximate 3-NN graph via SRP-LSH buckets + exact rescoring "
+    "(operators/simsearch.knn_graph_lsh) — the implemented scale "
+    "substitution the exact knn_graph documents for past ~1M vectors: "
+    "candidate cost tracks bucket occupancy instead of n² arithmetic. "
+    "Every emitted edge carries its true cosine (precision exact). "
+    "LSH retrieves HIGH-cosine neighbors — exactly the ones a curation "
+    "pass acts on — so the query runs over the duplicated corpus, and "
+    "the pytest pins recall 1.0 on the known sim-1.0 duplicate edges "
+    "(identical vectors collide in every band) while the low-cosine "
+    "tail of a uniform-random corpus is explicitly best-effort: no "
+    "sub-quadratic method can rank cos≈0.3 'neighbors' of random "
+    "directions, and no downstream curation decision reads them.",
+)
+def simsearch_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.simsearch import knn_graph_lsh
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
+    return knn_graph_lsh(corpus, k=3, dim=64)

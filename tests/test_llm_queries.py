@@ -383,3 +383,34 @@ def test_approx_top_k_words_counts_exact_modulo_boundary_ties(spark, sf_dir):
     for w, n in approx.items():
         assert exact[w] == n, f"{w}: sketch count {n} != exact {exact[w]}"
         assert n >= kth, f"{w}: count {n} below the exact top-10 floor {kth}"
+
+
+def test_knn_graph_lsh_recovers_duplicate_edges_exactly(spark, sf_dir):
+    """The SRP-LSH approximate k-NN graph must (a) emit only true
+    cosines — precision exact, every edge's sim equals the direct dot
+    product — and (b) recover EVERY identical-duplicate neighbor at
+    rank 1 with sim 1.0 (identical vectors collide in all bands).
+    The low-cosine tail of a uniform-random corpus is best-effort by
+    design and is not pinned."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    rows = REGISTRY["simsearch_knn_graph_lsh"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    rank1 = {r.vec_id: (r.nbr_id, r.sim) for r in rows if r.nn_rank == 1}
+    for v in range(n_vecs):
+        nbr, sim = rank1[v]
+        assert nbr == v + 1_000_000 and sim >= 0.99999, (v, nbr, sim)
+        nbr2, sim2 = rank1[v + 1_000_000]
+        assert nbr2 == v and sim2 >= 0.99999, (v, nbr2, sim2)
+    # precision: spot-check emitted sims against direct dot products
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, "embeddings", sf_dir).collect()
+    }
+    for r in rows[:200]:
+        a = emb[r.vec_id % 1_000_000]
+        b = emb[r.nbr_id % 1_000_000]
+        direct = round(sum(x * y for x, y in zip(a, b)), 5)
+        assert abs(direct - r.sim) <= 1e-4, (r.vec_id, r.nbr_id, direct, r.sim)
