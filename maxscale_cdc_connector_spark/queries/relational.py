@@ -2793,3 +2793,53 @@ def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+WITH base AS (
+    SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           last_value(CASE WHEN event_type = 'error'
+                           THEN CAST(epoch_us(ts) AS BIGINT) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_error_us
+    FROM events
+)
+SELECT event_id, user_id, ts_us,
+       CASE WHEN ts_us - prev_error_us <= 3600000000
+            THEN prev_error_us END AS prev_error_us,
+       (prev_error_us IS NOT NULL
+        AND ts_us - prev_error_us > 3600000000) AS match_expired
+FROM base
+""",
+    doc="As-of join with a staleness TOLERANCE (pandas merge_asof "
+    "semantics): the nearest previous 'error' per user counts only if "
+    "it is at most one hour old — older matches are nulled and flagged "
+    "expired, which is the semantics a real-time enrichment actually "
+    "wants (a day-old error should not explain this click). Same "
+    "single user-keyed window as the unbounded as-of; the tolerance is "
+    "a row-local microsecond comparison, so the bound costs nothing "
+    "at any scale.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_us = 3_600_000_000  # 1 hour
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_err = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts_us")), ignorenulls=True
+    ).over(w)
+    base = e.select("event_id", "user_id", "ts_us", prev_err.alias("prev_raw"))
+    fresh = F.col("ts_us") - F.col("prev_raw") <= tol_us
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.when(fresh, F.col("prev_raw")).alias("prev_error_us"),
+        (F.col("prev_raw").isNotNull() & ~fresh).alias("match_expired"),
+    )

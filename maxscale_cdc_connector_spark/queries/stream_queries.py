@@ -448,3 +448,48 @@ def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(p, (c.user_id == p.p_user_id) & band, "left").select(
         "click_id", "purchase_id", "user_id", "click_us", "purchase_us"
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+WITH w AS (
+    SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT win_start, event_type, n,
+           row_number() OVER (PARTITION BY win_start
+                              ORDER BY n DESC, event_type) AS rk
+    FROM w
+)
+SELECT win_start, event_type, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 2
+""",
+    doc="Per-window heavy hitters: top-2 event types per tumbling "
+    "10-minute window (the trending-now panel of a streaming "
+    "dashboard). Batch form of the streaming shape: the windowed "
+    "count is the same decomposable tumbling aggregate that streams "
+    "under a watermark (streaming/ops.tumbling_agg); the rank over "
+    "FINALIZED windows runs downstream of the sink (foreachBatch / "
+    "reading the sink table), since append-mode streaming cannot "
+    "re-rank an open window. Rank partitions are single windows "
+    "(≤ |event_types| rows each) — thousands of tiny partitions, "
+    "no reducer funnel.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    out = tumbling_agg(
+        events_ts_timestamp(t(spark, "events", sf_dir)),
+        "ts_us",
+        "10 minutes",
+        ["event_type"],
+        [F.count("*").alias("n")],
+    ).select(F.col("win.start").alias("win_start"), "event_type", "n")
+    w = W.partitionBy("win_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 2)
+    )

@@ -85,6 +85,7 @@ RELATIONAL = [
     "agg_mode_per_group",
     "orders_abc_pareto",
     "events_path_topk",
+    "join_asof_tolerance",
 ]
 
 

@@ -13,6 +13,7 @@ ORACLE_CHECKED = [
     "stream_snapshot_evolved",
     "stream_interval_join",
     "stream_interval_join_outer",
+    "stream_windowed_topk",
 ]
 
 
