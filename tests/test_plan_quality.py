@@ -315,3 +315,12 @@ def test_abc_pareto_has_no_global_window(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "orders_abc_pareto")
     assert "_ers_pid" in s.text, "distributed prefix sum machinery missing"
     assert s.has("BroadcastExchange"), s.nodes
+
+
+def test_triangle_census_closes_wedges_with_semi_join(spark, sf_dir) -> None:
+    """Wedges must close against the edge set via a left-semi equi-join;
+    the only nested-loop joins allowed are the broadcast 1-row scalar
+    frames that assemble the final census row."""
+    s = _summary(spark, sf_dir, "graph_triangle_count")
+    assert "LeftSemi" in s.text, "wedge-closing semi-join missing"
+    assert not s.has("CartesianProduct"), s.nodes

@@ -98,6 +98,49 @@ def test_stream_tumbling_agg_matches_batch(spark, event_log) -> None:
     assert got == want and len(want) > 2
 
 
+def test_stream_windowed_topk_ranks_sink_output(spark, event_log) -> None:
+    """The windowed-top-k shape end-to-end: the decomposable tumbling
+    count runs as a REAL stream into a sink, the per-window rank runs
+    over the finalized sink table, and the result equals the batch
+    rank of the batch windowed count — pinning the documented
+    'rank downstream of the sink' composition of stream_windowed_topk."""
+    from pyspark.sql import Window as W
+
+    path, _ = event_log
+    ts = F.timestamp_seconds(F.col("timestamp"))
+    aggs = [F.count("*").alias("n")]
+    stream = tumbling_agg(
+        replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1),
+        ts, "30 seconds", ["event_type"], aggs,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wtopk")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rank(df):
+        flat = df.select(F.col("win.start").alias("ws"), "event_type", "n")
+        w = W.partitionBy("ws").orderBy(F.desc("n"), F.asc("event_type"))
+        return {
+            (r.ws, r.event_type, r.n, r.rk)
+            for r in flat.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2).collect()
+        }
+
+    got = rank(spark.sql("SELECT * FROM wtopk"))
+    want = rank(
+        tumbling_agg(
+            replay_batch(spark, path, TEST_SCHEMA_RECORD), ts, "30 seconds",
+            ["event_type"], aggs,
+        )
+    )
+    assert got == want and len(want) > 2
+
+
 def test_stream_dedup_exact_under_replay(spark, event_log) -> None:
     path, events = event_log
     stream = dedup_exact(
