@@ -155,3 +155,55 @@ def decode_image(payload: bytes):  # pragma: no cover - stub by design
         raise NotImplementedError(
             "image decode requires PIL; not available in this environment"
         ) from exc
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("thumb", T.BinaryType(), False),
+        T.StructField("thumb_bytes", T.LongType(), False),
+        T.StructField("thumb_sha256", T.StringType(), False),
+    ]
+)
+
+THUMB_TARGET = 64  # stub "pixels": target byte length of a thumbnail
+
+
+def resize_thumbnails(manifest: DataFrame, target: int = THUMB_TARGET) -> DataFrame:
+    """Resize every payload to a fixed-size thumbnail, Arrow-batched.
+
+    The image-pipeline resize step (dataset thumbnailing, CLIP-style
+    fixed-resolution preprocessing): one ``mapInPandas`` pass, one
+    output row per payload, peak memory one Arrow batch of thumbnails.
+    A real implementation decodes + resamples via PIL
+    (:func:`decode_image` is the honest gated boundary); the stub
+    "resamples" the byte stream itself — evenly-strided byte selection
+    down to ``target`` bytes — which is deterministic, so tests pin
+    exact output bytes and digests while the Spark-side plumbing
+    (schema, batching, closure pickling by value) is fully real.
+    """
+
+    # Self-contained closure (by-value pickling — see decode_features).
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def thumb(payload: bytes) -> bytes:
+            if not payload:
+                return b""
+            if len(payload) <= target:
+                return payload
+            step = len(payload) / target
+            return bytes(payload[int(i * step)] for i in range(target))
+
+        for pdf in batches:
+            thumbs = [thumb(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(b) for b in thumbs],
+                    "thumb_sha256": [hashlib.sha256(b).hexdigest() for b in thumbs],
+                }
+            )
+
+    return manifest.mapInPandas(resize, THUMB_SCHEMA)

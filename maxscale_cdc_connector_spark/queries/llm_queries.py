@@ -33,6 +33,7 @@ from maxscale_cdc_connector_spark.operators.multimodal import (
     build_manifest,
     decode_features,
     frame_sample,
+    resize_thumbnails,
 )
 from maxscale_cdc_connector_spark.operators.simsearch import (
     ivf_topk,
@@ -480,6 +481,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     return frame_sample(build_manifest(d)).select("doc_id", "frame_idx", "frame_sha256")
+
+
+@register(
+    "multimodal_resize_thumbs",
+    oracle=None,  # mapInPandas over binary payloads; resampler stubbed — rows-only.
+    doc="Fixed-size thumbnail resize over binary payloads: one "
+    "Arrow-batched mapInPandas pass emits (doc_id, thumb_bytes, "
+    "thumb_sha256) per payload — the CLIP-style fixed-resolution "
+    "preprocessing shape (operators/multimodal.resize_thumbnails). "
+    "The resampler is the deterministic strided-byte stub behind the "
+    "PIL-gated decode boundary; pytest pins exact thumbnail bytes.",
+)
+def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return resize_thumbnails(build_manifest(d)).select(
+        "doc_id", "thumb_bytes", "thumb_sha256"
+    )
 
 
 @register(

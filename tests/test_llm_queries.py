@@ -414,3 +414,32 @@ def test_knn_graph_lsh_recovers_duplicate_edges_exactly(spark, sf_dir):
         b = emb[r.nbr_id % 1_000_000]
         direct = round(sum(x * y for x, y in zip(a, b)), 5)
         assert abs(direct - r.sim) <= 1e-4, (r.vec_id, r.nbr_id, direct, r.sim)
+
+
+def test_resize_thumbnails_pins_exact_bytes(spark, sf_dir):
+    """The stubbed resampler is deterministic strided byte selection —
+    pin its exact output bytes, lengths and digests."""
+    import hashlib
+
+    from maxscale_cdc_connector_spark.operators.multimodal import (
+        THUMB_TARGET,
+        build_manifest,
+        resize_thumbnails,
+    )
+    from maxscale_cdc_connector_spark.session import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text").limit(10)
+    thumbs = {r.doc_id: r for r in resize_thumbnails(build_manifest(docs)).collect()}
+    for d in docs.collect():
+        raw = d.text.encode("utf-8")
+        if not raw:
+            want = b""
+        elif len(raw) <= THUMB_TARGET:
+            want = raw
+        else:
+            step = len(raw) / THUMB_TARGET
+            want = bytes(raw[int(i * step)] for i in range(THUMB_TARGET))
+        got = thumbs[d.doc_id]
+        assert bytes(got.thumb) == want, d.doc_id
+        assert got.thumb_bytes == len(want)
+        assert got.thumb_sha256 == hashlib.sha256(want).hexdigest()
