@@ -2843,3 +2843,53 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fresh, F.col("prev_raw")).alias("prev_error_us"),
         (F.col("prev_raw").isNotNull() & ~fresh).alias("match_expired"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+WITH du AS (
+    SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+    FROM events
+),
+bounds AS (SELECT min(day) AS mn FROM du),
+expanded AS (
+    SELECT day + i AS rday, user_id
+    FROM du, unnest(generate_series(0, 6)) AS t(i)
+),
+dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+wau AS (SELECT rday AS day, count(DISTINCT user_id) AS wau FROM expanded GROUP BY rday)
+SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau
+FROM dau d JOIN wau w USING (day) CROSS JOIN bounds b
+WHERE d.day >= b.mn + 6
+""",
+    doc="Daily / weekly active users (DAU + trailing-7-day WAU) — the "
+    "canonical engagement dashboard metric. The rolling DISTINCT that "
+    "a naive range-window cannot decompose is computed by the explode "
+    "trick: each (day, user) activity row contributes itself to the 7 "
+    "calendar days whose trailing window contains it, then one "
+    "count(DISTINCT) per day — every step a keyed aggregate, volume "
+    "7× the (day, user) pairs (NOT 7× raw events: the per-day distinct "
+    "collapses first). Only days with a full trailing window are "
+    "emitted (min-day bound rides a broadcast 1-row frame). Uses the "
+    "type-adaptive ts normalization.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    du = e.select(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"), "user_id"
+    ).distinct()
+    bounds = du.agg(F.min("day").alias("mn"))
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    expanded = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    wau = expanded.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("day") >= F.col("mn") + 6)
+        .select("day", "dau", "wau")
+    )

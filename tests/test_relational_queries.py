@@ -86,6 +86,7 @@ RELATIONAL = [
     "orders_abc_pareto",
     "events_path_topk",
     "join_asof_tolerance",
+    "events_dau_wau",
 ]
 
 
