@@ -2893,3 +2893,38 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("day") >= F.col("mn") + 6)
         .select("day", "dau", "wau")
     )
+
+
+@register(
+    "events_dau_wau_approx",
+    oracle=None,  # HLL sketch estimates — rows-only; pytest pins ≤5%
+    # relative error against the exact events_dau_wau.
+    doc="DAU/WAU via approx_count_distinct (HyperLogLog++) — the form "
+    "that actually runs at 100 TB, where an exact rolling distinct "
+    "would shuffle every (day, user) pair: the sketch is fixed-size "
+    "per group and merges associatively, so the explode-window "
+    "aggregate degrades to constant memory per day regardless of user "
+    "count. Same plan shape as the exact events_dau_wau (pinned "
+    "within 5% of it by test) — swap-in/swap-out by config.",
+)
+def events_dau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    du = e.select(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"), "user_id"
+    ).distinct()
+    bounds = du.agg(F.min("day").alias("mn"))
+    dau = du.groupBy("day").agg(
+        F.approx_count_distinct("user_id").cast("bigint").alias("dau")
+    )
+    expanded = du.select(
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"), "user_id"
+    )
+    wau = expanded.groupBy("day").agg(
+        F.approx_count_distinct("user_id").cast("bigint").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("day") >= F.col("mn") + 6)
+        .select("day", "dau", "wau")
+    )

@@ -168,3 +168,18 @@ def test_rfm_windows_partition_by_range_bucket(spark, sf_dir):
     s = plan_summary(REGISTRY["orders_rfm_segmentation"].fn(spark, sf_dir))
     assert "_ent_pid" in s.text, "distributed ntile lost its partition key"
     assert not s.has("NTile") or "_ent_pid" in s.text
+
+
+def test_dau_wau_approx_within_5pct_of_exact(spark, sf_dir):
+    """The HLL form must track the exact rolling distinct within 5%
+    relative error on every emitted day."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    exact = {r.day: (r.dau, r.wau) for r in REGISTRY["events_dau_wau"].fn(spark, sf_dir).collect()}
+    approx = {r.day: (r.dau, r.wau) for r in REGISTRY["events_dau_wau_approx"].fn(spark, sf_dir).collect()}
+    assert set(approx) == set(exact)
+    for day, (dau, wau) in exact.items():
+        a_dau, a_wau = approx[day]
+        assert abs(a_dau - dau) <= max(1, 0.05 * dau), (day, a_dau, dau)
+        assert abs(a_wau - wau) <= max(1, 0.05 * wau), (day, a_wau, wau)
