@@ -2928,3 +2928,96 @@ def events_dau_wau_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("day") >= F.col("mn") + 6)
         .select("day", "dau", "wau")
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+WITH firsts AS (
+    SELECT o_custkey,
+           min(date_trunc('month', CAST(o_orderdate AS DATE))) AS cohort_month
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_month,
+       CAST((CAST(date_part('year', CAST(o.o_orderdate AS DATE)) AS BIGINT) * 12
+             + CAST(date_part('month', CAST(o.o_orderdate AS DATE)) AS BIGINT))
+            - (CAST(date_part('year', f.cohort_month) AS BIGINT) * 12
+               + CAST(date_part('month', f.cohort_month) AS BIGINT)) AS BIGINT)
+           AS month_offset,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
+FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""",
+    doc="Cohort lifetime-value matrix: customers bucketed by "
+    "first-order month, revenue (exact integer cents) summed per "
+    "(cohort month, months-since-cohort) cell — the triangular LTV "
+    "table every growth dashboard draws, and the revenue complement "
+    "of retention_cohorts' user counts. Both the first-order aggregate "
+    "and the fact join shuffle on o_custkey (the join reuses the "
+    "aggregation's partitioning); the month arithmetic is pure integer "
+    "year*12+month differences, so no date-interval semantics can "
+    "diverge across engines.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).withColumn(
+        "odate", F.col("o_orderdate").cast("date")
+    )
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("odate", "month")).alias("cohort_month")
+    )
+    months = lambda c: F.year(c).cast("bigint") * 12 + F.month(c).cast("bigint")
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (months(F.col("odate")) - months(F.col("cohort_month"))).alias("month_offset"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("revenue_e2"),
+        )
+    )
+
+
+@register(
+    "events_first_touch_attribution",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk
+    FROM events
+),
+firsts AS (SELECT user_id, event_type AS first_touch FROM ranked WHERE rk = 1),
+purch AS (SELECT user_id, value FROM events WHERE event_type = 'purchase')
+SELECT f.first_touch,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       round(sum(p.value), 2) AS attributed_value
+FROM purch p JOIN firsts f USING (user_id)
+GROUP BY f.first_touch
+""",
+    doc="First-touch attribution: every purchase credited to the "
+    "user's very first event type (deterministic (ts, event_id) "
+    "order). One user-keyed window finds first touches, the purchase "
+    "join reuses the user partitioning, and the final rollup is "
+    "|event_types| rows — the marketing-channel attribution query in "
+    "its simplest defensible form (last-touch and positional variants "
+    "are the same plan with a different rank filter).",
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    firsts = (
+        e.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    purch = e.where(F.col("event_type") == "purchase").select("user_id", "value")
+    return (
+        purch.join(firsts, "user_id")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )

@@ -87,6 +87,8 @@ RELATIONAL = [
     "events_path_topk",
     "join_asof_tolerance",
     "events_dau_wau",
+    "orders_cohort_ltv",
+    "events_first_touch_attribution",
 ]
 
 
