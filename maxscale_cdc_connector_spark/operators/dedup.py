@@ -195,12 +195,12 @@ def jaccard_pairs_prefix(
     )
     t_dec = F.lit(min_jaccard).cast("decimal(10,6)")
     plen = (F.col("set_size") - F.ceil(t_dec * F.col("set_size")) + 1).cast("int")
-    prefixes = docs_prefix = arrs.select(
+    prefixes = arrs.select(
         F.col(id_col),
         F.explode(F.slice(F.col("shingles"), F.lit(1), plen)).alias("shingle"),
     )
     a = prefixes.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = docs_prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    b = prefixes.select(F.col(id_col).alias("doc_b"), "shingle")
     cand = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
