@@ -1850,3 +1850,55 @@ def simsearch_knn_graph_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     corpus = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000)))
     return knn_graph_lsh(corpus, k=3, dim=64)
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, lang, source, n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS digest
+    FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_unique_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens_floor
+FROM tok
+""",
+    doc="Dataset card: the one-row release summary a corpus ships with "
+    "— document and exact-unique counts, token/char totals, language "
+    "and source cardinalities, token-length extremes and floor-mean "
+    "(integer-exact; no float forms). ONE pass over the corpus: the "
+    "row-local tokenize/digest projection feeds a single global "
+    "aggregate whose distinct counts ride partial aggregation "
+    "map-side. At 100 TB swap the exact distincts for "
+    "approx_count_distinct and the shape is unchanged.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.text_fns import normalize
+
+    d = t(spark, "documents", sf_dir).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(words("text")).cast("bigint").alias("n_tokens"),
+        F.md5(normalize("text")).alias("digest"),
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").cast("bigint").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.expr("sum(n_tokens) DIV count(*)").alias("mean_tokens_floor"),
+    )

@@ -43,6 +43,7 @@ ORACLE_CHECKED = [
     "graph_triangle_count",
     "dedup_rate_by_source",
     "embedding_dim_stats",
+    "pipeline_dataset_card",
 ]
 
 
