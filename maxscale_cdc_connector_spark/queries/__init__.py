@@ -24,15 +24,20 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
-# Round 5: the block-GEMM all-pairs kernel was fixed (cross-block pairs
-# whose smaller id hashed into the higher block were dropped) and its
-# block sizing moved to plan statistics — every consumer of
-# pairwise_threshold re-verifies; the two embedding array ops now emit
-# exploded scalar rows (the harness could not canonicalize raw arrays);
-# the k-NN query side gained a fixed-size cap; approx-top-k gained an
-# exact tie-safe oracle; jaccard_pairs persists an internal alias and
-# exact_ntile checkpoints its range-partitioned input once — their
-# consumers re-verify on the changed execution strategy.
+# Round 5, first half: the block-GEMM all-pairs kernel was fixed
+# (cross-block pairs whose smaller id hashed into the higher block were
+# dropped) and its block sizing moved to plan statistics — every
+# consumer of pairwise_threshold re-verifies; the two embedding array
+# ops now emit exploded scalar rows (the harness could not canonicalize
+# raw arrays); the k-NN query side gained a fixed-size cap; approx-top-k
+# gained an exact tie-safe oracle; jaccard_pairs persists an internal
+# alias and exact_ntile checkpoints its range-partitioned input once.
+# Second half: the exact-Jaccard consumers (ngram_jaccard, cluster_cc,
+# rewrite_corpus — already listed) moved to the prefix-filtered
+# candidate index, and cluster_cc's star contraction moved to window
+# mins with a signature-gated exact convergence check — both changes
+# are output-pinned bit-identical locally, and the driver re-verifies
+# them on the new execution strategies via this list.
 _CHANGED_THIS_ROUND = (
     "simsearch_pairwise_threshold",
     "dedup_embedding_cosine",
