@@ -3021,3 +3021,80 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("value"), 2).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_concurrency_sweepline",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+flagged AS (
+    SELECT user_id, ts_us, event_id,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sess_seq
+    FROM flagged
+),
+bounds AS (
+    SELECT user_id, sess_seq, min(ts_us) AS start_us, max(ts_us) AS end_us
+    FROM sess GROUP BY user_id, sess_seq
+),
+points AS (
+    SELECT user_id, sess_seq, start_us AS ts_us, 1 AS delta FROM bounds
+    UNION ALL
+    SELECT user_id, sess_seq, end_us, -1 FROM bounds
+),
+run AS (
+    SELECT ts_us,
+           sum(delta) OVER (ORDER BY ts_us, delta DESC, user_id, sess_seq) AS concurrency
+    FROM points
+)
+SELECT CAST(ts_us // 86400000000 AS BIGINT) AS day,
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrency
+FROM run GROUP BY day
+""",
+    doc="Peak concurrent sessions per day via the sweep-line pattern: "
+    "sessionize (30-min gap), turn each session into a +1 start / -1 "
+    "end point, and take the running sum over the global point order "
+    "(+1 sorts before -1 at ties so instantaneous sessions still "
+    "count). The interval-overlap question no per-interval join can "
+    "answer without quadratic blowup. The oracle's global cumulative "
+    "window is single-reducer; the Spark plan runs the point stream "
+    "through the exact distributed prefix sum "
+    "(operators/ranking.exact_running_sum) under the same total order "
+    "— bit-identical, no funnel, and the point volume is 2 sessions "
+    "per user, not events.",
+)
+def events_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_running_sum
+
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = e.select(
+        "user_id", "ts_us", F.sum(is_new).over(w).alias("sess_seq")
+    )
+    bounds = sess.groupBy("user_id", "sess_seq").agg(
+        F.min("ts_us").alias("start_us"), F.max("ts_us").alias("end_us")
+    )
+    points = bounds.select(
+        "user_id", "sess_seq", F.col("start_us").alias("ts_us"), F.lit(1).alias("delta")
+    ).unionByName(
+        bounds.select(
+            "user_id", "sess_seq", F.col("end_us").alias("ts_us"), F.lit(-1).alias("delta")
+        )
+    )
+    run = exact_running_sum(
+        points,
+        [F.asc("ts_us"), F.desc("delta"), F.asc("user_id"), F.asc("sess_seq")],
+        "delta",
+        out="concurrency",
+    )
+    return run.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))

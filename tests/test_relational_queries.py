@@ -89,6 +89,7 @@ RELATIONAL = [
     "events_dau_wau",
     "orders_cohort_ltv",
     "events_first_touch_attribution",
+    "events_concurrency_sweepline",
 ]
 
 
