@@ -3098,3 +3098,85 @@ def events_concurrency_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(
         F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
     ).agg(F.max("concurrency").cast("bigint").alias("peak_concurrency"))
+
+
+@register(
+    "events_behavior_bitmap",
+    oracle="""
+WITH m AS (
+    SELECT user_id, CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+           bit_or(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                  WHEN 'signup' THEN 4 WHEN 'purchase' THEN 8
+                  WHEN 'error' THEN 16 ELSE 32 END) AS type_mask
+    FROM events GROUP BY user_id, week
+)
+SELECT CAST(type_mask AS BIGINT) AS type_mask,
+       CAST(count(*) AS BIGINT) AS n_user_weeks
+FROM m GROUP BY type_mask
+""",
+    doc="Weekly behavioral archetypes as bitmasks: bit_or folds the set "
+    "of event types a user exhibited in a week into one integer (click "
+    "1 | view 2 | signup 4 | purchase 8 | error 16), then a histogram "
+    "over at most 2^5 masks. bit_or is the roll-up-able form of "
+    "'which flags were seen' — fully map-side combinable where a "
+    "collect_set would shuttle whole sets through the shuffle; the "
+    "archetype histogram is the input to segment-level funnels and "
+    "cohort splits. Two hash aggregates, no window, no arrays.",
+)
+def events_behavior_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "purchase", 8)
+        .when(F.col("event_type") == "error", 16)
+        .otherwise(32)
+    )
+    m = (
+        e.select(
+            "user_id",
+            F.expr("ts_us DIV 604800000000").cast("bigint").alias("week"),
+            bit.alias("bit"),
+        )
+        .groupBy("user_id", "week")
+        .agg(F.expr("bit_or(bit)").cast("bigint").alias("type_mask"))
+    )
+    return m.groupBy("type_mask").agg(F.count("*").alias("n_user_weeks"))
+
+
+@register(
+    "orders_interarrival_stats",
+    oracle="""
+WITH g AS (
+    SELECT o_custkey,
+           date_diff('day', lag(CAST(o_orderdate AS DATE)) OVER w,
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap,
+       CAST(max(gap_days) AS BIGINT) AS max_gap,
+       CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_gap_floor,
+       round(quantile_cont(CAST(gap_days AS DOUBLE), 0.5), 4) AS median_gap
+FROM g WHERE gap_days IS NOT NULL
+""",
+    doc="Customer order inter-arrival statistics (repurchase cadence): "
+    "per-customer day gaps between consecutive orders via one "
+    "custkey-partitioned lag window, then global count/min/max, "
+    "integer floor-mean, and an exact interpolated median. The "
+    "purchase-frequency distribution behind churn models and "
+    "replenishment forecasting; at 100 TB swap the exact median for "
+    "approx_percentile, same single-window shape.",
+)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).withColumn("odate", F.col("o_orderdate").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    g = o.select(F.datediff(F.col("odate"), F.lag("odate").over(w)).alias("gap_days"))
+    return g.where(F.col("gap_days").isNotNull()).agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_gap"),
+        F.max("gap_days").cast("bigint").alias("max_gap"),
+        F.expr("sum(gap_days) DIV count(*)").alias("mean_gap_floor"),
+        F.round(F.expr("percentile(cast(gap_days as double), 0.5)"), 4).alias("median_gap"),
+    )

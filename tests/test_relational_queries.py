@@ -90,6 +90,8 @@ RELATIONAL = [
     "orders_cohort_ltv",
     "events_first_touch_attribution",
     "events_concurrency_sweepline",
+    "events_behavior_bitmap",
+    "orders_interarrival_stats",
 ]
 
 
