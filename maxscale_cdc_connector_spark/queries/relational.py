@@ -3180,3 +3180,78 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(gap_days) DIV count(*)").alias("mean_gap_floor"),
         F.round(F.expr("percentile(cast(gap_days as double), 0.5)"), 4).alias("median_gap"),
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+WITH e AS (SELECT event_id, event_type, value, user_id,
+                  CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+err AS (
+    SELECT user_id, ts_us, event_id,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WHERE event_type = 'error'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (SELECT user_id, ts_us,
+                sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sq
+         FROM err),
+wins AS (SELECT min(ts_us) - 1800000000 AS s, max(ts_us) + 1800000000 AS e2
+         FROM sess GROUP BY user_id, sq),
+purch AS (SELECT event_id, value, ts_us FROM e WHERE event_type = 'purchase'),
+hits AS (
+    SELECT DISTINCT p.event_id, p.value
+    FROM purch p JOIN wins w ON p.ts_us BETWEEN w.s AND w.e2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_purchases_in_error_windows,
+       round(sum(value), 2) AS value_at_risk
+FROM hits
+""",
+    doc="PURE interval join (no equi key) via time-bucketization — the "
+    "scalable plan for 'which purchases landed inside ANY user's "
+    "error-burst window (±30 min)', i.e. revenue at risk during "
+    "incidents. The oracle's textbook BETWEEN join is a cross "
+    "product with a filter; the Spark plan explodes each window into "
+    "the 1-hour buckets it covers (bounded fan-out: window span is "
+    "session-bounded), equi-joins purchases on bucket, applies the "
+    "exact BETWEEN as a residual, and dedups purchases that straddle "
+    "bucket borders — candidate volume tracks co-bucket density, "
+    "never |purchases| x |windows|. This is the batch dual of the "
+    "watermarked stream-stream interval join.",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket_us = 3_600_000_000
+    pad_us = 1_800_000_000
+    e = events_ts_us(t(spark, "events", sf_dir)).select(
+        "event_id", "event_type", "value", "user_id", "ts_us"
+    )
+    errs = e.where(F.col("event_type") == "error")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > pad_us), 1).otherwise(0)
+    sess = errs.select("user_id", "ts_us", F.sum(is_new).over(w).alias("sq"))
+    wins = sess.groupBy("user_id", "sq").agg(
+        (F.min("ts_us") - pad_us).alias("s"), (F.max("ts_us") + pad_us).alias("e2")
+    )
+    wbuck = wins.select(
+        "s",
+        "e2",
+        F.explode(
+            F.sequence(F.expr(f"s DIV {bucket_us}"), F.expr(f"e2 DIV {bucket_us}"))
+        ).alias("bk"),
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "value", "ts_us", F.expr(f"ts_us DIV {bucket_us}").alias("bk")
+    )
+    hits = (
+        purch.join(wbuck, "bk")
+        .where((F.col("ts_us") >= F.col("s")) & (F.col("ts_us") <= F.col("e2")))
+        .select("event_id", "value")
+        .distinct()
+    )
+    return hits.agg(
+        F.count("*").alias("n_purchases_in_error_windows"),
+        F.round(F.sum("value"), 2).alias("value_at_risk"),
+    )

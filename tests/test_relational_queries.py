@@ -92,6 +92,7 @@ RELATIONAL = [
     "events_concurrency_sweepline",
     "events_behavior_bitmap",
     "orders_interarrival_stats",
+    "join_interval_bucketed",
 ]
 
 
