@@ -643,3 +643,64 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(round(bal2 * 100) as bigint)").alias("new_acctbal_e2"),
         )
     )
+
+
+@register(
+    "cdc_column_churn",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+pairs AS (
+    SELECT b.c_name AS old_c_name, a.c_name AS new_c_name,
+           b.c_nationkey AS old_c_nationkey, a.c_nationkey AS new_c_nationkey,
+           b.c_acctbal AS old_c_acctbal, a.c_acctbal AS new_c_acctbal,
+           b.c_mktsegment AS old_c_mktsegment, a.c_mktsegment AS new_c_mktsegment
+    FROM (SELECT * FROM cdc_events WHERE event_type = 'update_before') b
+    JOIN (SELECT * FROM cdc_events WHERE event_type = 'update_after') a
+      ON b.c_custkey = a.c_custkey AND b.domain = a.domain
+     AND b.server_id = a.server_id AND b.sequence = a.sequence
+),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_updates,
+           CAST(sum(CASE WHEN old_c_name IS DISTINCT FROM new_c_name
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ch_name,
+           CAST(sum(CASE WHEN old_c_nationkey IS DISTINCT FROM new_c_nationkey
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ch_nationkey,
+           CAST(sum(CASE WHEN old_c_acctbal IS DISTINCT FROM new_c_acctbal
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ch_acctbal,
+           CAST(sum(CASE WHEN old_c_mktsegment IS DISTINCT FROM new_c_mktsegment
+                    THEN 1 ELSE 0 END) AS BIGINT) AS ch_mktsegment
+    FROM pairs
+)
+SELECT 'c_name' AS column_name, n_updates, ch_name AS n_changed FROM agg
+UNION ALL SELECT 'c_nationkey', n_updates, ch_nationkey FROM agg
+UNION ALL SELECT 'c_acctbal', n_updates, ch_acctbal FROM agg
+UNION ALL SELECT 'c_mktsegment', n_updates, ch_mktsegment FROM agg
+""",
+    doc="Per-column update churn: of all paired update_before/update_after "
+    "events, how many actually CHANGED each column (null-safe compare). "
+    "The CDC-operations question behind hot-column monitoring, "
+    "trigger-storm diagnosis, and schema-denormalization decisions — "
+    "an update event that changes nothing is replication noise worth "
+    "seeing. One co-located pair join (both halves shuffle on the same "
+    "(key, gtid) key) + one global aggregate; the per-column rows are "
+    "a 1-row stack, so output is |columns| rows at any log size.",
+)
+def cdc_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.cdc import synthetic_customer_events, update_pairs
+
+    events = synthetic_customer_events(spark, sf_dir)
+    cols = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    pairs = update_pairs(events, ["c_custkey"], cols)
+    changed = [
+        F.sum(
+            F.when(~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"ch_{c}")
+        for c in cols
+    ]
+    agg = pairs.agg(F.count("*").alias("n_updates"), *changed)
+    stack = ", ".join(f"'{c}', ch_{c}" for c in cols)
+    return agg.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_changed)", "n_updates"
+    ).select("column_name", "n_updates", "n_changed")

@@ -19,6 +19,7 @@ CDC_QUERIES = [
     "cdc_point_in_time",
     "cdc_sequence_gaps",
     "cdc_snapshot_diff",
+    "cdc_column_churn",
 ]
 
 
