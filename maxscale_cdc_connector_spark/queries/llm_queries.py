@@ -1902,3 +1902,47 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.expr("sum(n_tokens) DIV count(*)").alias("mean_tokens_floor"),
     )
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+    SELECT round(CAST(n_common AS DOUBLE)
+                 / (sa.set_size + sb.set_size - n_common), 4) AS j
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.7
+)
+SELECT CASE WHEN j >= 0.9 THEN '[0.9,1.0]'
+            WHEN j >= 0.8 THEN '[0.8,0.9)'
+            ELSE '[0.7,0.8)' END AS band,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jac GROUP BY band
+""",
+    doc="Dedup threshold sensitivity: near-dup pair counts per Jaccard "
+    "band ([0.7,0.8), [0.8,0.9), [0.9,1.0]) — the tuning report read "
+    "before fixing a production threshold, showing how many pairs each "
+    "0.1 of slack adds. ONE prefix-filtered exact join at the loosest "
+    "threshold (0.7) serves every band — no per-threshold re-runs — "
+    "and banding uses the 4dp-rounded similarity on both engines so "
+    "boundary pairs band identically.",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    pairs = jaccard_pairs_prefix(corpus, min_jaccard=0.7)
+    band = (
+        F.when(F.col("jaccard") >= 0.9, "[0.9,1.0]")
+        .when(F.col("jaccard") >= 0.8, "[0.8,0.9)")
+        .otherwise("[0.7,0.8)")
+        .alias("band")
+    )
+    return pairs.select(band).groupBy("band").agg(F.count("*").alias("n_pairs"))

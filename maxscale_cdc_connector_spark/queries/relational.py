@@ -3255,3 +3255,62 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases_in_error_windows"),
         F.round(F.sum("value"), 2).alias("value_at_risk"),
     )
+
+
+@register(
+    "events_session_stats",
+    oracle="""
+WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events),
+flagged AS (
+    SELECT user_id, ts_us, event_id,
+           CASE WHEN lag(ts_us) OVER w IS NULL
+                     OR ts_us - lag(ts_us) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+    SELECT user_id, ts_us,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS sq
+    FROM flagged
+),
+b AS (
+    SELECT user_id, sq, count(*) AS n_events, max(ts_us) - min(ts_us) AS dur_us
+    FROM sess GROUP BY user_id, sq
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS n_events_total,
+       CAST(sum(n_events) // count(*) AS BIGINT) AS mean_events_floor,
+       CAST(max(n_events) AS BIGINT) AS max_events,
+       round(quantile_cont(CAST(dur_us AS DOUBLE), 0.5), 4) AS median_duration_us,
+       CAST(max(dur_us) AS BIGINT) AS max_duration_us
+FROM b
+""",
+    doc="Session-shape distribution report: session count, events per "
+    "session (floor-mean and max), and duration median/max over the "
+    "30-min-gap sessionization — the engagement-depth summary next to "
+    "win_sessionize's per-session rows. The session bounds groupBy is "
+    "satisfied by the window's user_id partitioning (no second "
+    "exchange); the final global aggregate reads |sessions| rows. "
+    "Exact interpolated median; at 100 TB swap approx_percentile, "
+    "same shape.",
+)
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    sess = e.select("user_id", "ts_us", F.sum(is_new).over(w).alias("sq"))
+    b = sess.groupBy("user_id", "sq").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return b.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events_total"),
+        F.expr("sum(n_events) DIV count(*)").alias("mean_events_floor"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+        F.round(F.expr("percentile(cast(dur_us as double), 0.5)"), 4).alias(
+            "median_duration_us"
+        ),
+        F.max("dur_us").cast("bigint").alias("max_duration_us"),
+    )

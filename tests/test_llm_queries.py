@@ -44,6 +44,7 @@ ORACLE_CHECKED = [
     "dedup_rate_by_source",
     "embedding_dim_stats",
     "pipeline_dataset_card",
+    "dedup_threshold_sensitivity",
 ]
 
 

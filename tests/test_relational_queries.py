@@ -93,6 +93,7 @@ RELATIONAL = [
     "events_behavior_bitmap",
     "orders_interarrival_stats",
     "join_interval_bucketed",
+    "events_session_stats",
 ]
 
 
