@@ -38,6 +38,7 @@ class FakeMaxScale:
         fail_auth: bool = False,
         err_on_request: str | None = None,
         err_no_newline: bool = False,
+        port: int = 0,
     ) -> None:
         self.schema_record = schema_record
         self.user = user
@@ -61,7 +62,10 @@ class FakeMaxScale:
             allow_reuse_address = True
             daemon_threads = True
 
-        self._server = Server(("127.0.0.1", 0), Handler)
+        # ``port=0`` binds an ephemeral port; a crash-recovery test passes
+        # the previous instance's port so the "recovered server" comes
+        # back at the address the streaming query's options point at.
+        self._server = Server(("127.0.0.1", port), Handler)
         self.port = self._server.server_address[1]
         self._thread = threading.Thread(target=self._server.serve_forever, daemon=True)
 

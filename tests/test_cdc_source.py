@@ -375,6 +375,75 @@ def test_streaming_checkpoint_resume(spark, tmp_path) -> None:
         assert min(run_b) >= 10
 
 
+def test_streaming_crash_resume_from_checkpoint(spark, tmp_path) -> None:
+    """ABRUPT server death mid-stream (TCP loss, not a graceful stop):
+    the streaming query fails; restarting it against a recovered server
+    on the same address with the SAME checkpoint resumes from the
+    checkpointed GTID — at-least-once across the crash, nothing lost,
+    nothing replayed from before the checkpoint."""
+    import json as _json
+
+    first = [make_event(s, name=f"a{s}") for s in range(1, 11)]
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    def start(port: int, sink: list[int]):
+        def collect_batch(batch, _bid):
+            sink.extend(r["sequence"] for r in batch.select("sequence").collect())
+
+        return (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("port", port)
+            .option("user", "cdcuser")
+            .option("password", "cdcpw")
+            .option("table", "test.t1")
+            .option("pollseconds", "0.3")
+            .option("schemaRecord", _json.dumps(TEST_SCHEMA_RECORD))
+            .load()
+            .writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, first)
+    srv.__enter__()
+    port = srv.port
+    run_a: list[int] = []
+    q1 = start(port, run_a)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(set(run_a)) < 10:
+            time.sleep(0.3)
+        assert set(run_a) == set(range(1, 11))
+        srv.stop()  # abrupt: sockets die under the running query
+        deadline = time.time() + 60
+        while time.time() < deadline and q1.isActive:
+            time.sleep(0.3)
+        assert not q1.isActive, "query survived a dead server"
+        assert q1.exception() is not None, "no error surfaced for the crash"
+    finally:
+        if q1.isActive:
+            q1.stop()
+
+    # Recovered server at the SAME address serves the full history; the
+    # restarted query must resume from the checkpointed GTID.
+    all_events = first + [make_event(s, name=f"b{s}") for s in range(11, 21)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, all_events, port=port) as srv2:
+        assert srv2.port == port
+        run_b: list[int] = []
+        q2 = start(port, run_b)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and len({s for s in run_b if s > 10}) < 10:
+                time.sleep(0.3)
+        finally:
+            q2.stop()
+        assert set(range(11, 21)) <= set(run_b)
+        assert min(run_b) >= 10  # never re-reads before the checkpoint
+
+
 def test_datasource_schema_infer_connection_refused() -> None:
     """schema() inference against a dead server surfaces a clean error,
     not a hang (the reference's connect() error-string path,
