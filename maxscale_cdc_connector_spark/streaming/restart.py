@@ -99,3 +99,98 @@ def run_with_schema_restarts(
             opts.pop("schemaRecord", None)
             opts.pop("schemarecord", None)
             opts["nullMissingColumns"] = "true"
+
+
+# Substrings that mark a TRANSIENT transport failure (server crash,
+# network partition, listener not yet back up) as they surface inside a
+# StreamingQueryException on the driver. Anything else is a real error.
+CONNECTION_FAILURE_MARKERS = (
+    "CDC server closed the connection",  # protocol.py read loop
+    "Connection refused",
+    "Connection reset",
+    "Broken pipe",
+    "ConnectionRefusedError",
+    "ConnectionResetError",
+)
+
+
+def is_connection_failure(exc: BaseException) -> bool:
+    """True when a streaming-query failure looks like transport loss."""
+    text = str(exc)
+    return any(m in text for m in CONNECTION_FAILURE_MARKERS)
+
+
+def run_supervised(
+    spark: SparkSession,
+    options: dict[str, str],
+    attach_sink: Callable[[DataFrame], "object"],
+    *,
+    max_restarts: int = 5,
+    initial_backoff: float = 0.5,
+    max_backoff: float = 30.0,
+    stop_when: Callable[[], bool] | None = None,
+    timeout: float = 120.0,
+    poll_seconds: float = 0.25,
+) -> int:
+    """Production supervision for a ``maxscale_cdc`` stream: restart
+    across BOTH restartable failure classes —
+
+    - mid-stream schema change → drop the pinned ``schemaRecord`` so the
+      new schema re-infers, enable ``nullMissingColumns`` (same
+      semantics as :func:`run_with_schema_restarts`);
+    - transport loss (server crash / network partition) → exponential
+      backoff (``initial_backoff`` doubling to ``max_backoff``), then
+      reattach with UNCHANGED options.
+
+    Every restart resumes from the committed GTID in the sink's
+    ``checkpointLocation`` (which ``attach_sink`` MUST set), so delivery
+    stays at-least-once across any number of restarts and never replays
+    from before the checkpoint. A successful reconnection resets the
+    backoff. Any non-restartable failure re-raises immediately.
+
+    Returns the number of restarts performed. The reference client
+    surfaces transport loss as a read error and leaves recovery to the
+    caller (cdc_connector.cpp:237-360); this wrapper IS that caller,
+    done once, with Spark's checkpoint as the resume cursor.
+    """
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    restarts = 0
+    backoff = initial_backoff
+    opts = dict(options)
+    deadline = time.time() + timeout
+    while True:
+        df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+        query = attach_sink(df)
+        try:
+            while query.isActive:
+                if stop_when is not None and stop_when():
+                    query.stop()
+                    query.awaitTermination(30)
+                    return restarts
+                if time.time() > deadline:
+                    query.stop()
+                    raise TimeoutError(
+                        f"stream did not satisfy stop_when within {timeout}s "
+                        f"({restarts} restarts)"
+                    )
+                time.sleep(poll_seconds)
+            query.awaitTermination()  # surface the failure, if any
+            return restarts  # terminated cleanly
+        except StreamingQueryException as exc:
+            schema_change = is_schema_change_failure(exc)
+            if not schema_change and not is_connection_failure(exc):
+                raise
+            if restarts >= max_restarts:
+                raise RuntimeError(
+                    f"stream still failing after {max_restarts} restarts"
+                ) from exc
+            restarts += 1
+            if schema_change:
+                opts.pop("schemaRecord", None)
+                opts.pop("schemarecord", None)
+                opts["nullMissingColumns"] = "true"
+                backoff = initial_backoff  # new incarnation, fresh budget
+            else:
+                time.sleep(min(backoff, max_backoff))
+                backoff = min(backoff * 2, max_backoff)

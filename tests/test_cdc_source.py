@@ -444,6 +444,92 @@ def test_streaming_crash_resume_from_checkpoint(spark, tmp_path) -> None:
         assert min(run_b) >= 10  # never re-reads before the checkpoint
 
 
+def test_run_supervised_auto_reconnects_after_crash(spark, tmp_path) -> None:
+    """The supervision wrapper must ride out an abrupt server death on
+    its own: backoff, reconnect to the recovered server, resume from the
+    checkpoint, and deliver every event — no caller intervention."""
+    import json as _json
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    first = [make_event(s, name=f"a{s}") for s in range(1, 11)]
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    seen: list[int] = []
+    lock = threading.Lock()
+
+    def attach(df):
+        def collect_batch(batch, _bid):
+            rows = [r["sequence"] for r in batch.select("sequence").collect()]
+            with lock:
+                seen.extend(rows)
+
+        return (
+            df.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, first)
+    srv.__enter__()
+    port = srv.port
+    options = {
+        "host": "127.0.0.1",
+        "port": str(port),
+        "user": "cdcuser",
+        "password": "cdcpw",
+        "table": "test.t1",
+        "pollseconds": "0.3",
+        "schemaRecord": _json.dumps(TEST_SCHEMA_RECORD),
+    }
+
+    done = threading.Event()
+    result: dict = {}
+
+    def supervise():
+        try:
+            result["restarts"] = run_supervised(
+                spark,
+                options,
+                attach,
+                max_restarts=10,
+                initial_backoff=0.3,
+                stop_when=done.is_set,
+                timeout=120.0,
+            )
+        except Exception as exc:  # surfaced to the assertion below
+            result["error"] = exc
+
+    t = threading.Thread(target=supervise, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(set(seen)) < 10:
+            time.sleep(0.3)
+        assert set(seen) >= set(range(1, 11))
+
+        srv.stop()  # abrupt death under the running query
+        time.sleep(1.0)  # let the failure land and backoff begin
+        all_events = first + [make_event(s, name=f"b{s}") for s in range(11, 21)]
+        with FakeMaxScale(TEST_SCHEMA_RECORD, all_events, port=port):
+            deadline = time.time() + 90
+            while time.time() < deadline and not set(range(11, 21)) <= set(seen):
+                time.sleep(0.3)
+            done.set()
+            t.join(60)
+    finally:
+        done.set()
+
+    assert "error" not in result, result.get("error")
+    assert result.get("restarts", 0) >= 1, "no reconnect happened"
+    assert set(range(11, 21)) <= set(seen), "events after the crash were lost"
+    # resume came from the checkpoint: the first post-crash event is 11
+    assert min(s for s in seen if s > 10) == 11
+
+
 def test_datasource_schema_infer_connection_refused() -> None:
     """schema() inference against a dead server surfaces a clean error,
     not a hang (the reference's connect() error-string path,
