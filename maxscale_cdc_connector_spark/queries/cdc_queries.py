@@ -704,3 +704,51 @@ def cdc_column_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.selectExpr(
         f"stack({len(cols)}, {stack}) AS (column_name, n_changed)", "n_updates"
     ).select("column_name", "n_updates", "n_changed")
+
+
+@register(
+    "cdc_key_hotspots",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT c_custkey,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_type = 'insert' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_inserts,
+       CAST(sum(CASE WHEN event_type LIKE 'update%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_updates,
+       CAST(sum(CASE WHEN event_type = 'delete' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_deletes
+FROM cdc_events
+GROUP BY c_custkey
+ORDER BY n_events DESC, c_custkey
+LIMIT 10
+""",
+    doc="Hot-key monitor: the 10 most-changed primary keys with their "
+    "event-type mix — the operational 'which rows are churning' view "
+    "that flags update storms, retry loops and delete/recreate "
+    "anti-patterns before they skew downstream partitions. One "
+    "map-side-combinable aggregate keyed on the pk plus "
+    "TakeOrderedAndProject under a total (n DESC, key) order; at any "
+    "log size the driver sees 10 rows.",
+)
+def cdc_key_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.cdc import synthetic_customer_events
+
+    events = synthetic_customer_events(spark, sf_dir)
+    return (
+        events.groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "insert", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inserts"),
+            F.sum(F.when(F.col("event_type").startswith("update"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_updates"),
+            F.sum(F.when(F.col("event_type") == "delete", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_deletes"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("c_custkey"))
+        .limit(10)
+    )

@@ -3314,3 +3314,37 @@ def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("dur_us").cast("bigint").alias("max_duration_us"),
     )
+
+
+@register(
+    "fn_regexp",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b[a-z]{5}\b')) AS BIGINT) AS n_5letter,
+       regexp_extract(text, '\b([a-z]{7,})\b', 1) AS first_long_word,
+       CAST(length(regexp_replace(text, '\b[a-z]{1,2}\b', '_', 'g'))
+            AS BIGINT) AS masked_len
+FROM documents
+""",
+    doc="Regular-expression function pack: extract-all counts, first "
+    "capture-group extraction, and global replace — all row-local "
+    "codegen'd expressions, zero shuffles. Patterns are restricted to "
+    "the POSIX-compatible core (character classes, bounded repeats, "
+    "word boundaries) where Java regex (Spark) and RE2 (DuckDB) agree "
+    "semantically; both engines return '' for a no-match extract, so "
+    "the hash is stable. Lookarounds/backreferences are deliberately "
+    "out of scope — RE2 rejects them, and an engine-portable pipeline "
+    "should too.",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\b[a-z]{5}\\b', 0)"))
+        .cast("bigint")
+        .alias("n_5letter"),
+        F.regexp_extract("text", r"\b([a-z]{7,})\b", 1).alias("first_long_word"),
+        F.length(F.regexp_replace("text", r"\b[a-z]{1,2}\b", "_"))
+        .cast("bigint")
+        .alias("masked_len"),
+    )

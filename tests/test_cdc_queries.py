@@ -20,6 +20,7 @@ CDC_QUERIES = [
     "cdc_sequence_gaps",
     "cdc_snapshot_diff",
     "cdc_column_churn",
+    "cdc_key_hotspots",
 ]
 
 

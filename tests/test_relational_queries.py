@@ -94,6 +94,7 @@ RELATIONAL = [
     "orders_interarrival_stats",
     "join_interval_bucketed",
     "events_session_stats",
+    "fn_regexp",
 ]
 
 
