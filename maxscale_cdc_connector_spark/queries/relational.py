@@ -3348,3 +3348,107 @@ def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("masked_len"),
     )
+
+
+@register(
+    "orders_monthly_trend",
+    oracle="""
+WITH m AS (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_e2
+    FROM orders GROUP BY 1
+)
+SELECT month, revenue_e2,
+       lag(revenue_e2) OVER (ORDER BY month) AS prev_revenue_e2,
+       round(100.0 * (revenue_e2 - lag(revenue_e2) OVER (ORDER BY month))
+             / lag(revenue_e2) OVER (ORDER BY month), 4) AS mom_pct
+FROM m
+""",
+    doc="Monthly revenue trend with month-over-month growth — the "
+    "first chart of every revenue dashboard. Revenue aggregates in "
+    "exact integer cents (map-side combinable, |months| output rows); "
+    "the unpartitioned lag window is then legitimate: it runs over "
+    "the POST-AGGREGATE frame of at most a few hundred month rows at "
+    "ANY corpus size — the aggregate is what scales, the window never "
+    "sees data volume. Growth is rounded 4dp from an integer "
+    "difference over an integer base, identical on both engines.",
+)
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    m = o.groupBy(
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("month")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("revenue_e2")
+    )
+    w = W.orderBy("month")
+    prev = F.lag("revenue_e2").over(w)
+    return m.select(
+        "month",
+        "revenue_e2",
+        prev.alias("prev_revenue_e2"),
+        F.round(F.lit(100.0) * (F.col("revenue_e2") - prev) / prev, 4).alias("mom_pct"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY bucket
+""",
+    doc="Fixed-width value histogram (bucket = floor(value/10)): the "
+    "distribution primitive under every dashboard density plot. One "
+    "map-side-combinable aggregate; output rows = value range / "
+    "bucket width regardless of event count, so the driver never "
+    "funnels data — the scalable alternative to collecting values and "
+    "binning client-side.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "supplier_scorecard",
+    oracle="""
+SELECT s.s_suppkey, s.s_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_e2,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returned,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+    doc="Supplier scorecard: volume, exact-cent revenue, returned-line "
+    "count (the return-rate numerator, kept integer so no ratio ever "
+    "hashes), and distinct-part breadth per supplier — the "
+    "vendor-management table behind dual-sourcing and delisting "
+    "decisions. The supplier dimension broadcasts onto the fact scan; "
+    "ONE hash aggregate keyed on the supplier produces everything, "
+    "with the distinct-part count riding the same shuffle via partial "
+    "dedup.",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    s = t(spark, "supplier", sf_dir).select("s_suppkey", "s_name")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            ).alias("revenue_e2"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+        )
+    )

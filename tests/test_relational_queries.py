@@ -95,6 +95,9 @@ RELATIONAL = [
     "join_interval_bucketed",
     "events_session_stats",
     "fn_regexp",
+    "orders_monthly_trend",
+    "events_value_histogram",
+    "supplier_scorecard",
 ]
 
 
