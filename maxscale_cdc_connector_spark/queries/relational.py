@@ -3452,3 +3452,120 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
         )
     )
+
+
+@register(
+    "funnel_time_bounded",
+    oracle="""
+WITH su AS (
+    SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS s
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+pu AS (
+    SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS p
+    FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.s
+    GROUP BY e.user_id
+),
+j AS (SELECT su.user_id, su.s, pu.p FROM su LEFT JOIN pu ON su.user_id = pu.user_id)
+SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+       CAST(count(CASE WHEN p IS NOT NULL AND p - s <= 604800000000
+                  THEN 1 END) AS BIGINT) AS n_converted_7d,
+       round(quantile_cont(CASE WHEN p IS NOT NULL AND p - s <= 604800000000
+             THEN CAST(p - s AS DOUBLE) / 3600000000 END, 0.5), 4)
+           AS median_hours_to_convert
+FROM j
+""",
+    doc="Time-bounded conversion funnel: of users who signed up, how "
+    "many purchased within SEVEN DAYS of their first signup, and the "
+    "median hours-to-convert among them — the constrained form "
+    "product teams actually track (funnel_conversion's unbounded "
+    "ordering says ever-converted; this says converted-in-window). "
+    "Both stage extractions are user-keyed min-aggregates whose join "
+    "reuses the same partitioning; the window bound is a row-local "
+    "microsecond comparison and the median ignores non-converters "
+    "identically on both engines.",
+)
+def funnel_time_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 604_800_000_000
+    e = events_ts_us(t(spark, "events", sf_dir))
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .where(F.col("ts_us") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p"))
+    )
+    j = su.join(pu, "user_id", "left")
+    converted = F.col("p").isNotNull() & (F.col("p") - F.col("s") <= week_us)
+    hours = F.when(converted, (F.col("p") - F.col("s")).cast("double") / 3_600_000_000)
+    return j.agg(
+        F.count("*").alias("n_signup_users"),
+        F.count(F.when(converted, 1)).alias("n_converted_7d"),
+        F.round(F.expr(
+            "percentile(CASE WHEN p IS NOT NULL AND p - s <= 604800000000 "
+            "THEN CAST(p - s AS DOUBLE) / 3600000000 END, 0.5)"
+        ), 4).alias("median_hours_to_convert"),
+    )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_e2
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+)
+SELECT region, nation, revenue_e2,
+       round(100.0 * revenue_e2 / sum(revenue_e2) OVER (PARTITION BY region), 4)
+           AS region_share_pct
+FROM rev
+""",
+    doc="Share-of-parent rollup: each nation's revenue as a percent of "
+    "its region's total — the drill-down ratio every hierarchy report "
+    "needs. Fact side aggregates to |nations| rows in exact integer "
+    "cents through broadcast dimension joins; the share window then "
+    "runs over that bounded post-aggregate frame (25 rows at any "
+    "corpus size), so the 'window over a partitioned total' never "
+    "touches data volume. Integer-over-integer division rounded 4dp "
+    "hashes identically across engines.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = t(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = t(spark, "nation", sf_dir).select("n_nationkey", "n_regionkey", "n_name")
+    r = t(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            ).alias("revenue_e2")
+        )
+    )
+    w = W.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "revenue_e2",
+        F.round(
+            F.lit(100.0) * F.col("revenue_e2") / F.sum("revenue_e2").over(w), 4
+        ).alias("region_share_pct"),
+    )

@@ -98,6 +98,8 @@ RELATIONAL = [
     "orders_monthly_trend",
     "events_value_histogram",
     "supplier_scorecard",
+    "funnel_time_bounded",
+    "nation_revenue_share",
 ]
 
 
