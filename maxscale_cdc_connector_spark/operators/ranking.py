@@ -113,3 +113,36 @@ def exact_running_sum(
         .withColumn(out, F.col("_ers_off") + F.sum(value_col).over(w_in))
         .drop(pid, "_ers_off")
     )
+
+
+def exact_rank(
+    df: DataFrame, order_by: list[Column], out: str = "rank"
+) -> DataFrame:
+    """``df`` plus column ``out`` = ROW_NUMBER() OVER (ORDER BY ...) —
+    the distributed global rank (1-based, gap-free).
+
+    Same range-partitioned offset machinery as :func:`exact_ntile`; the
+    order columns must define a TOTAL order (unique tie-breaker) for the
+    rank to be deterministic. No single reducer at any input size.
+    """
+    pid = "_erk_pid"
+    ranged = (
+        df.repartitionByRange(*order_by)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w_off = W.orderBy(pid).rowsBetween(W.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy(pid)
+        .agg(F.count(F.lit(1)).alias("_erk_cnt"))
+        .select(
+            pid,
+            F.coalesce(F.sum("_erk_cnt").over(w_off), F.lit(0)).alias("_erk_off"),
+        )
+    )
+    w_in = W.partitionBy(pid).orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets), pid)
+        .withColumn(out, (F.col("_erk_off") + F.row_number().over(w_in)).cast("bigint"))
+        .drop(pid, "_erk_off")
+    )

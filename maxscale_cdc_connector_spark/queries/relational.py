@@ -3569,3 +3569,119 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(100.0) * F.col("revenue_e2") / F.sum("revenue_e2").over(w), 4
         ).alias("region_share_pct"),
     )
+
+
+@register(
+    "customer_whale_concentration",
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+    FROM orders GROUP BY o_custkey
+),
+rk AS (
+    SELECT rev_e2,
+           ROW_NUMBER() OVER (ORDER BY rev_e2 DESC, o_custkey ASC) AS rk
+    FROM rev
+),
+t AS (SELECT count(*) AS n, sum(rev_e2) AS tot FROM rev)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       round(100.0 * sum(CASE WHEN rk.rk <= (t.n + 99) // 100
+                         THEN rk.rev_e2 ELSE 0 END) / t.tot, 4) AS top1pct_share,
+       round(100.0 * sum(CASE WHEN rk.rk <= (t.n + 9) // 10
+                         THEN rk.rev_e2 ELSE 0 END) / t.tot, 4) AS top10pct_share
+FROM rk, t GROUP BY t.n, t.tot
+""",
+    doc="Whale concentration: the revenue share held by the top 1% and "
+    "top 10% of customers — the skew diagnostic run before any "
+    "customer-keyed partitioning decision. Per-customer revenue is an "
+    "exact-cents hash aggregate; the global ordering runs through the "
+    "distributed exact rank (operators/ranking.exact_rank — "
+    "range-partitioned prefix offsets, no single-reducer window), the "
+    "1-row totals frame is broadcast, and the cutoffs use pure integer "
+    "ceil-division ((n+99) DIV 100) so both engines pick identical "
+    "bracket boundaries. Output is one row at any corpus size.",
+)
+def customer_whale_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_rank
+
+    rev = (
+        t(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("rev_e2")
+        )
+    )
+    ranked = exact_rank(rev, [F.desc("rev_e2"), F.asc("o_custkey")], out="rk")
+    totals = F.broadcast(
+        rev.agg(F.count(F.lit(1)).alias("n"), F.sum("rev_e2").alias("tot"))
+    )
+    j = ranked.crossJoin(totals)
+    in_top1 = F.col("rk") <= F.expr("(n + 99) DIV 100")
+    in_top10 = F.col("rk") <= F.expr("(n + 9) DIV 10")
+    return j.groupBy("n", "tot").agg(
+        F.round(
+            F.lit(100.0) * F.sum(F.when(in_top1, F.col("rev_e2")).otherwise(0))
+            / F.col("tot"),
+            4,
+        ).alias("top1pct_share"),
+        F.round(
+            F.lit(100.0) * F.sum(F.when(in_top10, F.col("rev_e2")).otherwise(0))
+            / F.col("tot"),
+            4,
+        ).alias("top10pct_share"),
+    ).select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        "top1pct_share",
+        "top10pct_share",
+    )
+
+
+@register(
+    "customer_revenue_gini",
+    oracle="""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev_d
+    FROM orders GROUP BY o_custkey
+),
+rk AS (
+    SELECT rev_d,
+           ROW_NUMBER() OVER (ORDER BY rev_d ASC, o_custkey ASC) AS i
+    FROM rev
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round((2.0 * sum(i * rev_d)) / (CAST(count(*) AS DOUBLE) * sum(rev_d))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM rk
+""",
+    doc="Exact Gini coefficient of per-customer revenue — the standard "
+    "inequality scalar (0 = uniform, ->1 = one whale) via the "
+    "rank-weighted identity G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over "
+    "ascending-sorted values. The global sort-rank is the distributed "
+    "exact rank (operators/ranking.exact_rank), never a single-reducer "
+    "window; the weighted sum stays exact bigint arithmetic (revenue "
+    "in whole dollars keeps sum(i*x) under 2^53 so the final double "
+    "conversion is exact on both engines) and only the last division "
+    "is floating point, rounded 6dp. Tie order between equal revenues "
+    "cannot move the result: ranks within a tied group sum to a "
+    "constant. One output row at any corpus size.",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_rank
+
+    rev = (
+        t(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr("cast(round(o_totalprice) as bigint)")).alias("rev_d"))
+    )
+    ranked = exact_rank(rev, [F.asc("rev_d"), F.asc("o_custkey")], out="i")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("i") * F.col("rev_d")))
+            / (F.count(F.lit(1)).cast("double") * F.sum("rev_d"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )

@@ -100,6 +100,8 @@ RELATIONAL = [
     "supplier_scorecard",
     "funnel_time_bounded",
     "nation_revenue_share",
+    "customer_whale_concentration",
+    "customer_revenue_gini",
 ]
 
 
@@ -165,6 +167,28 @@ def test_exact_running_sum_matches_window_sum(spark):
         want = {
             r.id: r.w
             for r in df.withColumn("w", F.sum("v").over(W.orderBy(*order))).collect()
+        }
+        assert got == want, n
+
+
+def test_exact_rank_matches_window_row_number(spark):
+    """The distributed global rank must be bit-identical to the
+    single-reducer ROW_NUMBER window form under a total order, including
+    n=1 and value ties broken by the unique key."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.ranking import exact_rank
+
+    for n in [1, 17, 503]:
+        df = spark.range(n).select("id", (F.xxhash64("id") % 7).alias("v"))
+        order = [F.desc("v"), F.asc("id")]
+        got = {r.id: r.rank for r in exact_rank(df, order, out="rank").collect()}
+        want = {
+            r.id: r.w
+            for r in df.withColumn(
+                "w", F.row_number().over(W.orderBy(*order)).cast("bigint")
+            ).collect()
         }
         assert got == want, n
 
