@@ -3685,3 +3685,165 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_hourly_gap_stats",
+    oracle="""
+WITH hourly AS (
+    SELECT user_id, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour
+    FROM events GROUP BY user_id, hour
+),
+gaps AS (
+    SELECT user_id, hour,
+           hour - lag(hour) OVER (PARTITION BY user_id ORDER BY hour) - 1 AS gap
+    FROM hourly
+)
+SELECT user_id,
+       CAST(max(hour) - min(hour) + 1 AS BIGINT) AS span_hours,
+       CAST(count(*) AS BIGINT) AS active_hours,
+       CAST(max(hour) - min(hour) + 1 - count(*) AS BIGINT) AS gap_hours,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_hours
+FROM gaps GROUP BY user_id
+""",
+    doc="Per-user hourly activity densification WITHOUT the explode: "
+    "span/active/gap hours and the longest silent streak, derived from "
+    "consecutive-active-hour deltas (lag - 1) instead of materializing "
+    "the dense hour grid — the gap-filled resample's statistics at "
+    "O(active hours) rows, not O(span). One shuffle keyed on user_id "
+    "feeds both the window and the final aggregate (same partitioning, "
+    "no second exchange); all arithmetic is exact integer hours.",
+)
+def events_hourly_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    hourly = (
+        e.select("user_id", F.expr("ts_us DIV 3600000000").cast("bigint").alias("hour"))
+        .groupBy("user_id", "hour")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = W.partitionBy("user_id").orderBy("hour")
+    gaps = hourly.select(
+        "user_id", "hour", (F.col("hour") - F.lag("hour").over(w) - 1).alias("gap")
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.max("hour") - F.min("hour") + 1).cast("bigint").alias("span_hours"),
+        F.count(F.lit(1)).cast("bigint").alias("active_hours"),
+        (F.max("hour") - F.min("hour") + 1 - F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("gap_hours"),
+        F.coalesce(F.max("gap"), F.lit(0)).cast("bigint").alias("longest_gap_hours"),
+    )
+
+
+@register(
+    "events_hourly_ohlc",
+    oracle="""
+SELECT user_id,
+       CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+       first(value ORDER BY epoch_us(ts), event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY epoch_us(ts), event_id) AS close,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id, hour
+""",
+    doc="Time-series downsample to hourly OHLC bars per user — the "
+    "resample-to-coarser-grid operator every metrics pipeline runs. "
+    "Open/close are min_by/max_by on the (ts, event_id) total order "
+    "(tie-safe), high/low plain min/max: ONE hash aggregate, fully "
+    "map-side combinable, no window and no per-bucket sort. Values are "
+    "selected (never accumulated) doubles, so both engines emit the "
+    "identical stored bits — no rounding needed for hash parity.",
+)
+def events_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    key = F.struct(F.col("ts_us"), F.col("event_id"))
+    return (
+        e.groupBy(
+            "user_id", F.expr("ts_us DIV 3600000000").cast("bigint").alias("hour")
+        )
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "join_key_skew_profile",
+    oracle="""
+WITH sizes AS (
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(n) AS BIGINT) AS max_rows,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.5), 4) AS p50_rows,
+       round(quantile_cont(CAST(n AS DOUBLE), 0.99), 4) AS p99_rows,
+       round(max(n) / avg(n), 4) AS skew_ratio
+FROM sizes
+""",
+    doc="Join-key skew diagnostic — the profile to read BEFORE keying a "
+    "shuffle on a column: per-key group sizes reduced to count / max / "
+    "exact p50 / p99 / max-over-mean skew ratio. The first aggregate "
+    "collapses the fact table to |keys| rows map-side; the percentile "
+    "pass runs over that bounded key frame only. A skew_ratio near 1 "
+    "says hash-partition freely; >>1 says salt or AQE-skew-join (the "
+    "salted variants in this repo are the remedies this query "
+    "motivates).",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sizes = (
+        t(spark, "lineitem", sf_dir)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("n").cast("bigint").alias("max_rows"),
+        F.round(F.expr("percentile(cast(n as double), 0.5)"), 4).alias("p50_rows"),
+        F.round(F.expr("percentile(cast(n as double), 0.99)"), 4).alias("p99_rows"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+    )
+
+
+@register(
+    "feature_quantile_binning",
+    oracle="""
+WITH binned AS (
+    SELECT o_totalprice,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+    FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo_price,
+       max(o_totalprice) AS hi_price
+FROM binned GROUP BY bin
+""",
+    doc="Equal-frequency feature binning (decile discretization) of "
+    "order value — the preprocessing step for monotonic-feature models "
+    "and calibration tables. The bin assignment is the DISTRIBUTED "
+    "exact ntile (operators/ranking.exact_ntile: range partition + "
+    "offset prefix table — bit-identical to the single-reducer NTILE "
+    "window the oracle runs, pinned by test), so no reducer ever sees "
+    "the full order set; the per-bin boundary aggregate is 10 rows. "
+    "Boundary prices are selected stored values — exact across "
+    "engines.",
+)
+def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_ntile
+
+    orders = t(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    binned = exact_ntile(
+        orders, [F.asc("o_totalprice"), F.asc("o_orderkey")], 10, out="bin"
+    )
+    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("o_totalprice").alias("lo_price"),
+        F.max("o_totalprice").alias("hi_price"),
+    )

@@ -698,3 +698,48 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(q2, "3_exact_dedup"))
         .unionByName(stage(q3, "4_near_dedup"))
     )
+
+
+@register(
+    "pipeline_weighted_sample",
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id, n_chars,
+           ln((CAST(('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) + 1) / 4294967296.0)
+               / n_chars AS k
+    FROM documents
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+FROM keyed ORDER BY k DESC, doc_id LIMIT 200
+""",
+    doc="Deterministic weighted sampling WITHOUT replacement (the "
+    "Efraimidis-Spirakis exponential-key scheme, A-ES): each document "
+    "draws u ~ U(0,1) from a salted md5 hash ('wsamp:', independent of "
+    "the split/mix/strat hashes) and keeps key ln(u)/weight; the top-K "
+    "keys ARE a weight-proportional sample. Heavier docs (n_chars) "
+    "pull keys toward 0 and win. The corpus pass is one scan into "
+    "TakeOrderedAndProject (per-partition K-heaps, merge on the "
+    "driver) — no shuffle and no global sort at any scale; u is an "
+    "exact dyadic rational ((h+1)/2^32) so both engines feed ln the "
+    "identical double.",
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wsamp:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        (F.log((h + 1) / F.lit(4294967296.0)) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(200)
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
+    )

@@ -102,6 +102,10 @@ RELATIONAL = [
     "nation_revenue_share",
     "customer_whale_concentration",
     "customer_revenue_gini",
+    "events_hourly_gap_stats",
+    "events_hourly_ohlc",
+    "join_key_skew_profile",
+    "feature_quantile_binning",
 ]
 
 

@@ -26,6 +26,7 @@ ORACLE_CHECKED = [
     "pipeline_quality_gate",
     "pipeline_stratified_sample",
     "pipeline_curation_funnel",
+    "pipeline_weighted_sample",
 ]
 
 
