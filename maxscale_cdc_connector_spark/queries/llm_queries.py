@@ -1946,3 +1946,57 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("band")
     )
     return pairs.select(band).groupBy("band").agg(F.count("*").alias("n_pairs"))
+
+
+@register(
+    "dedup_component_size_histogram",
+    oracle=f"""
+WITH RECURSIVE {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+csize AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters
+FROM csize GROUP BY cluster_size
+""",
+    doc="Near-dup cluster-size distribution: how many duplicate groups "
+    "of each size exist in the Jaccard >= 0.8 component graph (same "
+    "edges and star-contraction components as dedup_cluster_cc). THE "
+    "dedup post-mortem chart — a fat tail of large clusters means a "
+    "mirrored feed or boilerplate template, and size-2 dominance means "
+    "benign copy edits; it also prices the dedup (docs removed = "
+    "sum((size-1) * n_clusters)). Two tiny aggregates past the "
+    "component labels; output is O(max cluster size) rows at any "
+    "corpus scale.",
+)
+def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return csize.groupBy(F.col("cluster_size").cast("bigint").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )

@@ -3847,3 +3847,173 @@ def feature_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("lo_price"),
         F.max("o_totalprice").alias("hi_price"),
     )
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+                         (acc, x) -> 0.8 * acc + 0.2 * x), 4) AS ewma
+FROM events GROUP BY user_id
+""",
+    doc="Per-user exponentially weighted moving average (alpha = 0.2) of "
+    "event value over the (ts, event_id) total order — the recency-"
+    "weighted engagement score no plain window frame can express "
+    "(every prefix value contributes with geometric decay). The "
+    "sequence fold runs INSIDE a higher-order aggregate expression: "
+    "sort_array(collect_list(struct)) bounds the array to one user's "
+    "events (never the corpus), and aggregate() folds it JVM-side with "
+    "the identical left-to-right IEEE operation order DuckDB's "
+    "list_reduce applies — bit-identical without any UDF. One hash-"
+    "aggregate shuffle keyed on user_id.",
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    g = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts_us", "event_id", "value"))
+        ).alias("seq"),
+    )
+    fold = (
+        "aggregate(slice(transform(seq, s -> s.value), 2, size(seq) - 1), "
+        "cast(element_at(transform(seq, s -> s.value), 1) as double), "
+        "(acc, x) -> 0.8 * acc + 0.2 * x)"
+    )
+    return g.select(
+        "user_id", "n_events", F.round(F.expr(fold), 4).alias("ewma")
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT CAST(count(*) AS BIGINT) FROM orders),
+       (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT CAST(count(*) AS BIGINT) FROM customer),
+       (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+""",
+    doc="Referential-integrity audit across the star schema's five FK "
+    "edges: child row count and orphan count (children whose key has "
+    "no parent) per edge — the load-quality gate a CDC-fed warehouse "
+    "runs after every sync, where a nonzero orphan count means the "
+    "capture missed parent rows or applied children out of order. "
+    "Each edge is a left-anti join reduced to a count: parent sides "
+    "project to their key column only (broadcast-sized for dims; AQE "
+    "picks the strategy for orders), and counts aggregate map-side. "
+    "Output is exactly five rows at any scale.",
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c = t(spark, "customer", sf_dir)
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey",
+         o.select("o_orderkey"), "o_orderkey"),
+        ("orders.o_custkey->customer", o, "o_custkey",
+         c.select("c_custkey"), "c_custkey"),
+        ("customer.c_nationkey->nation", c, "c_nationkey",
+         t(spark, "nation", sf_dir).select("n_nationkey"), "n_nationkey"),
+        ("lineitem.l_partkey->part", li, "l_partkey",
+         t(spark, "part", sf_dir).select("p_partkey"), "p_partkey"),
+        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
+         t(spark, "supplier", sf_dir).select("s_suppkey"), "s_suppkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
+        n_orph = (
+            child.join(parent, child[fk] == parent[pk], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        row = (
+            n_child.crossJoin(n_orph)
+            .select(F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "dq_null_profile",
+    oracle="""
+SELECT 'event_id' AS col_name,
+       CAST(count(*) FILTER (event_id IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) FILTER (user_id IS NULL) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) FILTER (event_type IS NULL) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) FILTER (value IS NULL) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) FILTER (props IS NULL) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT) FROM events
+""",
+    doc="Column-level data-quality profile of the event stream: null "
+    "count and exact distinct cardinality per column, emitted as one "
+    "(col_name, n_nulls, n_distinct) row each — the schema-drift / "
+    "dead-column monitor run on every new data drop. All five "
+    "profiles compute in a single pass: Spark plans the multi-distinct "
+    "aggregate with one Expand (5 streams over one scan) rather than "
+    "five scans; swap countDistinct for approx_count_distinct at "
+    "100 TB — same shape, no Expand. Output height is the column "
+    "count, not the data.",
+)
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    agg = e.agg(
+        *[
+            x
+            for col in ["event_id", "user_id", "event_type", "value", "props"]
+            for x in (
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{col}_nulls"),
+                F.countDistinct(col).cast("bigint").alias(f"{col}_distinct"),
+            )
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(col).alias("col_name"),
+                F.col(f"{col}_nulls").alias("n_nulls"),
+                F.col(f"{col}_distinct").alias("n_distinct"),
+            )
+            for col in ["event_id", "user_id", "event_type", "value", "props"]
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.col_name", "r.n_nulls", "r.n_distinct"
+    )

@@ -5,6 +5,7 @@ import pytest
 from tests.oracle import compare_query
 
 ORACLE_CHECKED = [
+    "dedup_component_size_histogram",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

@@ -106,6 +106,9 @@ RELATIONAL = [
     "events_hourly_ohlc",
     "join_key_skew_profile",
     "feature_quantile_binning",
+    "events_ewma_value",
+    "dq_referential_integrity",
+    "dq_null_profile",
 ]
 
 
