@@ -493,3 +493,68 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .where(F.col("rk") <= 2)
     )
+
+
+@register(
+    "stream_stateful_ewma",
+    oracle="""
+WITH sub AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+    FROM events ORDER BY event_id LIMIT 2000
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts_us, event_id),
+                         (acc, x) -> 0.8 * acc + 0.2 * x), 4) AS ewma
+FROM sub GROUP BY user_id
+""",
+    doc="Custom STATEFUL streaming operator with an EXACT oracle: the "
+    "first 2000 events (deterministic event_id prefix) replay through "
+    "a real Structured Streaming file source into "
+    "streaming/ops.stateful_ewma (applyInPandasWithState, state = "
+    "(n, ewma) per user), and the final per-user EWMA hash-matches the "
+    "batch list_reduce fold because the operator folds each batch in "
+    "(ts_us, event_id) order with the identical IEEE constants — the "
+    "strongest correctness form a stateful streaming op can carry "
+    "(most get rows-only). Single-file replay = one micro-batch = "
+    "global fold order; state store memory is O(users).",
+)
+def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_ewma
+
+    sub = (
+        events_ts_us(t(spark, "events", sf_dir))
+        .select("user_id", "ts_us", "event_id", "value")
+        .orderBy("event_id")
+        .limit(2000)
+    )
+    log_dir = os.path.join(tempfile.gettempdir(), f"ewma-{uuid.uuid4().hex[:12]}")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "part-000.jsonl"), "w") as fh:
+        for row in sub.toJSON().toLocalIterator():
+            fh.write(row + "\n")
+
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(
+        "user_id bigint, ts_us bigint, event_id bigint, value double"
+    ).json(log_dir)
+    q = (
+        stateful_ewma(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Update mode appends one row per (user, batch); the final state is
+    # the row with the greatest n_events (n is strictly increasing).
+    final = spark.table(name).groupBy("user_id").agg(
+        F.max("n_events").cast("bigint").alias("n_events"),
+        F.max_by("ewma", "n_events").alias("ewma"),
+    )
+    return final.select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))

@@ -348,3 +348,55 @@ def write_snapshot_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start(), sink
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming EWMA: recency-weighted value per key via the state store.
+# ---------------------------------------------------------------------------
+
+
+def stateful_ewma(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key exponentially weighted moving average (alpha = 0.2) as a
+    custom stateful streaming operator (``applyInPandasWithState``).
+
+    State per key is ``(n, ewma)``; each micro-batch folds its rows in
+    ``(ts_us, event_id)`` order on top of the carried state and emits
+    the key's updated ``(n_events, ewma)``. The fold uses the literal
+    constants ``0.8 * acc + 0.2 * x`` — the SAME IEEE double operations
+    the batch form (queries/relational.events_ewma_value) and its
+    DuckDB ``list_reduce`` oracle apply — so when events arrive in
+    global order (one replay batch) the streaming result is
+    bit-identical to the batch fold, which is how the driver
+    hash-verifies this operator end-to-end. State lives in Spark's
+    state store (RocksDB-backed on a cluster); memory is O(keys), not
+    O(events).
+
+    Input schema: ``key_col bigint, ts_us bigint, event_id bigint,
+    value double``.
+    """
+    out_schema = f"{key_col} bigint, n_events bigint, ewma double"
+    state_schema = "n bigint, ewma double"
+    key_name = key_col
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        n, ew = state.get if state.exists else (0, 0.0)
+        pdf = _pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for x in pdf["value"].tolist():
+            x = float(x)
+            ew = x if n == 0 else 0.8 * ew + 0.2 * x
+            n += 1
+        state.update((int(n), float(ew)))
+        yield _pd.DataFrame({key_name: [key[0]], "n_events": [n], "ewma": [ew]})
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -14,6 +14,7 @@ ORACLE_CHECKED = [
     "stream_interval_join",
     "stream_interval_join_outer",
     "stream_windowed_topk",
+    "stream_stateful_ewma",
 ]
 
 

@@ -616,3 +616,62 @@ def test_windowed_agg_under_rocksdb_state_store(spark, event_log) -> None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stateful_ewma_carries_state_across_micro_batches(spark, tmp_path):
+    """Two files + maxFilesPerTrigger=1 force two micro-batches; the
+    second batch must fold ON TOP of the first batch's state, so the
+    final per-key EWMA equals the single-pass batch fold over the full
+    ordered sequence."""
+    import json
+
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_ewma
+
+    rows = [
+        {"user_id": u, "ts_us": i * 1000, "event_id": i, "value": float((i * 7) % 13) + 0.25}
+        for i in range(40)
+        for u in [i % 3]
+    ]
+    # Split by event_id so concatenation preserves the global order.
+    log = tmp_path / "ewma_log"
+    log.mkdir()
+    with open(log / "part-000.jsonl", "w") as fh:
+        for r in rows[:20]:
+            fh.write(json.dumps(r) + "\n")
+    with open(log / "part-001.jsonl", "w") as fh:
+        for r in rows[20:]:
+            fh.write(json.dumps(r) + "\n")
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("user_id bigint, ts_us bigint, event_id bigint, value double")
+        .json(str(log))
+    )
+    q = (
+        stateful_ewma(stream, key_col="user_id")
+        .writeStream.format("memory")
+        .queryName("ewma_xbatch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, round(r.ewma, 10))
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events, "
+            "max_by(ewma, n_events) AS ewma FROM ewma_xbatch GROUP BY user_id"
+        ).collect()
+    }
+    # Reference: sequential fold over the full ordered sequence per key.
+    want = {}
+    for r in rows:
+        u, x = r["user_id"], r["value"]
+        if u not in want:
+            want[u] = (1, x)
+        else:
+            n, ew = want[u]
+            want[u] = (n + 1, 0.8 * ew + 0.2 * x)
+    want = {u: (n, round(ew, 10)) for u, (n, ew) in want.items()}
+    assert got == want
