@@ -752,3 +752,37 @@ def cdc_key_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("c_custkey"))
         .limit(10)
     )
+
+
+@register(
+    "cdc_txn_size_histogram",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+txn AS (
+    SELECT domain, server_id, sequence, CAST(count(*) AS BIGINT) AS n_events
+    FROM cdc_events GROUP BY domain, server_id, sequence
+)
+SELECT n_events AS txn_size,
+       CAST(count(*) AS BIGINT) AS n_txns,
+       CAST(sum(n_events) AS BIGINT) AS n_rows
+FROM txn GROUP BY n_events
+""",
+    doc="Transaction-size profile of the change log: each GTID "
+    "(domain, server_id, sequence) is one transaction "
+    "(cdc_connector.h:171-189 exposes exactly these fields per event); "
+    "the histogram of events-per-transaction is what sizes consumer "
+    "micro-batches and flags runaway bulk transactions (a 1M-row txn "
+    "needs chunked apply; a flood of 1-row txns wants group-commit). "
+    "Two map-side-combinable hash aggregates — per-GTID counts then a "
+    "histogram over sizes; output height is the distinct size count, "
+    "independent of log volume.",
+)
+def cdc_txn_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = synthetic_customer_events(spark, sf_dir)
+    txn = ev.groupBy("domain", "server_id", "sequence").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    return txn.groupBy(F.col("n_events").alias("txn_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_txns"),
+        F.sum("n_events").cast("bigint").alias("n_rows"),
+    )

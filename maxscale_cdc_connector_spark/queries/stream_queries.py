@@ -558,3 +558,36 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("ewma", "n_events").alias("ewma"),
     )
     return final.select("user_id", "n_events", F.round("ewma", 4).alias("ewma"))
+
+
+@register(
+    "stream_enrich_static",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY segment
+""",
+    doc="Stream-static enrichment (streaming/ops.enrich_static): events "
+    "decorated with a slowly-changing customer dimension via an inner "
+    "broadcast join — each micro-batch joins map-side with zero stream "
+    "shuffle and zero state, and the dim re-evaluates per trigger so "
+    "dimension updates flow in. Spark's unified model makes the batch "
+    "run of the SAME operator the hash-checkable analog (the true "
+    "streaming execution of this op is pinned in "
+    "tests/test_streaming.py); the rollup to per-segment totals keeps "
+    "output height at the segment count.",
+)
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.streaming.ops import enrich_static
+
+    e = events_ts_us(t(spark, "events", sf_dir)).withColumnRenamed(
+        "user_id", "c_custkey"
+    )
+    dim = t(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = enrich_static(e, dim, ["c_custkey"])
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

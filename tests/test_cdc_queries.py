@@ -21,6 +21,7 @@ CDC_QUERIES = [
     "cdc_snapshot_diff",
     "cdc_column_churn",
     "cdc_key_hotspots",
+    "cdc_txn_size_histogram",
 ]
 
 

@@ -15,6 +15,7 @@ ORACLE_CHECKED = [
     "stream_interval_join_outer",
     "stream_windowed_topk",
     "stream_stateful_ewma",
+    "stream_enrich_static",
 ]
 
 
