@@ -4017,3 +4017,116 @@ def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.col_name", "r.n_nulls", "r.n_distinct"
     )
+
+
+@register(
+    "orders_trend_linreg",
+    oracle="""
+WITH monthly AS (
+    SELECT CAST(date_part('year', o_orderdate) * 12
+                + date_part('month', o_orderdate) - 1 AS BIGINT) AS month_idx,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+    FROM orders GROUP BY month_idx
+)
+SELECT CAST(count(*) AS BIGINT) AS n_months,
+       round(regr_slope(CAST(rev_e2 AS DOUBLE) / 100,
+                        CAST(month_idx - (SELECT min(month_idx) FROM monthly)
+                             AS DOUBLE)), 4) AS slope_per_month,
+       round(regr_intercept(CAST(rev_e2 AS DOUBLE) / 100,
+                            CAST(month_idx - (SELECT min(month_idx) FROM monthly)
+                                 AS DOUBLE)), 4) AS intercept,
+       round(regr_r2(CAST(rev_e2 AS DOUBLE) / 100,
+                     CAST(month_idx - (SELECT min(month_idx) FROM monthly)
+                          AS DOUBLE)), 6) AS r2
+FROM monthly
+""",
+    doc="Revenue trend fit: ordinary-least-squares slope / intercept / "
+    "R-squared of monthly revenue against a zero-based month index — "
+    "the one-number growth answer ('how much does revenue move per "
+    "month, and is the line real'). The fact table collapses to exact "
+    "integer cents per month first (map-side combinable), so the "
+    "regression aggregates run over the tiny month frame; the index is "
+    "re-based to month zero on both engines (x-shift changes the "
+    "intercept, never the slope/R2, and keeps the sums small). "
+    "regr_slope/regr_intercept/regr_r2 are decomposable moment "
+    "aggregates — the same plan holds at any input size.",
+)
+def orders_trend_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint")
+        .alias("month_idx")
+    ).agg(
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("rev_e2")
+    )
+    base = monthly.agg(F.min("month_idx").alias("m0"))
+    j = monthly.crossJoin(F.broadcast(base)).select(
+        (F.col("rev_e2").cast("double") / 100).alias("y"),
+        (F.col("month_idx") - F.col("m0")).cast("double").alias("x"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.expr("regr_slope(y, x)"), 4).alias("slope_per_month"),
+        F.round(F.expr("regr_intercept(y, x)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )
+
+
+@register(
+    "dq_numeric_corr_matrix",
+    oracle="""
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 4) AS pearson_r FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_discount', round(corr(l_quantity, l_discount), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', 'l_tax', round(corr(l_quantity, l_tax), 4) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 4) FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', 'l_tax', round(corr(l_extendedprice, l_tax), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', 'l_tax', round(corr(l_discount, l_tax), 4) FROM lineitem
+""",
+    doc="Pairwise Pearson correlation matrix of the fact table's numeric "
+    "measures, emitted as (col_a, col_b, r) rows — the feature-"
+    "redundancy / leakage screen run before any model uses these "
+    "columns. All six correlations compute in ONE aggregate pass over "
+    "one scan (corr is a decomposable moment aggregate; no per-pair "
+    "scans, no driver loop), then unpivot to rows via a literal array "
+    "explode. Output height is C(4,2) at any data size; rounding to "
+    "4dp absorbs summation-order ulps on both engines.",
+)
+def dq_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    pairs = [
+        ("l_quantity", "l_extendedprice"),
+        ("l_quantity", "l_discount"),
+        ("l_quantity", "l_tax"),
+        ("l_extendedprice", "l_discount"),
+        ("l_extendedprice", "l_tax"),
+        ("l_discount", "l_tax"),
+    ]
+    agg = li.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"r_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"r_{i}").alias("pearson_r"),
+            )
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.col_a", "r.col_b", "r.pearson_r"
+    )

@@ -109,6 +109,8 @@ RELATIONAL = [
     "events_ewma_value",
     "dq_referential_integrity",
     "dq_null_profile",
+    "orders_trend_linreg",
+    "dq_numeric_corr_matrix",
 ]
 
 
