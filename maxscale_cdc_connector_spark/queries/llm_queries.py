@@ -2000,3 +2000,66 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     return csize.groupBy(F.col("cluster_size").cast("bigint").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
     )
+
+
+@register(
+    "embedding_outlier_distance",
+    oracle="""
+WITH dims AS (
+    SELECT g.i AS idx, avg(CAST(embedding[g.i + 1] AS DOUBLE)) AS m
+    FROM embeddings,
+         LATERAL (SELECT unnest(generate_series(0, len(embedding) - 1)) AS i) g
+    GROUP BY g.i
+),
+mv AS (SELECT list(m ORDER BY idx) AS mv FROM dims),
+scored AS (
+    SELECT vec_id,
+           sqrt(list_sum(list_transform(
+               generate_series(1, len(embedding)),
+               i -> (CAST(embedding[i] AS DOUBLE) - mv.mv[i])
+                    * (CAST(embedding[i] AS DOUBLE) - mv.mv[i])))) AS dist
+    FROM embeddings, mv
+),
+thr AS (SELECT quantile_cont(dist, 0.99) AS thr FROM scored)
+SELECT vec_id, round(dist, 4) AS dist
+FROM scored, thr WHERE dist > thr.thr
+""",
+    doc="Embedding outlier screen: vectors farther from the corpus mean "
+    "than the p99 distance — the cheap anomaly gate run before "
+    "clustering or dedup trusts an embedding batch (junk inputs, "
+    "encoder regressions and truncated vectors all land in the tail). "
+    "Plan: per-dimension means via one posexplode aggregate (d rows "
+    "out, map-side combinable), the d-length mean vector broadcast "
+    "back as ONE array row, distances as row-local zip_with/aggregate "
+    "expressions (no shuffle), exact p99 on the 1-row threshold frame "
+    "broadcast into the final filter. At 100 TB swap the exact "
+    "percentile for approx_percentile — every other stage is already "
+    "scan-shaped. Distances round 4dp; the p99 cut sits ~1e-3 from "
+    "its neighbors, far beyond cross-engine summation ulps.",
+)
+def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dims = (
+        emb.select(F.posexplode("embedding").alias("idx", "x"))
+        .groupBy("idx")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    mv = dims.agg(
+        F.expr("transform(array_sort(collect_list(struct(idx, m))), s -> s.m)").alias(
+            "mv"
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(mv)).select(
+        "vec_id",
+        F.expr(
+            "sqrt(aggregate(zip_with(embedding, mv, "
+            "(x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+            "cast(0.0 as double), (acc, v) -> acc + v))"
+        ).alias("dist"),
+    )
+    thr = scored.agg(F.expr("percentile(dist, 0.99)").alias("thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col("dist") > F.col("thr"))
+        .select("vec_id", F.round("dist", 4).alias("dist"))
+    )
