@@ -62,6 +62,8 @@ HEADLINE = [
     ("q31_events_transition_matrix", "events_transition_matrix"),
     ("q32_orders_abc_pareto", "orders_abc_pareto"),
     ("q33_graph_triangle_count", "graph_triangle_count"),
+    ("q34_customer_whale_concentration", "customer_whale_concentration"),
+    ("q35_embedding_outlier_distance", "embedding_outlier_distance"),
 ]
 
 

