@@ -4130,3 +4130,103 @@ def dq_numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.col_a", "r.col_b", "r.pearson_r"
     )
+
+
+@register(
+    "funnel_strict_3step",
+    oracle="""
+WITH su AS (
+    SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS s
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+cl AS (
+    SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS c
+    FROM events e JOIN su ON e.user_id = su.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > su.s
+    GROUP BY e.user_id
+),
+pu AS (
+    SELECT e.user_id, CAST(min(epoch_us(e.ts)) AS BIGINT) AS p
+    FROM events e JOIN cl ON e.user_id = cl.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > cl.c
+    GROUP BY e.user_id
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM su) AS n_signup,
+       (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_then_click,
+       (SELECT CAST(count(*) AS BIGINT) FROM pu) AS n_then_purchase
+""",
+    doc="Strict ORDERED 3-step funnel: signup, then the first click "
+    "STRICTLY AFTER the signup, then the first purchase STRICTLY AFTER "
+    "that click — the sequence-sensitive form (a purchase before the "
+    "click does not count) that distinguishes causal paths from "
+    "co-occurrence. Each stage is a user-keyed min-aggregate joined to "
+    "the previous stage's anchor; all three joins reuse the user_id "
+    "partitioning, so the chain adds no new shuffle shape, and each "
+    "stage's frame only shrinks. Output is one row of stage counts at "
+    "any scale.",
+)
+def funnel_strict_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    su = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s"))
+    )
+    cl = (
+        e.where(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .where(F.col("ts_us") > F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c"))
+    )
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .where(F.col("ts_us") > F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p"))
+    )
+    a = su.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    b = cl.agg(F.count(F.lit(1)).cast("bigint").alias("n_then_click"))
+    c = pu.agg(F.count(F.lit(1)).cast("bigint").alias("n_then_purchase"))
+    return a.crossJoin(b).crossJoin(c)
+
+
+@register(
+    "orders_open_aging",
+    oracle="""
+WITH mx AS (SELECT max(o_orderdate) AS asof FROM orders),
+aged AS (
+    SELECT o_orderpriority,
+           date_diff('day', o_orderdate, m.asof) AS age_days
+    FROM orders, mx m WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_open,
+       CAST(min(age_days) AS BIGINT) AS min_age_days,
+       round(avg(age_days), 4) AS avg_age_days,
+       CAST(max(age_days) AS BIGINT) AS max_age_days
+FROM aged GROUP BY o_orderpriority
+""",
+    doc="Open-order aging by priority: for every order still open at the "
+    "data's as-of date (max order date), its age in days, profiled per "
+    "priority class — the ops backlog report that catches starved "
+    "low-priority queues. The as-of anchor is a 1-row broadcast; age "
+    "is exact integer date arithmetic; one hash aggregate over the "
+    "status-filtered scan (the filter pushes to parquet). Output "
+    "height is the priority cardinality.",
+)
+def orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    asof = o.agg(F.max("o_orderdate").alias("asof"))
+    aged = (
+        o.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(asof))
+        .select("o_orderpriority", F.datediff("asof", "o_orderdate").alias("age_days"))
+    )
+    return aged.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_open"),
+        F.min("age_days").cast("bigint").alias("min_age_days"),
+        F.round(F.avg("age_days"), 4).alias("avg_age_days"),
+        F.max("age_days").cast("bigint").alias("max_age_days"),
+    )

@@ -111,6 +111,8 @@ RELATIONAL = [
     "dq_null_profile",
     "orders_trend_linreg",
     "dq_numeric_corr_matrix",
+    "funnel_strict_3step",
+    "orders_open_aging",
 ]
 
 
