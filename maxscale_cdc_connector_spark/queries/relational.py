@@ -4230,3 +4230,40 @@ def orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("age_days"), 4).alias("avg_age_days"),
         F.max("age_days").cast("bigint").alias("max_age_days"),
     )
+
+
+@register(
+    "layout_partition_pruned_scan",
+    oracle="""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS value_sum
+FROM events WHERE event_type IN ('purchase', 'signup')
+GROUP BY event_type
+""",
+    doc="Partition-layout pruning end-to-end: the event log is WRITTEN "
+    "partitioned by event_type (the Hive-style directory layout a "
+    "100 TB lake uses), and the read-side filter prunes to exactly the "
+    "two referenced partition directories — the scan never opens the "
+    "other types' files (plan shows PartitionFilters, pinned by a plan "
+    "test). This is the table-layout contract that turns a full-corpus "
+    "scan into an O(selected partitions) one at scale; the aggregate "
+    "then verifies the pruned read returns precisely the right rows.",
+)
+def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    e = events_ts_us(t(spark, "events", sf_dir)).select(
+        "event_id", "value", "event_type"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"evpart-{uuid.uuid4().hex[:12]}")
+    e.write.partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("purchase", "signup")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )

@@ -364,3 +364,16 @@ def test_outlier_distance_broadcasts_mean_and_threshold(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "embedding_outlier_distance")
     assert s.has("BroadcastNestedLoopJoin") or s.has("BroadcastExchange"), s.nodes
     assert not s.has("SortMergeJoin"), s.nodes
+
+
+def test_partitioned_layout_scan_prunes_partitions(spark, sf_dir) -> None:
+    """The partitionBy(event_type) layout must turn the IN-filter into
+    PartitionFilters on the scan — only the two selected directories are
+    read, which is the whole point of the layout at 100 TB."""
+    from maxscale_cdc_connector_spark.plans import explain_string
+
+    df = REGISTRY["layout_partition_pruned_scan"].fn(spark, sf_dir)
+    text = explain_string(df, "formatted")
+    assert "PartitionFilters" in text, text[:2000]
+    tail = text.split("PartitionFilters", 1)[1][:300]
+    assert "event_type" in tail, tail

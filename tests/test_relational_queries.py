@@ -113,6 +113,7 @@ RELATIONAL = [
     "dq_numeric_corr_matrix",
     "funnel_strict_3step",
     "orders_open_aging",
+    "layout_partition_pruned_scan",
 ]
 
 
