@@ -591,3 +591,79 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+@register(
+    "stream_snapshot_sink_replayed",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events
+)
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+""",
+    doc="At-least-once IDEMPOTENCE proof for the snapshot sink: the "
+    "change log replays with its middle file DUPLICATED (every update "
+    "pair delivered twice, in a separate micro-batch) and the resulting "
+    "current-state table must still hash-match the exactly-once oracle "
+    "— because the sink's merge keeps max_by((sequence, event_number)) "
+    "per key, re-applying an already-applied event is a no-op. This is "
+    "the delivery guarantee the reference's GTID-resume contract "
+    "(cdc_connector.h:62-69) forces every consumer to handle: resuming "
+    "from a checkpoint ALWAYS re-delivers the tail.",
+)
+def stream_snapshot_sink_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+    from maxscale_cdc_connector_spark.streaming.ops import write_snapshot_stream
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"snapdup-{uuid.uuid4().hex[:12]}")
+    log_dir = os.path.join(base, "log")
+    os.makedirs(log_dir)
+    bounds = [(0, 10_000_000), (10_000_000, 20_000_000), (20_000_000, 1 << 62)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev.filter((F.col("sequence") >= lo) & (F.col("sequence") < hi))
+        tmp_dir = os.path.join(base, f"tmp-{i:03d}")
+        part.coalesce(1).write.mode("overwrite").json(tmp_dir)
+        (src_file,) = glob.glob(os.path.join(tmp_dir, "part-*.json"))
+        shutil.move(src_file, os.path.join(log_dir, f"part-{i:03d}.jsonl"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    # At-least-once: the update-pair file is delivered AGAIN as a later
+    # micro-batch (same events, new file) — the sink must not double-apply.
+    shutil.copy(
+        os.path.join(log_dir, "part-001.jsonl"),
+        os.path.join(log_dir, "part-900-redelivery.jsonl"),
+    )
+
+    stream = replay_stream(
+        spark, log_dir, CUSTOMER_SCHEMA_RECORD, max_files_per_trigger=1
+    )
+    query, sink = write_snapshot_stream(
+        stream,
+        path=os.path.join(base, "state"),
+        key_cols=["c_custkey"],
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        trigger={"availableNow": True},
+    )
+    try:
+        if not query.awaitTermination(300):
+            query.stop()
+            raise RuntimeError("replayed snapshot sink did not finish in 300s")
+        snap = sink.snapshot(spark).select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        out = snap.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

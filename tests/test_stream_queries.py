@@ -16,6 +16,7 @@ ORACLE_CHECKED = [
     "stream_windowed_topk",
     "stream_stateful_ewma",
     "stream_enrich_static",
+    "stream_snapshot_sink_replayed",
 ]
 
 
