@@ -743,3 +743,34 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .select("doc_id", F.col("n_chars").cast("bigint").alias("weight"))
     )
+
+
+@register(
+    "pipeline_assign_contiguous_ids",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS new_id
+    FROM documents
+)
+SELECT doc_id, CAST(new_id - 1 AS BIGINT) AS new_id
+FROM ranked WHERE new_id <= 500 OR doc_id % 37 = 0
+""",
+    doc="Stable contiguous zero-based id assignment over a total order — "
+    "what training shards need for embedding-table rows and sample "
+    "indices, where monotonically_increasing_id's partition-gapped ids "
+    "and zipWithIndex's RDD round trip both fail the need. The rank is "
+    "the distributed exact_rank (range partition + broadcast offset "
+    "table; no single reducer at any size); the filter keeps the "
+    "output driver-hashable (a deterministic sample of the mapping) "
+    "while the full mapping materializes distributed. Ids are dense, "
+    "deterministic, and reproducible across runs and partitionings.",
+)
+def pipeline_assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_rank
+
+    docs = t(spark, "documents", sf_dir).select("doc_id")
+    ranked = exact_rank(docs, [F.asc("doc_id")], out="rk")
+    return (
+        ranked.select("doc_id", (F.col("rk") - 1).cast("bigint").alias("new_id"))
+        .where((F.col("new_id") < 500) | (F.col("doc_id") % 37 == 0))
+    )

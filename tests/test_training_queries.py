@@ -27,6 +27,7 @@ ORACLE_CHECKED = [
     "pipeline_stratified_sample",
     "pipeline_curation_funnel",
     "pipeline_weighted_sample",
+    "pipeline_assign_contiguous_ids",
 ]
 
 
