@@ -4267,3 +4267,73 @@ def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("value_sum"),
     )
+
+
+@register(
+    "orders_cusum_changepoint",
+    oracle="""
+WITH daily AS (
+    SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_e2
+    FROM orders GROUP BY day
+),
+mu AS (SELECT CAST(sum(rev_e2) // count(*) AS BIGINT) AS m FROM daily),
+pref AS (SELECT day, sum(rev_e2 - mu.m) OVER (ORDER BY day) AS p FROM daily, mu),
+cus AS (SELECT day, p - least(min(p) OVER (ORDER BY day), 0) AS s FROM pref),
+mx AS (SELECT max(s) AS ms FROM cus)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(mx.ms AS BIGINT) AS max_cusum_e2,
+       CAST(CASE WHEN mx.ms > 0 THEN min(c.day) ELSE -1 END AS BIGINT) AS change_day
+FROM cus c, mx WHERE c.s = mx.ms GROUP BY mx.ms
+""",
+    doc="CUSUM change-point detection on daily revenue: the classic "
+    "positive-drift cumulative sum S_i = max(0, S_{i-1} + (x_i - mu)) "
+    "with the day of the maximum excursion — the sequential statistic "
+    "that flags WHEN a level shift happened, which no windowed "
+    "aggregate expresses (every S_i depends on the entire prefix). "
+    "ALL-INTEGER form: daily revenue in exact cents, the reference mu "
+    "as integer floor-mean, so the fold has zero float drift and the "
+    "argmax day is exact on both engines (earliest day wins strict-> "
+    "ties). The fact table collapses to the ~day-count frame first; "
+    "the fold runs over that bounded sequence inside one higher-order "
+    "aggregate expression — the same sequence-fold pattern as "
+    "events_ewma_value, state {s, max, argmax} instead of a scalar. "
+    "The oracle verifies through the independent reflection identity "
+    "S_i = P_i - min(0, min prefix P_j) (pure windows, no fold) — two "
+    "different exact formulations agreeing is stronger evidence than "
+    "one formulation run twice.",
+)
+def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    daily = o.groupBy(
+        F.datediff("o_orderdate", F.to_date(F.lit("1970-01-01"))).alias("day")
+    ).agg(F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("rev_e2"))
+    mu = daily.agg(
+        F.expr("sum(rev_e2) DIV count(*)").cast("bigint").alias("m")
+    )
+    seq = daily.crossJoin(F.broadcast(mu)).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("day").cast("bigint").alias("day"),
+                    (F.col("rev_e2") - F.col("m")).alias("dev"),
+                )
+            )
+        ).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fold = (
+        "aggregate(s, "
+        "named_struct('s', cast(0 as bigint), 'm', cast(0 as bigint), "
+        "'md', cast(-1 as bigint)), "
+        "(acc, e) -> if(greatest(acc.s + e.dev, cast(0 as bigint)) > acc.m, "
+        "named_struct('s', greatest(acc.s + e.dev, cast(0 as bigint)), "
+        "'m', greatest(acc.s + e.dev, cast(0 as bigint)), 'md', e.day), "
+        "named_struct('s', greatest(acc.s + e.dev, cast(0 as bigint)), "
+        "'m', acc.m, 'md', acc.md)))"
+    )
+    return seq.select(
+        F.col("n").alias("n_days"),
+        F.expr(fold + ".m").cast("bigint").alias("max_cusum_e2"),
+        F.expr(fold + ".md").cast("bigint").alias("change_day"),
+    )

@@ -114,6 +114,7 @@ RELATIONAL = [
     "funnel_strict_3step",
     "orders_open_aging",
     "layout_partition_pruned_scan",
+    "orders_cusum_changepoint",
 ]
 
 
