@@ -2063,3 +2063,70 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") > F.col("thr"))
         .select("vec_id", F.round("dist", 4).alias("dist"))
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+    FROM tok WHERE len(w) >= 3
+),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g FROM pos),
+owner AS (SELECT g, min(doc_id) AS own FROM sh GROUP BY g),
+per AS (
+    SELECT s.doc_id,
+           count(*) AS n_sh,
+           count(CASE WHEN o.own = s.doc_id THEN 1 END) AS n_new
+    FROM sh s JOIN owner o ON s.g = o.g GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+       round(CAST(n_new AS DOUBLE) / n_sh, 4) AS novelty
+FROM per
+""",
+    doc="Per-document n-gram NOVELTY: the fraction of a doc's distinct "
+    "word trigrams whose minimum-doc_id owner is the doc itself — how "
+    "much text a document contributes that no earlier document already "
+    "said. The curation dual of dedup: near-dups score ~0, boilerplate "
+    "scores low corpus-wide, and genuinely new material scores high; "
+    "ranking an incoming feed by novelty is the cheapest marginal-"
+    "value-of-data signal. Plan: distinct (doc, trigram) pairs, "
+    "min-owner per trigram (map-side combinable), one inverted-index "
+    "equi-join back, per-doc ratio — the same index shape as the "
+    "Jaccard dedup path, never all-pairs. At 100 TB carry trigrams as "
+    "xxhash64 longs (as operators/dedup does); the string form here "
+    "keeps the DuckDB oracle exact.",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir).select("doc_id", "text")
+    w = docs.select("doc_id", F.split("text", " ").alias("w")).where(
+        F.size("w") >= 3
+    )
+    sh = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    owner = sh.groupBy("g").agg(F.min("doc_id").alias("own"))
+    per = (
+        sh.join(owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("own") == F.col("doc_id"), 1)).alias("n_new"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        F.round(F.col("n_new").cast("double") / F.col("n_shingles"), 4).alias(
+            "novelty"
+        ),
+    )

@@ -4337,3 +4337,56 @@ def orders_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(fold + ".m").cast("bigint").alias("max_cusum_e2"),
         F.expr(fold + ".md").cast("bigint").alias("change_day"),
     )
+
+
+@register(
+    "events_rolling_zscore_daily",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY day
+),
+w AS (
+    SELECT day, n,
+           avg(CAST(n AS DOUBLE)) OVER prev7 AS mu,
+           stddev_samp(CAST(n AS DOUBLE)) OVER prev7 AS sd,
+           count(*) OVER prev7 AS n_prev
+    FROM daily
+    WINDOW prev7 AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n,
+       round((n - mu) / sd, 4) AS zscore
+FROM w
+WHERE n_prev = 7 AND sd > 0 AND abs((n - mu) / sd) >= 2.0
+""",
+    doc="Rolling-window anomaly detection: each day's event volume "
+    "scored against the mean/stddev of the SEVEN PRECEDING days "
+    "(current day excluded — a spike must not mask itself), days with "
+    "|z| >= 2 flagged — the ops alert every ingest pipeline runs on "
+    "its volume curve. The raw stream collapses to the day frame "
+    "first, so the ROWS-frame windows run over O(days) rows, not "
+    "events (at 100 TB the day frame is still tiny; partition the "
+    "window by source/tenant when flagging per-feed). The z threshold "
+    "compares |z| >= 2 BEFORE the 4dp rounding on both engines, and "
+    "warm-up days (fewer than 7 predecessors) are excluded "
+    "identically.",
+)
+def events_rolling_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    daily = e.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    prev7 = W.orderBy("day").rowsBetween(-7, -1)
+    w = daily.select(
+        "day",
+        "n",
+        F.avg(F.col("n").cast("double")).over(prev7).alias("mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(prev7).alias("sd"),
+        F.count(F.lit(1)).over(prev7).alias("n_prev"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        w.where((F.col("n_prev") == 7) & (F.col("sd") > 0) & (F.abs(z) >= 2.0))
+        .select("day", "n", F.round(z, 4).alias("zscore"))
+    )

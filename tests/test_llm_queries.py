@@ -7,6 +7,7 @@ from tests.oracle import compare_query
 ORACLE_CHECKED = [
     "dedup_component_size_histogram",
     "embedding_outlier_distance",
+    "text_ngram_novelty",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",

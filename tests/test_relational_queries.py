@@ -115,6 +115,7 @@ RELATIONAL = [
     "orders_open_aging",
     "layout_partition_pruned_scan",
     "orders_cusum_changepoint",
+    "events_rolling_zscore_daily",
 ]
 
 
