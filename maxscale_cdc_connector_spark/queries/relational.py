@@ -4390,3 +4390,64 @@ def events_rolling_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.where((F.col("n_prev") == 7) & (F.col("sd") > 0) & (F.abs(z) >= 2.0))
         .select("day", "n", F.round(z, 4).alias("zscore"))
     )
+
+
+@register(
+    "layout_bucketed_join_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    doc="Bucket-co-located big-big join end-to-end: both fact tables are "
+    "WRITTEN bucketed (+sorted) by the join key, and the subsequent "
+    "join reads co-located buckets — ZERO exchanges feed the join "
+    "(broadcast disabled to prove it; the only shuffle in the plan is "
+    "the final tiny aggregate). This is THE repeated-join amortization "
+    "at 100 TB: pay the partitioned write once, skip both sides' "
+    "shuffles on every later join. The aggregate then hash-verifies "
+    "the bucketed read path returns exactly the shuffled join's rows. "
+    "tests/test_bucketing.py pins the no-Exchange plan property.",
+)
+def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+    import os
+
+    uid = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"bktq-{uid}")
+    li_t, o_t = f"bktq_li_{uid}", f"bktq_o_{uid}"
+    li = t(spark, "lineitem", sf_dir).select("l_orderkey", "l_extendedprice")
+    orders = t(spark, "orders", sf_dir).select("o_orderkey", "o_orderpriority")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", os.path.join(base, "li"))
+        .mode("overwrite").saveAsTable(li_t)
+    )
+    (
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", os.path.join(base, "o"))
+        .mode("overwrite").saveAsTable(o_t)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table(li_t)
+            .join(spark.table(o_t), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+            )
+        )
+        out = joined.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {li_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {o_t}")
+        shutil.rmtree(base, ignore_errors=True)
+    return out

@@ -116,6 +116,7 @@ RELATIONAL = [
     "layout_partition_pruned_scan",
     "orders_cusum_changepoint",
     "events_rolling_zscore_daily",
+    "layout_bucketed_join_agg",
 ]
 
 
