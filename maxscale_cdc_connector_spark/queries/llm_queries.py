@@ -2130,3 +2130,50 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+@register(
+    "simsearch_lsh_recall_report",
+    oracle=None,  # measures an approximate method against the exact graph
+    # — the number IS the evidence; pytest pins rank-1 recall 1.0 on
+    # duplicate edges and a floor on the aggregate.
+    doc="ANN quality report: per-rank recall of the SRP-LSH k-NN graph "
+    "against the EXACT blocked-BLAS graph on the duplicated corpus — "
+    "the accept/reject number a team reads before swapping the exact "
+    "path for the sub-quadratic one at scale. For each exact edge "
+    "(rank 1..3) the report asks whether LSH retrieved that neighbor "
+    "at any rank; rank-1 edges of duplicated vectors are exact "
+    "duplicates (cos 1.0) and MUST be recalled (identical signatures "
+    "collide in every band — pinned at 1.0 by pytest). Both graphs "
+    "are the already-shipped operators; the comparison is one "
+    "left-semi join + a 3-row aggregate.",
+)
+def simsearch_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.simsearch import knn_graph, knn_graph_lsh
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000))
+    )
+    exact = knn_graph(corpus, k=3).select("vec_id", "neighbor", "rank")
+    approx = knn_graph_lsh(corpus, k=3, dim=64).select(
+        F.col("vec_id").alias("a_vec"), F.col("nbr_id").alias("a_nbr")
+    )
+    hit = exact.join(
+        approx,
+        (exact.vec_id == approx.a_vec) & (exact.neighbor == approx.a_nbr),
+        "left_semi",
+    )
+    n_exact = exact.groupBy("rank").agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hit = hit.groupBy("rank").agg(F.count(F.lit(1)).alias("n_recalled"))
+    return (
+        n_exact.join(n_hit, "rank", "left")
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.coalesce(F.col("n_recalled"), F.lit(0)).cast("bigint").alias("n_recalled"),
+            F.round(
+                F.coalesce(F.col("n_recalled"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )

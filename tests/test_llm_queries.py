@@ -448,3 +448,18 @@ def test_resize_thumbnails_pins_exact_bytes(spark, sf_dir):
         assert bytes(got.thumb) == want, d.doc_id
         assert got.thumb_bytes == len(want)
         assert got.thumb_sha256 == hashlib.sha256(want).hexdigest()
+
+
+def test_lsh_recall_report_rank1_is_perfect(spark, sf_dir):
+    """Duplicate (rank-1, cos 1.0) edges must be recalled at 1.0 —
+    identical vectors produce identical SRP signatures in every band.
+    The random-noise tail (ranks 2-3) is best-effort by design."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = {
+        r.rank: r
+        for r in REGISTRY["simsearch_lsh_recall_report"].fn(spark, sf_dir).collect()
+    }
+    assert rows[1].recall == 1.0, rows[1]
+    assert rows[1].n_exact == rows[1].n_recalled
