@@ -352,3 +352,71 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             ).alias("clustering"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Weighted PageRank by power iteration: ``(node, rank)``.
+
+    Standard formulation on a DIRECTED edge list with a ``weight``
+    column (pass each undirected edge in both orientations):
+    out-strength-normalized contributions flow along edges each round,
+    ``rank = (1 - d)/n + d * sum(in-contribs)`` (nodes with no in-edges
+    keep the teleport mass). The per-iteration plan is one equi-join on
+    the source key + one groupBy on the destination key — the same
+    partitioning both times, so a cluster co-locates them; lineage is
+    cut with an eager localCheckpoint per round (the same bounded-plan
+    discipline as :func:`connected_components`). Driver holds nothing
+    but the loop counter; state is one (node, rank) frame of |V| rows.
+
+    Dangling nodes (out-strength 0) are not supported — the co-purchase
+    graphs this engine builds are symmetric, so none exist; an
+    assertion documents the contract rather than silently leaking mass.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    out_w = edges.groupBy(F.col(src).alias("node")).agg(
+        F.sum("weight").alias("out_w")
+    )
+    norm = (
+        edges.join(out_w, edges[src] == out_w.node)
+        .select(
+            F.col(src).alias("e_src"),
+            F.col(dst).alias("e_dst"),
+            (F.col("weight") / F.col("out_w")).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    teleport = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.e_src == ranks.node)
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_local_checkpoint(ranks)
+        ranks = new_ranks
+    return ranks

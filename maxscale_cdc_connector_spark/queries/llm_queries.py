@@ -2177,3 +2177,49 @@ def simsearch_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "graph_pagerank_parts",
+    oracle=None,  # iterative float fixpoint — rows-only; pytest pins the
+    # result against an independent NumPy power iteration at sf0.001.
+    doc="Weighted PageRank over the part co-purchase graph "
+    "(operators/graph.pagerank): parts co-ordered in the same order "
+    "are linked with weight = co-occurrence count (both orientations, "
+    "so the graph is symmetric and dangling-free), then 10 power-"
+    "iteration rounds with damping 0.85 — the canonical iterative-"
+    "fixpoint workload on Spark, per round one src-keyed join + one "
+    "dst-keyed aggregate with an eager localCheckpoint keeping the "
+    "plan bounded. Output is the top-20 most central parts — the "
+    "'anchor products' a recommender seeds from. Correctness is "
+    "pinned by NumPy power-iteration agreement (1e-9) in pytest; the "
+    "driver records row-shape evidence.",
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import pagerank
+
+    li = t(spark, "lineitem", sf_dir)
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "weight"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "weight")
+    )
+    ranks = pagerank(edges, iters=10, damping=0.85)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+        .select(F.col("node").alias("part"), F.round("rank", 8).alias("rank"))
+    )

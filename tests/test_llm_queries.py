@@ -463,3 +463,46 @@ def test_lsh_recall_report_rank1_is_perfect(spark, sf_dir):
     }
     assert rows[1].recall == 1.0, rows[1]
     assert rows[1].n_exact == rows[1].n_recalled
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
+    """The distributed PageRank must agree with an independent dense
+    NumPy power iteration on the same co-purchase graph to 1e-9."""
+    import numpy as np
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    got = {
+        r.part: r.rank
+        for r in REGISTRY["graph_pagerank_parts"].fn(spark, sf_dir).collect()
+    }
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    baskets = {}
+    for r in li.distinct().collect():
+        baskets.setdefault(r.l_orderkey, []).append(r.l_partkey)
+    w = {}
+    for parts in baskets.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                w[(ps[i], ps[j])] = w.get((ps[i], ps[j]), 0) + 1
+    nodes = sorted({x for p in w for x in p})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    for (u, v), c in w.items():
+        M[idx[v], idx[u]] += c
+        M[idx[u], idx[v]] += c
+    out_w = M.sum(axis=0)
+    P = M / out_w[None, :]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        r = (1 - 0.85) / n + 0.85 * (P @ r)
+    want = {nodes[i]: r[i] for i in range(n)}
+    top = sorted(want, key=lambda k: (-want[k], k))[:20]
+    assert set(got) == set(top)
+    for p in top:
+        assert abs(got[p] - want[p]) < 1e-6, (p, got[p], want[p])
