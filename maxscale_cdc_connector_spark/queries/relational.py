@@ -4451,3 +4451,88 @@ def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {o_t}")
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "events_cep_pattern",
+    oracle="""
+WITH a AS (
+    SELECT user_id, epoch_us(ts) AS ta, event_id AS a_id
+    FROM events WHERE event_type = 'signup'
+),
+b AS (
+    SELECT a.user_id, a.a_id, a.ta, min(epoch_us(e.ts)) AS tb
+    FROM a JOIN events e
+      ON e.user_id = a.user_id AND e.event_type = 'purchase'
+     AND epoch_us(e.ts) > a.ta
+     AND epoch_us(e.ts) <= a.ta + 604800000000
+    GROUP BY a.user_id, a.a_id, a.ta
+),
+c AS (
+    SELECT DISTINCT b.user_id, b.a_id
+    FROM b JOIN events e
+      ON e.user_id = b.user_id AND e.event_type = 'error'
+     AND epoch_us(e.ts) > b.ta AND epoch_us(e.ts) < b.tb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_signups,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_with_purchase_7d,
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_interrupted,
+       (SELECT CAST(count(*) AS BIGINT) FROM b) -
+       (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clean_matches
+""",
+    doc="Complex-event-processing pattern with NEGATION: signup followed "
+    "by a purchase within seven days, with NO error event between them "
+    "— the 'A then B within T, unless C intervenes' template behind "
+    "fraud rules, SLA alerts and clean-conversion metrics, which plain "
+    "funnels cannot express (the negation must check an interval, not "
+    "a point). All three stages are user-keyed: the A-to-B match is a "
+    "banded range join collapsed by min, and the C-negation is an "
+    "interval-overlap semi join against the matched (ta, tb) spans — "
+    "every join reuses the user_id partitioning; per-user event counts "
+    "bound the range-join fan-out. Output is one row of pattern "
+    "counts at any scale.",
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    week_us = 604_800_000_000
+    e = events_ts_us(t(spark, "events", sf_dir))
+    a = e.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts_us").alias("ta"), F.col("event_id").alias("a_id")
+    )
+    purch = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("tp")
+    )
+    b = (
+        a.join(
+            purch,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("tp") > F.col("ta"))
+            & (F.col("tp") <= F.col("ta") + week_us),
+        )
+        .groupBy("user_id", "a_id", "ta")
+        .agg(F.min("tp").alias("tb"))
+    )
+    err = e.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("c_user"), F.col("ts_us").alias("tc")
+    )
+    c = (
+        b.join(
+            err,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("tc") > F.col("ta"))
+            & (F.col("tc") < F.col("tb")),
+            "left_semi",
+        )
+        .select("user_id", "a_id")
+        .distinct()
+    )
+    na = a.agg(F.count(F.lit(1)).cast("bigint").alias("n_signups"))
+    nb = b.agg(F.count(F.lit(1)).cast("bigint").alias("n_with_purchase_7d"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_interrupted"))
+    return (
+        na.crossJoin(nb)
+        .crossJoin(nc)
+        .withColumn(
+            "n_clean_matches",
+            (F.col("n_with_purchase_7d") - F.col("n_interrupted")).cast("bigint"),
+        )
+    )

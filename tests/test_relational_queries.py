@@ -117,6 +117,7 @@ RELATIONAL = [
     "orders_cusum_changepoint",
     "events_rolling_zscore_daily",
     "layout_bucketed_join_agg",
+    "events_cep_pattern",
 ]
 
 
