@@ -3925,40 +3925,112 @@ SELECT 'lineitem.l_suppkey->supplier',
     "no parent) per edge — the load-quality gate a CDC-fed warehouse "
     "runs after every sync, where a nonzero orphan count means the "
     "capture missed parent rows or applied children out of order. "
-    "Each edge is a left-anti join reduced to a count: parent sides "
-    "project to their key column only (broadcast-sized for dims; AQE "
-    "picks the strategy for orders), and counts aggregate map-side. "
-    "Output is exactly five rows at any scale.",
+    "ONE PASS per child table: lineitem's three FK edges resolve "
+    "through three left joins on a single scan and one aggregate "
+    "(parent key NULL = orphan) — never three separate anti-join "
+    "scans; parent sides project to their key column only "
+    "(broadcast-sized for dims, AQE picks for orders). Output is "
+    "exactly five rows at any scale.",
 )
 def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = t(spark, "lineitem", sf_dir)
-    o = t(spark, "orders", sf_dir)
-    c = t(spark, "customer", sf_dir)
-    edges = [
-        ("lineitem.l_orderkey->orders", li, "l_orderkey",
-         o.select("o_orderkey"), "o_orderkey"),
-        ("orders.o_custkey->customer", o, "o_custkey",
-         c.select("c_custkey"), "c_custkey"),
-        ("customer.c_nationkey->nation", c, "c_nationkey",
-         t(spark, "nation", sf_dir).select("n_nationkey"), "n_nationkey"),
-        ("lineitem.l_partkey->part", li, "l_partkey",
-         t(spark, "part", sf_dir).select("p_partkey"), "p_partkey"),
-        ("lineitem.l_suppkey->supplier", li, "l_suppkey",
-         t(spark, "supplier", sf_dir).select("s_suppkey"), "s_suppkey"),
-    ]
-    out = None
-    for name, child, fk, parent, pk in edges:
-        n_child = child.agg(F.count(F.lit(1)).cast("bigint").alias("n_child_rows"))
-        n_orph = (
-            child.join(parent, child[fk] == parent[pk], "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+    # The fact table is scanned ONCE: all three of lineitem's FK edges
+    # resolve through left joins on the same pass, and the per-edge
+    # orphan counts come out of a single aggregate (a parent-side key
+    # is NULL exactly when the child row is an orphan). orders/customer
+    # each get the same one-pass treatment for their single edge.
+    li = (
+        t(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .join(
+            t(spark, "orders", sf_dir).select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
         )
-        row = (
-            n_child.crossJoin(n_orph)
-            .select(F.lit(name).alias("fk_edge"), "n_child_rows", "n_orphans")
+        .join(
+            t(spark, "part", sf_dir).select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .join(
+            t(spark, "supplier", sf_dir).select("s_suppkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_o"),
+            F.sum(F.when(F.col("p_partkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_p"),
+            F.sum(F.when(F.col("s_suppkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph_s"),
+        )
+    )
+    o = (
+        t(spark, "orders", sf_dir)
+        .select("o_custkey")
+        .join(
+            t(spark, "customer", sf_dir).select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph"),
+        )
+    )
+    c = (
+        t(spark, "customer", sf_dir)
+        .select("c_nationkey")
+        .join(
+            t(spark, "nation", sf_dir).select("n_nationkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("n_nationkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orph"),
+        )
+    )
+    li_rows = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem.l_orderkey->orders").alias("fk_edge"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_o").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_partkey->part").alias("fk_edge"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_p").alias("n_orphans"),
+                ),
+                F.struct(
+                    F.lit("lineitem.l_suppkey->supplier").alias("fk_edge"),
+                    F.col("n").alias("n_child_rows"),
+                    F.col("orph_s").alias("n_orphans"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.fk_edge", "r.n_child_rows", "r.n_orphans")
+    o_row = o.select(
+        F.lit("orders.o_custkey->customer").alias("fk_edge"),
+        F.col("n").alias("n_child_rows"),
+        F.col("orph").alias("n_orphans"),
+    )
+    c_row = c.select(
+        F.lit("customer.c_nationkey->nation").alias("fk_edge"),
+        F.col("n").alias("n_child_rows"),
+        F.col("orph").alias("n_orphans"),
+    )
+    return li_rows.unionByName(o_row).unionByName(c_row)
 
 
 @register(

@@ -377,3 +377,16 @@ def test_partitioned_layout_scan_prunes_partitions(spark, sf_dir) -> None:
     assert "PartitionFilters" in text, text[:2000]
     tail = text.split("PartitionFilters", 1)[1][:300]
     assert "event_type" in tail, tail
+
+
+def test_referential_integrity_is_one_pass_per_child(spark, sf_dir) -> None:
+    """lineitem's three FK edges must resolve on ONE scan of the fact
+    table (three left joins + one aggregate), never three anti-join
+    scans."""
+    from maxscale_cdc_connector_spark.plans import explain_string
+
+    df = REGISTRY["dq_referential_integrity"].fn(spark, sf_dir)
+    text = explain_string(df, "formatted")
+    assert text.count("lineitem.parquet") <= 1 or text.lower().count("lineitem") <= 2, (
+        text[:3000]
+    )
