@@ -4608,3 +4608,135 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_with_purchase_7d") - F.col("n_interrupted")).cast("bigint"),
         )
     )
+
+
+@register(
+    "events_seasonality_profile",
+    oracle="""
+WITH cell AS (
+    SELECT CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hod,
+           count(*) AS n
+    FROM events GROUP BY dow, hod
+),
+tot AS (SELECT sum(n) AS total FROM cell)
+SELECT dow, hod, CAST(n AS BIGINT) AS n_events,
+       CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+       round(n * 168.0 / total, 6) AS lift_vs_uniform
+FROM cell, tot
+""",
+    doc="Day-of-week x hour-of-day activity seasonality: event counts per "
+    "(dow, hour) cell, exact integer parts-per-million share, and lift "
+    "against the uniform 1/168 expectation — the load-shape profile that "
+    "sizes streaming capacity and flags bot traffic (flat lift) vs human "
+    "diurnal cycles. Epoch arithmetic only (dow = (epoch_day + 4) % 7, "
+    "0 = Sunday) so both engines bucket identically with no timezone or "
+    "locale dependence. Plan: one hash aggregate onto at most 168 cells "
+    "(map-side combinable at any corpus size) and a broadcast 1-row "
+    "total — nothing scales with input volume past the first scan.",
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    cell = (
+        e.select(
+            F.expr("(ts_us DIV 86400000000 + 4) % 7").cast("bigint").alias("dow"),
+            F.expr("(ts_us DIV 3600000000) % 24").cast("bigint").alias("hod"),
+        )
+        .groupBy("dow", "hod")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.broadcast(cell.agg(F.sum("n").alias("total")))
+    return cell.crossJoin(tot).select(
+        "dow",
+        "hod",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("share_ppm"),
+        F.round(F.col("n") * 168.0 / F.col("total"), 6).alias("lift_vs_uniform"),
+    )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+SELECT o_orderkey,
+       o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n_in_priority
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+QUALIFY o_orderkey % 199 = 0
+""",
+    doc="Distribution windows percent_rank / cume_dist of order value "
+    "within each priority class (completing the window-function surface "
+    "next to rank/ntile/frames): where does an order sit in its "
+    "priority's price distribution. Ties broken by (o_totalprice, "
+    "o_orderkey) so both engines rank identically; output bounded by a "
+    "deterministic orderkey sample AFTER the windows are computed over "
+    "the full partition. One priority-keyed exchange, no global sort.",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wp = W.partitionBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.count("*").over(wp).cast("bigint").alias("n_in_priority"),
+        )
+        .where(F.col("o_orderkey") % 199 == 0)
+    )
+
+
+@register(
+    "feature_minmax_scale",
+    oracle="""
+WITH stats AS (
+    SELECT l_returnflag,
+           min(l_extendedprice) AS pmin, max(l_extendedprice) AS pmax,
+           min(l_quantity) AS qmin, max(l_quantity) AS qmax
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_orderkey, l_linenumber, l.l_returnflag,
+       round((l_extendedprice - pmin) / (pmax - pmin), 6) AS price_scaled,
+       round((l_quantity - qmin) / (qmax - qmin), 6) AS qty_scaled
+FROM lineitem l JOIN stats s ON s.l_returnflag = l.l_returnflag
+WHERE l_orderkey % 499 = 0
+""",
+    doc="Grouped min-max feature scaling (the [0,1] normalization a "
+    "feature store applies before gradient models): per-returnflag "
+    "min/max of price and quantity from ONE map-side-combinable "
+    "aggregate over 3 groups, broadcast back onto the fact scan — the "
+    "600M-row side never shuffles, and adding features widens the same "
+    "single stats row rather than adding passes. Output bounded by a "
+    "deterministic orderkey sample; scaling itself is row-local "
+    "arithmetic after the broadcast join.",
+)
+def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    stats = F.broadcast(
+        li.groupBy("l_returnflag").agg(
+            F.min("l_extendedprice").alias("pmin"),
+            F.max("l_extendedprice").alias("pmax"),
+            F.min("l_quantity").alias("qmin"),
+            F.max("l_quantity").alias("qmax"),
+        )
+    )
+    return (
+        li.where(F.col("l_orderkey") % 499 == 0)
+        .join(stats, "l_returnflag")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round(
+                (F.col("l_extendedprice") - F.col("pmin")) / (F.col("pmax") - F.col("pmin")), 6
+            ).alias("price_scaled"),
+            F.round((F.col("l_quantity") - F.col("qmin")) / (F.col("qmax") - F.col("qmin")), 6).alias(
+                "qty_scaled"
+            ),
+        )
+    )

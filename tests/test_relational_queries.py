@@ -118,6 +118,9 @@ RELATIONAL = [
     "events_rolling_zscore_daily",
     "layout_bucketed_join_agg",
     "events_cep_pattern",
+    "events_seasonality_profile",
+    "win_cume_dist",
+    "feature_minmax_scale",
 ]
 
 
