@@ -786,3 +786,84 @@ def cdc_txn_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_txns"),
         F.sum("n_events").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "cdc_incremental_join_view",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events
+),
+final AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+    FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+),
+ordrev AS (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+    FROM orders GROUP BY o_custkey
+)
+SELECT f.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(f.acct_cents) AS BIGINT) AS acctbal_cents,
+       CAST(coalesce(sum(o.rev_cents), 0) AS BIGINT) AS revenue_cents
+FROM final f LEFT JOIN ordrev o ON o.o_custkey = f.c_custkey
+GROUP BY f.c_nationkey
+""",
+    doc="Incremental JOIN-view maintenance (delta-join IVM): keep a "
+    "per-nation (customer count, account balance, order revenue) view "
+    "current under the customer change log WITHOUT re-joining the fact "
+    "table to a rebuilt snapshot. Every event contributes a signed "
+    "delta (+1 insert/update_after, -1 update_before/delete) in exact "
+    "integer cents, so per-key contributions telescope to the final "
+    "state; the revenue leg joins the signed delta batch (broadcast — "
+    "a CDC batch is small by definition) against the per-customer "
+    "fact pre-aggregate, which is scanned ONCE and never reshuffled. "
+    "The oracle recomputes the view from the terminal snapshot — the "
+    "driver hash IS the delta==recompute equivalence proof. Updates "
+    "exercise the in-place-change path (acctbal moves, revenue "
+    "doesn't), deletes the retraction path (both legs drop).",
+)
+def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = synthetic_customer_events(spark, sf_dir)
+    sign = (
+        F.when(F.col("event_type").isin("insert", "update_after"), F.lit(1))
+        .when(F.col("event_type").isin("update_before", "delete"), F.lit(-1))
+    )
+    deltas = ev.select(
+        "c_custkey",
+        "c_nationkey",
+        sign.alias("sign"),
+        (sign * F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("d_acct_cents"),
+    )
+    base = deltas.groupBy("c_nationkey").agg(
+        F.sum("sign").cast("bigint").alias("n_customers"),
+        F.sum("d_acct_cents").cast("bigint").alias("acctbal_cents"),
+    )
+    o = load_table(spark, "orders", sf_dir)
+    ordrev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    rev_delta = (
+        ordrev.join(
+            F.broadcast(deltas.select("c_custkey", "c_nationkey", "sign")),
+            ordrev.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("sign") * F.col("rev_cents")).cast("bigint").alias("revenue_cents"))
+    )
+    return (
+        base.where(F.col("n_customers") > 0)
+        .join(rev_delta, "c_nationkey", "left")
+        .select(
+            "c_nationkey",
+            "n_customers",
+            "acctbal_cents",
+            F.coalesce(F.col("revenue_cents"), F.lit(0)).cast("bigint").alias("revenue_cents"),
+        )
+    )

@@ -2223,3 +2223,105 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("part"), F.round("rank", 8).alias("rank"))
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+    FROM documents, unnest(range(1, len(text) + 1)) AS u(i)
+),
+counts AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY doc_id, ch),
+g AS (
+    SELECT doc_id,
+           CAST(sum(cnt) AS DOUBLE) AS total,
+           CAST(count(*) AS BIGINT) AS n_distinct_chars,
+           list(CAST(cnt AS DOUBLE) ORDER BY ch) AS cnts
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_distinct_chars,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), cnts),
+                         (acc, x) -> acc - (x / total) * log2(x / total)), 6) AS entropy_bits
+FROM g
+""",
+    doc="Per-document character-level Shannon entropy (bits/char): the "
+    "gibberish / binary-spill / keyboard-mash detector a text-quality "
+    "gate runs next to the word-level repetition signals — natural "
+    "language sits near 4 bits, base64 blobs near 6, single-char spam "
+    "near 0. Plan: position-explode via transform(sequence(...)) (rows "
+    "bounded by corpus BYTES, keyed on doc_id), one (doc, char) hash "
+    "aggregate, then the entropy fold runs INSIDE a higher-order "
+    "aggregate over the char-sorted count list — the same fixed "
+    "left-to-right IEEE fold DuckDB's list_reduce applies (0.0 "
+    "prepended as the initial accumulator on both engines), so the "
+    "float sum is bit-identical with no UDF. At 100 TB cap the scan at "
+    "the first N KiB per doc (substring pushdown), same plan.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir).select("doc_id", "text")
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    g = counts.groupBy("doc_id").agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.count("*").cast("bigint").alias("n_distinct_chars"),
+        F.sort_array(F.collect_list(F.struct("ch", "cnt"))).alias("seq"),
+    )
+    fold = (
+        "aggregate(transform(seq, s -> cast(s.cnt as double)), cast(0.0 as double), "
+        "(acc, x) -> acc - (x / total) * log2(x / total))"
+    )
+    return g.select(
+        "doc_id", "n_distinct_chars", F.round(F.expr(fold), 6).alias("entropy_bits")
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs)
+    GROUP BY node
+)
+SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY deg
+""",
+    doc="Degree distribution of the near-dup pair graph: how many "
+    "documents have exactly d Jaccard >= 0.8 neighbors. Read next to "
+    "the triangle census and component histogram, this is the shape "
+    "diagnostic that separates mirror feeds (flat spikes at clique "
+    "size) from template boilerplate (power-law tail) BEFORE committing "
+    "to a drop policy — and the degree cap it reveals is what the "
+    "salted/skew paths key on. Plan: prefix-filtered exact pairs, one "
+    "node-keyed count, one histogram aggregate over at most max-degree "
+    "rows; pair volume, never corpus volume, crosses the shuffles.",
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.dedup import duplicated_corpus, jaccard_pairs_prefix
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    pairs = jaccard_pairs_prefix(corpus, min_jaccard=0.8)
+    nodes = pairs.select(F.col("doc_a").alias("node")).unionAll(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
+    return deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("n_nodes"))

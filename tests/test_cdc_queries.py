@@ -5,6 +5,7 @@ import pytest
 from tests.oracle import compare_query
 
 CDC_QUERIES = [
+    "cdc_incremental_join_view",
     "cdc_decode",
     "cdc_gtid",
     "cdc_latest_snapshot",

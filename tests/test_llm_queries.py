@@ -44,6 +44,8 @@ ORACLE_CHECKED = [
     "embedding_quantization_error",
     "text_token_percentiles_by_lang",
     "graph_triangle_count",
+    "text_char_entropy",
+    "graph_degree_distribution",
     "dedup_rate_by_source",
     "embedding_dim_stats",
     "pipeline_dataset_card",
