@@ -4740,3 +4740,93 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "layout_zorder_clustering",
+    oracle="""
+WITH days AS (
+    SELECT o_custkey,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+    FROM orders
+),
+b AS (
+    SELECT min(o_custkey) AS ckmin, max(o_custkey) AS ckmax,
+           min(day) AS dmin, max(day) AS dmax
+    FROM days
+),
+norm AS (
+    SELECT o_custkey, day,
+           CAST((o_custkey - ckmin) * 65535 // (ckmax - ckmin) AS BIGINT) AS xn,
+           CAST((day - dmin) * 65535 // (dmax - dmin) AS BIGINT) AS yn
+    FROM days, b
+),
+s1 AS (SELECT *, ((xn | (xn << 8)) & 16711935) AS x1,
+                 ((yn | (yn << 8)) & 16711935) AS y1 FROM norm),
+s2 AS (SELECT *, ((x1 | (x1 << 4)) & 252645135) AS x2,
+                 ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+s3 AS (SELECT *, ((x2 | (x2 << 2)) & 858993459) AS x3,
+                 ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+s4 AS (SELECT *, ((x3 | (x3 << 1)) & 1431655765) AS x4,
+                 ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3),
+ileave AS (SELECT o_custkey, day, x4 | (y4 << 1) AS z FROM s4)
+SELECT CAST(z // 16777216 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(o_custkey) AS BIGINT) AS ck_min,
+       CAST(max(o_custkey) AS BIGINT) AS ck_max,
+       CAST(min(day) AS BIGINT) AS day_min,
+       CAST(max(day) AS BIGINT) AS day_max
+FROM ileave GROUP BY z_bucket
+""",
+    doc="Z-order (Morton-curve) clustering key over (customer, order "
+    "date): normalize both dimensions to 16 bits with exact integer "
+    "scaling, interleave bits via the magic-number spread, and report "
+    "per-z-bucket row counts and min/max spans of BOTH source "
+    "dimensions. This is the layout primitive behind multi-dimensional "
+    "data skipping: rows sorted/partitioned by z give every file "
+    "min/max stats that are NARROW in customer AND date simultaneously, "
+    "so a predicate on either column prunes — where a single-column "
+    "sort only prunes its own column. The per-bucket spans in the "
+    "output are exactly the file-footer stats a 100 TB writer would "
+    "persist; the whole computation is one bounds aggregate (broadcast "
+    "1-row) plus one row-local bit transform and a bucket-keyed count "
+    "— no shuffle wider than the final 256-row aggregate.",
+)
+def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    b = F.broadcast(
+        o.agg(
+            F.min("o_custkey").alias("ckmin"),
+            F.max("o_custkey").alias("ckmax"),
+            F.min("day").alias("dmin"),
+            F.max("day").alias("dmax"),
+        )
+    )
+
+    def spread(col: str) -> str:
+        # 16-bit value -> even bit positions of a 32-bit word.
+        x = col
+        x = f"(({x} | shiftleft({x}, 8)) & 16711935)"
+        x = f"(({x} | shiftleft({x}, 4)) & 252645135)"
+        x = f"(({x} | shiftleft({x}, 2)) & 858993459)"
+        x = f"(({x} | shiftleft({x}, 1)) & 1431655765)"
+        return x
+
+    z = (
+        o.crossJoin(b)
+        .withColumn("xn", F.expr("(o_custkey - ckmin) * 65535 DIV (ckmax - ckmin)"))
+        .withColumn("yn", F.expr("(day - dmin) * 65535 DIV (dmax - dmin)"))
+        .withColumn("z", F.expr(f"{spread('xn')} | shiftleft({spread('yn')}, 1)"))
+    )
+    return z.groupBy(F.expr("z DIV 16777216").cast("bigint").alias("z_bucket")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("o_custkey").cast("bigint").alias("ck_min"),
+        F.max("o_custkey").cast("bigint").alias("ck_max"),
+        F.min("day").cast("bigint").alias("day_min"),
+        F.max("day").cast("bigint").alias("day_max"),
+    )

@@ -121,6 +121,7 @@ RELATIONAL = [
     "events_seasonality_profile",
     "win_cume_dist",
     "feature_minmax_scale",
+    "layout_zorder_clustering",
 ]
 
 
@@ -239,3 +240,24 @@ def test_dau_wau_approx_within_5pct_of_exact(spark, sf_dir):
         a_dau, a_wau = approx[day]
         assert abs(a_dau - dau) <= max(1, 0.05 * dau), (day, a_dau, dau)
         assert abs(a_wau - wau) <= max(1, 0.05 * wau), (day, a_wau, wau)
+
+
+def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
+    """The point of the Morton layout: every z-bucket must span a NARROW
+    window of BOTH dimensions (that is what makes file min/max stats
+    prunable on either column). Buckets keyed by the top 8 interleaved
+    bits each cover a 16x16 cell of the 65536x65536 normalized grid, so
+    each dimension's per-bucket span must be ~1/16 of its full range —
+    assert < 1/8 to leave room for scaling rounding at tiny SFs."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["layout_zorder_clustering"].fn(spark, sf_dir).collect()
+    assert len(rows) > 8
+    ck_lo = min(r.ck_min for r in rows)
+    ck_hi = max(r.ck_max for r in rows)
+    d_lo = min(r.day_min for r in rows)
+    d_hi = max(r.day_max for r in rows)
+    for r in rows:
+        assert (r.ck_max - r.ck_min) <= (ck_hi - ck_lo) / 8 + 1
+        assert (r.day_max - r.day_min) <= (d_hi - d_lo) / 8 + 1
