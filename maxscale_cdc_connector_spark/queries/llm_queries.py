@@ -2325,3 +2325,59 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("deg"))
     return deg.groupBy("deg").agg(F.count("*").cast("bigint").alias("n_nodes"))
+
+
+@register(
+    "text_oov_rate",
+    oracle="""
+WITH w AS (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+),
+vocab AS (
+    SELECT word FROM (SELECT word, count(*) AS n FROM w GROUP BY word)
+    ORDER BY n DESC, word LIMIT 1000
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS oov_ppm
+FROM w LEFT JOIN vocab v ON v.word = w.word
+GROUP BY lang
+""",
+    doc="Out-of-vocabulary rate per language against the corpus-global "
+    "top-1000 vocabulary (deterministic count-desc/word tie-break): the "
+    "tokenizer-coverage gate run before committing a vocab — a language "
+    "whose OOV ppm is high will fragment into bytes/unk and train "
+    "badly. Plan: one token explode feeding BOTH the vocab heavy-hitter "
+    "aggregate (TakeOrderedAndProject, never a vocab-wide sort) and the "
+    "coverage pass, where the 1000-word vocab is broadcast so the "
+    "corpus-volume side joins map-side with zero shuffle; final "
+    "aggregate is |langs| cells, exact integer ppm.",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    w = d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(1000)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 DIV n_tokens").cast("bigint").alias("oov_ppm"),
+        )
+    )

@@ -4830,3 +4830,127 @@ def layout_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").cast("bigint").alias("day_min"),
         F.max("day").cast("bigint").alias("day_max"),
     )
+
+
+@register(
+    "events_hll_sketch_rollup",
+    oracle=None,  # Apache DataSketches HLL binaries have no DuckDB mirror;
+    # estimate-vs-exact (<=5%) and merge associativity are pinned in
+    # tests/test_relational_queries.py.
+    doc="Mergeable HLL sketch store: build ONE DataSketches HLL per "
+    "(day) with hll_sketch_agg, then answer weekly distinct-user "
+    "questions by MERGING the stored daily sketches (hll_union_agg + "
+    "hll_sketch_estimate) — never rescanning raw events. This is the "
+    "pre-aggregation pattern that makes distinct counting feasible at "
+    "100 TB: the expensive pass over raw data happens once per day and "
+    "emits a few-KB sketch row; every later rollup (weekly, monthly, "
+    "arbitrary day sets) is algebra over sketches. dau_wau_approx "
+    "re-scans raw events per query; this key is the store-and-merge "
+    "form. Two tiny aggregates after the daily pass; output height = "
+    "number of weeks.",
+)
+def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    daily = (
+        e.select(F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    )
+    weekly = daily.groupBy(F.expr("day DIV 7").cast("bigint").alias("week")).agg(
+        F.count("*").cast("bigint").alias("n_days_merged"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("bigint").alias("est_users"),
+    )
+    return weekly.select("week", "n_days_merged", "est_users")
+
+
+@register(
+    "dq_psi_drift",
+    oracle="""
+WITH days AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+    FROM orders
+),
+b AS (
+    SELECT min(day) AS dmin, max(day) AS dmax,
+           min(cents) AS pmin, max(cents) AS pmax
+    FROM days
+),
+binned AS (
+    SELECT CASE WHEN day * 2 <= dmin + dmax THEN 'ref' ELSE 'cur' END AS half,
+           least(9, (cents - pmin) * 10 // (pmax - pmin)) AS bin
+    FROM days, b
+),
+counts AS (
+    SELECT bin,
+           sum(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+           sum(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT sum(n_ref) AS t_ref, sum(n_cur) AS t_cur FROM counts)
+SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       CAST(greatest(n_ref * 1000000 // t_ref, 1) AS BIGINT) AS ref_ppm,
+       CAST(greatest(n_cur * 1000000 // t_cur, 1) AS BIGINT) AS cur_ppm,
+       round((CAST(greatest(n_cur * 1000000 // t_cur, 1) AS DOUBLE) / 1000000
+              - CAST(greatest(n_ref * 1000000 // t_ref, 1) AS DOUBLE) / 1000000)
+             * ln(CAST(greatest(n_cur * 1000000 // t_cur, 1) AS DOUBLE)
+                  / CAST(greatest(n_ref * 1000000 // t_ref, 1) AS DOUBLE)), 6) AS psi_term
+FROM counts, tot
+""",
+    doc="Population Stability Index drift monitor: order-value "
+    "distribution of the chronological first half (reference) vs "
+    "second half (current), over 10 fixed equal-width bins. Emits "
+    "PER-BIN proportions in exact integer ppm (floored at 1 ppm — the "
+    "standard zero-bin smoothing) and the per-bin PSI contribution "
+    "(p_cur - p_ref) * ln(p_cur / p_ref); reporting terms per bin "
+    "rather than the summed scalar keeps every float a pure function "
+    "of two integers (cross-engine exact) AND gives the drill-down a "
+    "monitoring dashboard actually wants. Plan: one bounds aggregate "
+    "broadcast, one 10-cell hash aggregate, one 1-row totals "
+    "broadcast — three scans of nothing wider than the fact scan, "
+    "map-side combinable throughout.",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day"
+        ),
+    )
+    b = F.broadcast(
+        o.agg(
+            F.min("day").alias("dmin"),
+            F.max("day").alias("dmax"),
+            F.min("cents").alias("pmin"),
+            F.max("cents").alias("pmax"),
+        )
+    )
+    counts = (
+        o.crossJoin(b)
+        .select(
+            F.when(F.col("day") * 2 <= F.col("dmin") + F.col("dmax"), F.lit("ref"))
+            .otherwise(F.lit("cur"))
+            .alias("half"),
+            F.least(F.lit(9), F.expr("(cents - pmin) * 10 DIV (pmax - pmin)")).alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+            F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
+        )
+    )
+    tot = F.broadcast(counts.agg(F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")))
+    ref_ppm = F.greatest(F.expr("n_ref * 1000000 DIV t_ref"), F.lit(1))
+    cur_ppm = F.greatest(F.expr("n_cur * 1000000 DIV t_cur"), F.lit(1))
+    return counts.crossJoin(tot).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        ref_ppm.cast("bigint").alias("ref_ppm"),
+        cur_ppm.cast("bigint").alias("cur_ppm"),
+        F.round(
+            (cur_ppm.cast("double") / 1e6 - ref_ppm.cast("double") / 1e6)
+            * F.log(cur_ppm.cast("double") / ref_ppm.cast("double")),
+            6,
+        ).alias("psi_term"),
+    )

@@ -46,6 +46,7 @@ ORACLE_CHECKED = [
     "graph_triangle_count",
     "text_char_entropy",
     "graph_degree_distribution",
+    "text_oov_rate",
     "dedup_rate_by_source",
     "embedding_dim_stats",
     "pipeline_dataset_card",

@@ -122,6 +122,7 @@ RELATIONAL = [
     "win_cume_dist",
     "feature_minmax_scale",
     "layout_zorder_clustering",
+    "dq_psi_drift",
 ]
 
 
@@ -261,3 +262,38 @@ def test_zorder_buckets_are_local_in_both_dims(spark, sf_dir):
     for r in rows:
         assert (r.ck_max - r.ck_min) <= (ck_hi - ck_lo) / 8 + 1
         assert (r.day_max - r.day_min) <= (d_hi - d_lo) / 8 + 1
+
+
+def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
+    """The stored-sketch rollup must (a) track exact weekly distincts
+    within 5% and (b) be merge-consistent: unioning daily sketches must
+    estimate the same as one sketch built over the whole week's raw
+    events (the algebra that makes the store-and-merge pattern valid)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import events_ts_us, load_table
+
+    load_all()
+    got = {
+        r.week: r.est_users
+        for r in REGISTRY["events_hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    e = events_ts_us(load_table(spark, "events", sf_dir))
+    weekly = e.select(
+        F.expr("ts_us DIV 86400000000 DIV 7").cast("bigint").alias("week"), "user_id"
+    )
+    exact = {
+        r.week: r.n
+        for r in weekly.groupBy("week").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(got) == set(exact)
+    for wk, n in exact.items():
+        assert abs(got[wk] - n) / n <= 0.05, (wk, got[wk], n)
+    direct = {
+        r.week: r.est
+        for r in weekly.groupBy("week")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint").alias("est"))
+        .collect()
+    }
+    assert got == direct, "daily-sketch union diverged from whole-week sketch"
