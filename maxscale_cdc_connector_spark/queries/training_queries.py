@@ -774,3 +774,56 @@ def pipeline_assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFram
         ranked.select("doc_id", (F.col("rk") - 1).cast("bigint").alias("new_id"))
         .where((F.col("new_id") < 500) | (F.col("doc_id") % 37 == 0))
     )
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=None,  # codebooks are iteratively trained state — not
+    # SQL-expressible; invariants pinned in tests/test_training_queries.py
+    # (duplicate vectors share codes, error shrinks with k, determinism).
+    doc="Product-quantization encode of the embeddings table (m=8 "
+    "subspaces × 16-centroid codebooks, operators/pq.py): per vector "
+    "the 8 nibble codes (64 bytes of float32 → 4 bytes, a 64× "
+    "compression) and the exact L2 reconstruction error — the "
+    "accept/reject QA read before shipping a PQ index. Training is one "
+    "mapInPandas scan per Lloyd iteration emitting ≤ m·k model-state "
+    "rows per task (ALL codebooks train in the same pass); encoding is "
+    "one Arrow-batched scan with m small BLAS distance computations. "
+    "Codes emitted as a join-safe string so every output column stays "
+    "scalar.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.pq import pq_encode, pq_fit
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    codebooks, _ = pq_fit(emb, m=8, k=16, iters=4)
+    enc = pq_encode(emb, codebooks)
+    return enc.select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes")).alias("codes_str"),
+        F.round("recon_err", 6).alias("recon_err"),
+    )
+
+
+@register(
+    "simsearch_pq_adc_topk",
+    oracle=None,  # approximate by design (quantized distances); ADC
+    # ranking invariants pinned in tests/test_training_queries.py.
+    doc="Asymmetric-distance (ADC) top-10 under product quantization: "
+    "the per-query m×16 lookup table is computed once driver-side, the "
+    "scan gathers table[j, code_j] per row vectorized over Arrow "
+    "batches — the original float vectors are NEVER read at query "
+    "time, only the 4-byte codes — and the global top-10 goes through "
+    "TakeOrderedAndProject. This is the memory-resident search path at "
+    "100 TB: 64× less index to hold than raw floats, one code scan per "
+    "query batch, re-rank the short list against raw vectors only if "
+    "exact order matters.",
+)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.pq import adc_topk, pq_encode, pq_fit
+
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    codebooks, _ = pq_fit(emb, m=8, k=16, iters=4)
+    enc = pq_encode(emb, codebooks)
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return adc_topk(enc, codebooks, query, k=10)

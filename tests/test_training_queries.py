@@ -323,3 +323,56 @@ def test_token_budget_sample_is_partitioning_invariant(spark, sf_dir) -> None:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == skewed
+
+
+# -- product quantization ---------------------------------------------------
+
+
+def test_pq_duplicate_vectors_share_codes_and_adc_rank(spark, sf_dir) -> None:
+    """Identical vectors must encode to identical codes, and ADC search
+    with one of them as the query must rank the pair first (distance
+    tie broken by vec_id)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.pq import adc_topk, pq_encode, pq_fit
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    union = emb.unionByName(dup)
+    codebooks, mses = pq_fit(emb, m=8, k=16, iters=3)
+    assert mses == sorted(mses, reverse=True), "PQ objective must not increase"
+    enc = pq_encode(union, codebooks)
+    codes = {r.vec_id: tuple(r.codes) for r in enc.collect()}
+    n = emb.count()
+    for vid in range(0, n, max(1, n // 37)):
+        assert codes[vid] == codes[vid + 100000], vid
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    top = adc_topk(enc, codebooks, q, k=4).collect()
+    assert [top[0].vec_id, top[1].vec_id] == [7, 100007]
+    assert top[0].adc_dist2 == top[1].adc_dist2
+
+
+def test_pq_error_shrinks_with_codebook_size(spark, sf_dir) -> None:
+    """More centroids per subspace must not worsen mean reconstruction
+    error (k=16 seeds extend the k=4 seed set, so the coarser model's
+    optimum is reachable — strict improvement expected on real data)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.pq import pq_encode, pq_fit
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    err = {}
+    for k in (4, 16):
+        cbs, _ = pq_fit(emb, m=8, k=k, iters=3)
+        err[k] = pq_encode(emb, cbs).agg(F.avg("recon_err")).first()[0]
+    assert err[16] < err[4], err
+
+
+def test_pq_deterministic_across_runs(spark, sf_dir) -> None:
+    from maxscale_cdc_connector_spark.queries import REGISTRY
+
+    a = sorted(map(tuple, REGISTRY["embedding_pq_codes"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["embedding_pq_codes"].fn(spark, sf_dir).collect()))
+    assert a == b
