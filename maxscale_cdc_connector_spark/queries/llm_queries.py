@@ -2381,3 +2381,88 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_oov * 1000000 DIV n_tokens").cast("bigint").alias("oov_ppm"),
         )
     )
+
+
+@register(
+    "text_bm25_topk_terms",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             sum(CAST(dl AS DOUBLE)) / count(*) AS avgdl FROM dl),
+scored AS (
+    SELECT tf.doc_id, tf.word, tf.tf, df.df,
+           ln((CAST(n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1.0)
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS score
+    FROM tf JOIN dl ON dl.doc_id = tf.doc_id, df, n
+    WHERE df.word = tf.word AND tf.doc_id % 97 = 0
+)
+SELECT doc_id, word, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(score, 6) AS bm25
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) <= 3
+""",
+    doc="BM25 top-3 terms per document (Robertson-Sparck Jones / Lucene "
+    "formulation, k1=1.2, b=0.75): the keyword-extraction / retrieval-"
+    "scoring primitive one step past raw TF-IDF — saturating tf and "
+    "doc-length normalization. Corpus statistics (df, avgdl, N) are "
+    "computed over the FULL corpus, then the per-doc scoring leg is "
+    "pruned to the deterministic doc sample before the word-keyed "
+    "stats join, so the expensive side shrinks first. Both engines "
+    "evaluate the identical IEEE expression tree over exact integer "
+    "(tf, df, dl) inputs — bit-stable scores, word tie-break. Plan: "
+    "one explode feeding three map-side-combinable aggregates, one "
+    "word-keyed join (stats side, vocab-height), a per-doc top-3 "
+    "window over <= |sample docs| partitions.",
+)
+def text_bm25_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dl = w.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n = F.broadcast(
+        dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            (F.sum(F.col("dl").cast("double")) / F.count("*")).alias("avgdl"),
+        )
+    )
+    sampled = tf.where(F.col("doc_id") % 97 == 0)
+    score = (
+        F.log(
+            ((F.col("n_docs") - F.col("df")).cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        )
+        * (F.col("tf").cast("double") * 2.2)
+        / (
+            F.col("tf").cast("double")
+            + 1.2 * (0.25 + 0.75 * F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        sampled.join(dl, "doc_id")
+        .join(df, "word")
+        .crossJoin(n)
+        .select("doc_id", "word", "tf", "df", score.alias("score"))
+    )
+    win = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 6).alias("bm25"),
+        )
+    )

@@ -47,6 +47,7 @@ ORACLE_CHECKED = [
     "text_char_entropy",
     "graph_degree_distribution",
     "text_oov_rate",
+    "text_bm25_topk_terms",
     "dedup_rate_by_source",
     "embedding_dim_stats",
     "pipeline_dataset_card",
