@@ -667,3 +667,86 @@ def stream_snapshot_sink_replayed(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+replayed AS (
+    SELECT * FROM cdc_events UNION ALL
+    SELECT * FROM cdc_events WHERE sequence % 7 = 0
+)
+SELECT domain, server_id, sequence, event_number, event_type, c_custkey
+FROM replayed
+GROUP BY ALL
+""",
+    doc="State-BOUNDED streaming dedup under at-least-once redelivery: a "
+    "real Structured Streaming replay (3 micro-batches split by event "
+    "phase, duplicates injected for sequence % 7 = 0) through "
+    "dropDuplicatesWithinWatermark on the envelope identity (domain, "
+    "server_id, sequence, event_number). Unlike plain dropDuplicates — "
+    "whose state grows forever on an unbounded stream — the watermark "
+    "variant evicts identity state once event time passes the 30-day "
+    "horizon, which is the ONLY dedup that survives an unbounded 100 TB "
+    "CDC feed; redelivery in real systems happens within a bounded "
+    "window (a resumed GTID replays the tail, cdc_connector.h:62-69). "
+    "Files are replayed in event-time order so nothing is late; the "
+    "exact-hash oracle is the distinct event set — the streaming "
+    "execution must lose nothing and emit nothing twice.",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    replayed = ev.unionByName(ev.filter(F.col("sequence") % 7 == 0))
+    base = os.path.join(tempfile.gettempdir(), f"wmdedup-{uuid.uuid4().hex[:12]}")
+    log_dir = os.path.join(base, "log")
+    os.makedirs(log_dir)
+    # One file per event-time phase (insert / update / delete waves carry
+    # event_ts bases 1.5e9 / 1.6e9 / 1.7e9), so event time only moves
+    # forward across micro-batches and every duplicate lands inside the
+    # watermark window of its original.
+    bounds = [(0, 10_000_000), (10_000_000, 20_000_000), (20_000_000, 1 << 62)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = replayed.filter((F.col("sequence") >= lo) & (F.col("sequence") < hi))
+        tmp_dir = os.path.join(base, f"tmp-{i:03d}")
+        part.coalesce(1).write.mode("overwrite").json(tmp_dir)
+        (src_file,) = glob.glob(os.path.join(tmp_dir, "part-*.json"))
+        shutil.move(src_file, os.path.join(log_dir, f"part-{i:03d}.jsonl"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    stream = replay_stream(
+        spark, log_dir, CUSTOMER_SCHEMA_RECORD, max_files_per_trigger=1
+    )
+    deduped = (
+        stream.withColumn("ts", F.timestamp_seconds(F.col("event_ts")))
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["domain", "server_id", "sequence", "event_number"])
+    )
+    name = f"wm_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.select(
+            "domain", "server_id", "sequence", "event_number", "event_type", "c_custkey"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("watermarked dedup replay did not finish in 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

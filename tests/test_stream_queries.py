@@ -17,6 +17,7 @@ ORACLE_CHECKED = [
     "stream_stateful_ewma",
     "stream_enrich_static",
     "stream_snapshot_sink_replayed",
+    "stream_dedup_within_watermark",
 ]
 
 
