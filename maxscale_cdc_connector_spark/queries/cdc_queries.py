@@ -867,3 +867,41 @@ def cdc_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("revenue_cents"), F.lit(0)).cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "cdc_backfill_chunks",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+tiled AS (
+    SELECT sequence, ntile(8) OVER (ORDER BY sequence, event_number) AS chunk
+    FROM cdc_events
+)
+SELECT CAST(chunk AS BIGINT) AS chunk,
+       CAST(min(sequence) AS BIGINT) AS seq_lo,
+       CAST(max(sequence) AS BIGINT) AS seq_hi,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM tiled GROUP BY chunk
+""",
+    doc="Backfill chunk planning: split the change log into 8 equal-"
+    "FREQUENCY GTID-sequence ranges so parallel backfill workers get "
+    "balanced work even when sequences are bursty (equal-WIDTH ranges "
+    "would give one worker the bulk-insert wave and the rest air). "
+    "Chunking needs a global rank over (sequence, event_number) — "
+    "computed with the distributed exact ntile (range partition + "
+    "offset prefix sum, operators/ranking.py), so no single reducer "
+    "sees the log; the per-chunk (lo, hi, count) boundary table is "
+    "what the replay coordinator hands to workers as REQUEST-DATA "
+    "ranges (cdc_connector.cpp:199-206 consumes exactly such a "
+    "start position).",
+)
+def cdc_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_ntile
+
+    ev = synthetic_customer_events(spark, sf_dir).select("sequence", "event_number")
+    tiled = exact_ntile(ev, [F.asc("sequence"), F.asc("event_number")], 8, out="chunk")
+    return tiled.groupBy("chunk").agg(
+        F.min("sequence").cast("bigint").alias("seq_lo"),
+        F.max("sequence").cast("bigint").alias("seq_hi"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
