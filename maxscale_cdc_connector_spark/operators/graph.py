@@ -420,3 +420,65 @@ def pagerank(
         _release_local_checkpoint(ranks)
         ranks = new_ranks
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> tuple[DataFrame, DataFrame, int]:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k (Seidman 1983 — the standard "peel the
+    fringe" densification step before community/cohesion analysis; on a
+    dup-pair graph the 2-core separates genuine mirror cliques from
+    incidental single-edge matches).
+
+    Iterative peeling as pure DataFrame ops: per round one node-keyed
+    degree aggregate and two semi-joins pruning edges whose endpoint
+    fell under k. Rounds = peel depth (<= longest chain of cascading
+    removals); each round ``localCheckpoint``s the shrinking edge set so
+    plan size stays constant and every shuffle keys on the node id.
+    Returns (core_nodes, core_edges, rounds); raises after
+    ``max_rounds`` (a peel deeper than that signals a pathological
+    near-threshold graph — raise the cap explicitly if intended).
+    """
+    cur = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rounds = 0
+    n_edges = cur.count()
+    while True:
+        if n_edges == 0:
+            break
+        sym = cur.select("a", "b").unionAll(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        deg = sym.groupBy("a").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        pruned = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = pruned.count()
+        _release_local_checkpoint(cur)
+        cur = pruned
+        if n_pruned == n_edges:
+            break
+        n_edges = n_pruned
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(f"k-core peel exceeded {max_rounds} rounds")
+    nodes = (
+        cur.select(F.col("a").alias("node"))
+        .unionAll(cur.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes, cur.select(F.col("a").alias(src), F.col("b").alias(dst)), rounds

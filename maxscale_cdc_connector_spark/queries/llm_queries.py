@@ -2466,3 +2466,31 @@ def text_bm25_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("bm25"),
         )
     )
+
+
+@register(
+    "graph_kcore_stats",
+    oracle=None,  # the peel fixpoint is iterative (rounds depend on data);
+    # exact-graph invariants pinned in tests/test_llm_queries.py.
+    doc="k-core reduction of the near-dup pair graph for k in {2, 3}: "
+    "nodes/edges surviving the iterative strip-degree-<k peel, plus "
+    "rounds taken (the peel depth). On a dup graph the 2-core separates "
+    "genuine mirror cliques from incidental single-edge matches — the "
+    "densification gate run before trusting cluster-level drop "
+    "decisions. operators/graph.kcore: per round ONE node-keyed degree "
+    "aggregate + two semi-joins on the shrinking edge set, "
+    "localCheckpoint-bounded plans, O(peel depth) rounds.",
+)
+def graph_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.dedup import duplicated_corpus, jaccard_pairs_prefix
+    from maxscale_cdc_connector_spark.operators.graph import kcore
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).localCheckpoint(eager=True)
+    rows = []
+    for k in (2, 3):
+        nodes, core_edges, rounds = kcore(edges, k, src="doc_a", dst="doc_b")
+        rows.append((k, nodes.count(), core_edges.count(), rounds))
+    return spark.createDataFrame(
+        rows, "k int, n_nodes bigint, n_edges bigint, peel_rounds int"
+    )

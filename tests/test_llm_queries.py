@@ -510,3 +510,42 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_dir):
     assert set(got) == set(top)
     for p in top:
         assert abs(got[p] - want[p]) < 1e-6, (p, got[p], want[p])
+
+
+def test_kcore_known_graph_and_invariant(spark, sf_dir):
+    """k-core on a hand-built graph (4-clique + chain + pendant edge)
+    must strip exactly the fringe; on the real dup graph every surviving
+    node must keep >= k neighbors INSIDE the core (the defining
+    property), and the 3-core must be a subgraph of the 2-core."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.dedup import (
+        duplicated_corpus,
+        jaccard_pairs_prefix,
+    )
+    from maxscale_cdc_connector_spark.operators.graph import kcore
+    from maxscale_cdc_connector_spark.session import load_table
+
+    toy = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8)],
+        "src int, dst int",
+    )
+    for k, want in [(2, [0, 1, 2, 3]), (3, [0, 1, 2, 3]), (4, [])]:
+        nodes, _, _ = kcore(toy, k)
+        assert sorted(r.node for r in nodes.collect()) == want, k
+
+    corpus = duplicated_corpus(
+        load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    )
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).localCheckpoint(eager=True)
+    cores = {}
+    for k in (2, 3):
+        nodes, core_edges, _ = kcore(edges, k, src="doc_a", dst="doc_b")
+        cores[k] = {r.node for r in nodes.collect()}
+        sym = core_edges.select(F.col("doc_a").alias("n"), "doc_b").unionAll(
+            core_edges.select(F.col("doc_b").alias("n"), F.col("doc_a").alias("doc_b"))
+        )
+        mindeg = sym.groupBy("n").count().agg(F.min("count")).first()[0]
+        if mindeg is not None:
+            assert mindeg >= k, (k, mindeg)
+    assert cores[3] <= cores[2]
