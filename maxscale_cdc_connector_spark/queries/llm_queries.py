@@ -2494,3 +2494,106 @@ def graph_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "k int, n_nodes bigint, n_edges bigint, peel_rounds int"
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+WITH w AS (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+topw AS (
+    SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rnk
+    FROM counts ORDER BY n DESC, word LIMIT 1000
+),
+xy AS (
+    SELECT list(ln(CAST(rnk AS DOUBLE)) ORDER BY rnk) AS xs,
+           list(ln(CAST(n AS DOUBLE)) ORDER BY rnk) AS ys,
+           CAST(count(*) AS DOUBLE) AS cnt
+    FROM topw
+),
+sums AS (
+    SELECT cnt,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, x) -> a + x) AS sx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys), (a, x) -> a + x) AS sy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list_zip(xs, ys), p -> p[1] * p[2])), (a, x) -> a + x) AS sxy,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(xs, x -> x * x)), (a, x) -> a + x) AS sx2,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(ys, y -> y * y)), (a, x) -> a + x) AS sy2
+    FROM xy
+)
+SELECT CAST(cnt AS BIGINT) AS n_terms,
+       round((cnt * sxy - sx * sy) / (cnt * sx2 - sx * sx), 6) AS zipf_slope,
+       round((sy - (cnt * sxy - sx * sy) / (cnt * sx2 - sx * sx) * sx) / cnt, 6)
+           AS intercept,
+       round(((cnt * sxy - sx * sy) * (cnt * sxy - sx * sy))
+             / ((cnt * sx2 - sx * sx) * (cnt * sy2 - sy * sy)), 6) AS r2
+FROM sums
+""",
+    doc="Zipf-law fit over the top-1000 vocabulary: OLS slope / "
+    "intercept / R^2 of ln(frequency) on ln(rank). Natural-language "
+    "corpora fit slope ~ -1 with high R^2; templated or synthetic text "
+    "bends the curve — a one-row corpus-health gauge read next to "
+    "char-entropy and repetition stats. The heavy work is the same "
+    "map-side-combinable vocab aggregate + TakeOrderedAndProject as "
+    "text_vocab_topk; the regression then runs over EXACTLY 1000 "
+    "(integer rank, integer count) pairs folded in fixed rank order "
+    "inside a higher-order aggregate — bit-identical IEEE sums on "
+    "both engines, no shuffle-order float nondeterminism (the reason "
+    "this does not use regr_slope over a big frame).",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = t(spark, "documents", sf_dir)
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(1000)
+    )
+    # 1000 bounded rows: the unpartitioned rank window is model-state
+    # sized, not corpus-sized.
+    ranked = counts.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("n"), F.asc("word")))
+    )
+    g = ranked.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sort_array(
+            F.collect_list(F.struct("rnk", F.log(F.col("rnk").cast("double")).alias("x"),
+                                    F.log(F.col("n").cast("double")).alias("y")))
+        ).alias("seq"),
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(
+            f"aggregate(transform(seq, s -> {expr}), cast(0.0 as double), (a, x) -> a + x)"
+        )
+
+    sums = g.select(
+        "cnt",
+        fold("s.x").alias("sx"),
+        fold("s.y").alias("sy"),
+        fold("s.x * s.y").alias("sxy"),
+        fold("s.x * s.x").alias("sx2"),
+        fold("s.y * s.y").alias("sy2"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("cnt").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias("intercept"),
+        F.round(
+            ((F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             * (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")))
+            / ((F.col("cnt") * F.col("sx2") - F.col("sx") * F.col("sx"))
+               * (F.col("cnt") * F.col("sy2") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

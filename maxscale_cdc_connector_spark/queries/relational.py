@@ -4954,3 +4954,159 @@ def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+@register(
+    "events_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+    FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+    FROM days
+),
+streaks AS (
+    SELECT user_id, count(*) AS len
+    FROM grp GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""",
+    doc="Consecutive-day activity streaks per user (the classic "
+    "gaps-and-islands: day minus its per-user rank is constant within "
+    "a run of consecutive days): longest streak, streak count, total "
+    "active days — the engagement-loyalty features behind retention "
+    "scoring. All three exchanges key on user_id, so the window, both "
+    "aggregates, and the distinct collapse reuse ONE partitioning; "
+    "volume drops to distinct user-days at the first step. Epoch-day "
+    "arithmetic keeps both engines' bucketing identical.",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    days = e.select(
+        "user_id", F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
+
+
+@register(
+    "orders_ship_lag_stats",
+    oracle="""
+WITH lag AS (
+    SELECT o.o_orderpriority,
+           date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(min(lag_days) AS BIGINT) AS min_lag,
+       CAST(max(lag_days) AS BIGINT) AS max_lag,
+       CAST(sum(lag_days) // count(*) AS BIGINT) AS mean_lag_floor,
+       round(quantile_cont(CAST(lag_days AS DOUBLE), 0.5), 4) AS median_lag
+FROM lag GROUP BY o_orderpriority
+""",
+    doc="Order-to-ship fulfillment lag by priority class: the SLA "
+    "monitor (is URGENT actually shipping faster?). Day arithmetic on "
+    "both engines' DATE casts; exact interpolated median per class "
+    "(swap to approx_percentile at 100 TB, same shape). Plan: the "
+    "lineitem→orders join shuffles on orderkey once — or rides the "
+    "bucketed layout exchange-free (layout_bucketed_join_agg) — then "
+    "one |priorities|-cell hash aggregate.",
+)
+def orders_ship_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    o = t(spark, "orders", sf_dir).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "lag_days"
+        ),
+    )
+    return lag.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("lag_days").cast("bigint").alias("min_lag"),
+        F.max("lag_days").cast("bigint").alias("max_lag"),
+        F.expr("sum(lag_days) DIV count(*)").alias("mean_lag_floor"),
+        F.round(F.expr("percentile(cast(lag_days as double), 0.5)"), 4).alias("median_lag"),
+    )
+
+
+@register(
+    "events_regularity_bot_flags",
+    oracle="""
+WITH g AS (
+    SELECT user_id,
+           epoch_us(ts) // 1000000
+           - lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+    FROM events
+),
+per_user AS (
+    SELECT user_id,
+           count(*) AS n_gaps,
+           sum(gap) AS sg,
+           sum(gap * gap) AS sg2
+    FROM g WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_gaps AS BIGINT) AS n_gaps,
+       CAST(sg // n_gaps AS BIGINT) AS mean_gap_floor,
+       CAST(n_gaps * sg2 - sg * sg AS BIGINT) AS var_num,
+       round(CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (n_gaps * n_gaps), 4)
+           AS gap_variance,
+       (n_gaps >= 20 AND n_gaps * sg2 - sg * sg < n_gaps * n_gaps * 3600)
+           AS is_metronomic
+FROM per_user
+""",
+    doc="Bot / automation detector on inter-event regularity: per user, "
+    "the variance of second-granular gaps between consecutive events — "
+    "humans are bursty (high variance), schedulers fire on a metronome "
+    "(variance under a minute^2 across 20+ events). The variance "
+    "numerator n*sum(g^2) - sum(g)^2 stays EXACT 64-bit integer "
+    "arithmetic (order-independent — immune to shuffle-order float "
+    "drift; bounds: 99 gaps * (5e5 s)^2 << 2^63), with one float "
+    "division at the end. One user-keyed window exchange; the "
+    "aggregate reuses the same partitioning.",
+)
+def events_regularity_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = e.select(
+        "user_id",
+        (
+            F.expr("ts_us DIV 1000000")
+            - F.lag(F.expr("ts_us DIV 1000000")).over(w)
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    per_user = g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+    )
+    var_num = F.col("n_gaps") * F.col("sg2") - F.col("sg") * F.col("sg")
+    return per_user.select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("n_gaps"),
+        F.expr("sg DIV n_gaps").cast("bigint").alias("mean_gap_floor"),
+        var_num.cast("bigint").alias("var_num"),
+        F.round(var_num.cast("double") / (F.col("n_gaps") * F.col("n_gaps")), 4).alias(
+            "gap_variance"
+        ),
+        (
+            (F.col("n_gaps") >= 20)
+            & (var_num < F.col("n_gaps") * F.col("n_gaps") * 3600)
+        ).alias("is_metronomic"),
+    )

@@ -48,6 +48,7 @@ ORACLE_CHECKED = [
     "graph_degree_distribution",
     "text_oov_rate",
     "text_bm25_topk_terms",
+    "text_zipf_fit",
     "dedup_rate_by_source",
     "embedding_dim_stats",
     "pipeline_dataset_card",

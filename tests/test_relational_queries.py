@@ -123,6 +123,9 @@ RELATIONAL = [
     "feature_minmax_scale",
     "layout_zorder_clustering",
     "dq_psi_drift",
+    "events_activity_streaks",
+    "orders_ship_lag_stats",
+    "events_regularity_bot_flags",
 ]
 
 
