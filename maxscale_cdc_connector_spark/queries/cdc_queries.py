@@ -905,3 +905,77 @@ def cdc_backfill_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("sequence").cast("bigint").alias("seq_hi"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "cdc_scd2_temporal_join",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+vers0 AS (
+    SELECT c_custkey, c_mktsegment, event_type, event_ts,
+           lead(event_ts) OVER (
+               PARTITION BY c_custkey ORDER BY sequence, event_number
+           ) AS valid_to
+    FROM cdc_events
+    WHERE event_type IN ('insert', 'update_after', 'delete')
+),
+vers AS (
+    SELECT c_custkey, c_mktsegment, event_ts AS valid_from, valid_to
+    FROM vers0 WHERE event_type <> 'delete'
+),
+enriched AS (
+    SELECT e.event_id, e.value, v.c_mktsegment
+    FROM events e
+    LEFT JOIN vers v
+      ON v.c_custkey = e.user_id
+     AND epoch_us(e.ts) // 1000000 >= v.valid_from
+     AND (v.valid_to IS NULL OR epoch_us(e.ts) // 1000000 < v.valid_to)
+)
+SELECT coalesce(c_mktsegment, '<deleted>') AS segment_at_event_time,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM enriched GROUP BY segment_at_event_time
+""",
+    doc="Temporal dimension join (AS-OF enrichment against SCD2 "
+    "history): every event joins the customer VERSION whose validity "
+    "interval covers the event's timestamp — versions cut from the "
+    "change log with one lead() window (insert/update_after open a "
+    "version, delete closes without opening), the same derivation as "
+    "cdc_scd2_history. Deleted-at-event-time users surface as "
+    "'<deleted>' — time-correct attribution, where a naive join to the "
+    "CURRENT snapshot would backdate today's segment onto last year's "
+    "events. Join plan: equi key (user) + residual BETWEEN on the "
+    "interval — a keyed join with per-key version lists, never a "
+    "cartesian; value summed in exact integer cents.",
+)
+def cdc_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from maxscale_cdc_connector_spark.session import events_ts_us
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    w = W.partitionBy("c_custkey").orderBy("sequence", "event_number")
+    vers = (
+        ev.where(F.col("event_type").isin("insert", "update_after", "delete"))
+        .withColumn("valid_to", F.lead("event_ts").over(w))
+        .where(F.col("event_type") != "delete")
+        .select(
+            "c_custkey", "c_mktsegment", F.col("event_ts").alias("valid_from"), "valid_to"
+        )
+    )
+    e = events_ts_us(load_table(spark, "events", sf_dir)).select(
+        "event_id", "user_id", "value", F.expr("ts_us DIV 1000000").alias("ts_sec")
+    )
+    enriched = e.join(
+        vers,
+        (vers.c_custkey == e.user_id)
+        & (e.ts_sec >= vers.valid_from)
+        & (vers.valid_to.isNull() | (e.ts_sec < vers.valid_to)),
+        "left",
+    )
+    return enriched.groupBy(
+        F.coalesce("c_mktsegment", F.lit("<deleted>")).alias("segment_at_event_time")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("value_cents"),
+    )

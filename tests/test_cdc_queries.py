@@ -7,6 +7,7 @@ from tests.oracle import compare_query
 CDC_QUERIES = [
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
+    "cdc_scd2_temporal_join",
     "cdc_decode",
     "cdc_gtid",
     "cdc_latest_snapshot",
