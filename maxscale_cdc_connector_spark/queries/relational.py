@@ -5110,3 +5110,167 @@ def events_regularity_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (var_num < F.col("n_gaps") * F.col("n_gaps") * 3600)
         ).alias("is_metronomic"),
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH ps AS (
+    SELECT l_partkey, l_suppkey,
+           min(l_extendedprice / l_quantity) AS unit_cost
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+),
+offers AS (
+    SELECT p.p_partkey, p.p_type, p.p_size,
+           eu.s_name, eu.s_acctbal, eu.n_name, ps.unit_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    WHERE p.p_size BETWEEN 10 AND 30 AND p.p_type = 'STANDARD'
+)
+SELECT o.p_partkey, o.p_type, o.p_size, o.s_name, o.n_name,
+       o.s_acctbal,
+       CAST(floor(o.unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+FROM offers o
+JOIN (
+    SELECT p_partkey, min(unit_cost) AS best_cost
+    FROM offers GROUP BY p_partkey
+) b ON b.p_partkey = o.p_partkey AND o.unit_cost = b.best_cost
+""",
+    doc="TPC-H Q2 shape (min-cost supplier): the schema has no partsupp, "
+    "so the supply-cost relation is DERIVED — min unit price "
+    "(extendedprice/quantity, one exact IEEE division, no summation) per "
+    "(part, supplier) from lineitem. The correlated MIN subquery is "
+    "decorrelated into a per-part min + self-join on cost equality "
+    "(exact double equality: both branches carry the identical bits). "
+    "region->nation->supplier collapses to one broadcast dim; the only "
+    "big shuffles key on partkey. Ref cdc_connector.cpp has no query "
+    "engine; coverage target from SURVEY.md section 2.",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    eu = (
+        t(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(t(spark, "nation", sf_dir)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                t(spark, "region", sf_dir).filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = t(spark, "part", sf_dir).filter(
+        F.col("p_size").between(10, 30) & (F.col("p_type") == "STANDARD")
+    )
+    offers = (
+        p.join(ps, F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("p_partkey", "p_type", "p_size", "s_name", "n_name",
+                "s_acctbal", "unit_cost")
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("b_partkey") == F.col("p_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .select(
+            "p_partkey", "p_type", "p_size", "s_name", "n_name",
+            "s_acctbal",
+            # floor on the shared IEEE bits is engine-agnostic; round-to-4dp
+            # is not (HALF_UP vs half-even diverge on the .00005 lattice).
+            F.floor(F.col("unit_cost") * 10000).cast("bigint").alias("unit_cost_e4"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle="""
+WITH scoped AS (
+    SELECT l.l_partkey,
+           CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+),
+per_part AS (
+    SELECT l_partkey, sum(cents) AS value_cents
+    FROM scoped GROUP BY l_partkey
+),
+total AS (SELECT sum(value_cents) AS total_cents FROM per_part)
+SELECT p.l_partkey AS p_partkey,
+       CAST(p.value_cents AS BIGINT) AS value_cents,
+       round(CAST(p.value_cents AS DOUBLE) / 100.0, 2) AS part_value,
+       CAST(p.value_cents * 1000000 // t.total_cents AS BIGINT) AS share_ppm
+FROM per_part p, total t
+WHERE p.value_cents * 200 > t.total_cents
+""",
+    doc="TPC-H Q11 shape (important stock): per-part inventory value for "
+    "suppliers of one region, kept only when the part exceeds 0.5% of "
+    "the region's total -- the HAVING-against-global-scalar pattern. "
+    "Value sums are exact integer cents (order-independent; immune to "
+    "shuffle-order float drift), and the threshold is the integer cross "
+    "multiplication value*200 > total, so the filter is exact at any "
+    "partitioning. The global total is one scalar broadcast-crossjoined "
+    "onto the per-part aggregate; dims broadcast; the one real shuffle "
+    "keys on partkey. Ref cdc_connector.cpp has no query engine; "
+    "coverage target from SURVEY.md section 2.",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eu_supp = (
+        t(spark, "supplier", sf_dir)
+        .join(
+            F.broadcast(t(spark, "nation", sf_dir)),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .join(
+            F.broadcast(t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = t(spark, "lineitem", sf_dir).select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_part = (
+        li.join(F.broadcast(eu_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 200 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+            F.round(F.col("value_cents").cast("double") / 100.0, 2).alias("part_value"),
+            F.expr("value_cents * 1000000 DIV total_cents")
+            .cast("bigint")
+            .alias("share_ppm"),
+        )
+    )

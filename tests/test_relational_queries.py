@@ -126,6 +126,8 @@ RELATIONAL = [
     "events_activity_streaks",
     "orders_ship_lag_stats",
     "events_regularity_bot_flags",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q11_important_stock",
 ]
 
 
