@@ -641,6 +641,12 @@ def test_stateful_ewma_carries_state_across_micro_batches(spark, tmp_path):
     with open(log / "part-001.jsonl", "w") as fh:
         for r in rows[20:]:
             fh.write(json.dumps(r) + "\n")
+    # FileStreamSource orders files by modification time; back-to-back
+    # writes can land in the same mtime tick, making batch order (and
+    # therefore the fold order) nondeterministic. Pin strictly
+    # increasing mtimes so part-000 is always micro-batch 1.
+    os.utime(log / "part-000.jsonl", (1_700_000_000, 1_700_000_000))
+    os.utime(log / "part-001.jsonl", (1_700_000_100, 1_700_000_100))
 
     stream = (
         spark.readStream.option("maxFilesPerTrigger", 1)
