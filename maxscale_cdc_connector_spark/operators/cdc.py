@@ -243,3 +243,54 @@ cdc_events AS (
     FROM customer WHERE c_custkey % 20 = 0
 )
 """
+
+
+def merge_upsert(
+    base: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """MERGE INTO semantics: apply a CDC delta log onto a base snapshot.
+
+    The lakehouse upsert pattern (Delta/Iceberg ``MERGE``): collapse the
+    delta log to ONE net action per key (the event with the greatest
+    ``(sequence, event_number)`` wins — GTID order is the stream's total
+    order, cdc_connector.h:65), then resolve against the base in a
+    single full-outer join:
+
+    * key only in base          → ``kept`` (row unchanged)
+    * net action ``delete``     → row dropped
+    * key in both, non-delete   → ``updated`` (delta payload wins)
+    * key only in delta         → ``inserted``
+
+    Scale: the collapse is a hash aggregate with map-side partials
+    (shuffle ≈ |delta keys|, not |delta events|), and the join keys both
+    sides on the primary key — the exact shuffle MERGE INTO performs on
+    a cluster. No windows, no driver state.
+    """
+    val_cols = [c for c in payload_cols if c not in key_cols]
+    ord_key = F.struct(F.col("sequence"), F.col("event_number"))
+    net = delta.groupBy(*key_cols).agg(
+        *[F.max_by(F.col(c), ord_key).alias(f"d_{c}") for c in val_cols],
+        F.max_by(F.col("event_type"), ord_key).alias("d_event_type"),
+    )
+    b = base.withColumn("_in_base", F.lit(1))
+    joined = b.join(net, on=list(key_cols), how="full_outer")
+    action = (
+        F.when(F.col("d_event_type").isNull(), F.lit("kept"))
+        .when(F.col("_in_base").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+    )
+    merged = joined.filter(
+        F.col("d_event_type").isNull() | (F.col("d_event_type") != "delete")
+    )
+    out = [F.col(c) for c in key_cols]
+    out += [
+        F.when(F.col("d_event_type").isNull(), F.col(c))
+        .otherwise(F.col(f"d_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    out.append(action.alias("merge_action"))
+    return merged.select(*out)

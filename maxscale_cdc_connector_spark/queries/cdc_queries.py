@@ -979,3 +979,59 @@ def cdc_scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("value_cents"),
     )
+
+
+@register(
+    "cdc_merge_into_upsert",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+base AS (
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey ORDER BY sequence DESC, event_number DESC
+    ) AS rn
+    FROM cdc_events WHERE sequence >= 10000000
+),
+net AS (
+    SELECT c_custkey, event_type, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM ranked WHERE rn = 1
+)
+SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN n.event_type IS NULL THEN b.c_name ELSE n.c_name END AS c_name,
+       CASE WHEN n.event_type IS NULL THEN b.c_nationkey ELSE n.c_nationkey END
+           AS c_nationkey,
+       CASE WHEN n.event_type IS NULL THEN b.c_acctbal ELSE n.c_acctbal END
+           AS c_acctbal,
+       CASE WHEN n.event_type IS NULL THEN b.c_mktsegment ELSE n.c_mktsegment END
+           AS c_mktsegment,
+       CASE WHEN n.event_type IS NULL THEN 'kept'
+            WHEN b.c_custkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS merge_action
+FROM base b FULL OUTER JOIN net n ON n.c_custkey = b.c_custkey
+WHERE n.event_type IS NULL OR n.event_type <> 'delete'
+""",
+    doc="MERGE INTO (lakehouse upsert): the update/delete tranche of the "
+    "change log applied onto the base snapshot in one pass — delta "
+    "collapsed to one net action per key by GTID order (hash aggregate, "
+    "map-side partials: shuffle ~ |keys| not |events|), then a single "
+    "key-partitioned full-outer join resolves kept/updated/inserted and "
+    "drops deletes. Provenance rides along as merge_action. The result "
+    "must equal cdc_latest_snapshot over the full log (pytest pins the "
+    "equivalence) — same answer, O(|base|+|delta|) instead of replaying "
+    "history.",
+)
+def cdc_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.cdc import merge_upsert
+
+    events = synthetic_customer_events(spark, sf_dir)
+    base = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    delta = events.filter(F.col("sequence") >= 10_000_000)
+    return merge_upsert(
+        base, delta, ["c_custkey"],
+        ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )

@@ -5,6 +5,7 @@ import pytest
 from tests.oracle import compare_query
 
 CDC_QUERIES = [
+    "cdc_merge_into_upsert",
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
     "cdc_scd2_temporal_join",
@@ -213,3 +214,37 @@ def test_dead_letter_routes_exactly_the_malformed_lines(spark, sf_dir) -> None:
     assert good.select(F.sum("sequence")).collect()[0][0] == events.select(
         F.sum("sequence")
     ).collect()[0][0]
+
+
+def test_merge_upsert_equals_latest_snapshot(spark, sf_dir) -> None:
+    """MERGE INTO over (base snapshot + delta tranche) must equal the
+    latest_snapshot fold over the FULL log — the incremental and the
+    replay paths agree row-for-row (the Lambda/Kappa equivalence)."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    merged = REGISTRY["cdc_merge_into_upsert"].fn(spark, sf_dir).drop("merge_action")
+    replay = REGISTRY["cdc_latest_snapshot"].fn(spark, sf_dir)
+    assert merged.exceptAll(replay).count() == 0
+    assert replay.exceptAll(merged).count() == 0
+
+
+def test_merge_upsert_action_provenance(spark, sf_dir) -> None:
+    """Synthetic log shape: keys %20==0 end in delete (absent), keys
+    %10==0 but not %20 are updated, the rest kept; no inserts in this
+    window."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["cdc_merge_into_upsert"].fn(spark, sf_dir)
+    bad = df.filter(
+        (
+            (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") % 20 != 0)
+        ).cast("int")
+        != (F.col("merge_action") == "updated").cast("int")
+    )
+    assert bad.count() == 0
+    assert df.filter(F.col("c_custkey") % 20 == 0).count() == 0
+    assert df.filter(F.col("merge_action") == "inserted").count() == 0
