@@ -5274,3 +5274,54 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_ppm"),
         )
     )
+
+
+@register(
+    "layout_compaction_bins",
+    oracle="""
+WITH f AS (
+    SELECT doc_id, n_chars,
+           sum(n_chars) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev
+    FROM documents
+),
+b AS (
+    SELECT doc_id, n_chars,
+           CAST(coalesce(prev, 0) // 32768 AS BIGINT) AS bin_id
+    FROM f
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM b GROUP BY bin_id
+""",
+    doc="Small-file compaction planning (the OPTIMIZE/rewrite step every "
+    "lakehouse table needs): order files by key, assign each to the bin "
+    "its starting byte-offset falls in (floor(exclusive_prefix/target)) "
+    "— contiguous ranges of ~target bytes, each an independent rewrite "
+    "task. The exclusive prefix sum runs through the distributed "
+    "range-partition + per-partition-offset machinery "
+    "(operators/ranking.exact_running_sum) — no single-reducer window, "
+    "so planning 10M files is one extra #partitions-row aggregate, not "
+    "a sort on one executor. Exact integer arithmetic end-to-end.",
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_running_sum
+
+    files = t(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    run = exact_running_sum(files, [F.asc("doc_id")], "n_chars", out="run")
+    binned = run.select(
+        "doc_id",
+        "n_chars",
+        F.expr("(run - n_chars) DIV 32768").cast("bigint").alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

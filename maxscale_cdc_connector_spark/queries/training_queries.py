@@ -827,3 +827,69 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(emb, codebooks)
     query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return adc_topk(enc, codebooks, query, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: BPE pair statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+    SELECT w, count(*) AS f
+    FROM documents,
+         LATERAL (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w)
+    GROUP BY w
+),
+pairs AS (
+    SELECT substr(w, g.i, 2) AS pair, sum(f) AS cnt
+    FROM words,
+         LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i) g
+    GROUP BY substr(w, g.i, 2)
+)
+SELECT pair, CAST(cnt AS BIGINT) AS pair_count
+FROM pairs WHERE cnt >= 50
+""",
+    doc="BPE tokenizer training, inner-loop statistics (Sennrich et al. "
+    "ACL'16): adjacent-symbol pair frequencies weighted by word "
+    "frequency — the argmax of this table IS the next merge rule. Two "
+    "hash aggregates: corpus -> distinct-word frequencies (shuffle ~ "
+    "|vocab|, not |tokens|, thanks to map-side partials), then word -> "
+    "char-pair explode over the VOCAB (bounded by |vocab|*avg_len, "
+    "independent of corpus size — the reason real BPE trainers count "
+    "words first). Exact integer counts; the >=50 floor bounds output "
+    "to the head of the pair distribution.",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir).select("text")
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+    pairs = (
+        # length >= 2: Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of
+        # being empty like generate_series, which would fabricate a
+        # single-char "pair" from every 1-letter word.
+        words.filter(F.length("w") >= 2)
+        .select(
+            "f",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.col("w").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("f").alias("pair_count"))
+        .filter(F.col("pair_count") >= 50)
+        .select("pair", F.col("pair_count").cast("bigint").alias("pair_count"))
+    )
+    return pairs

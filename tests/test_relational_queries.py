@@ -128,6 +128,7 @@ RELATIONAL = [
     "events_regularity_bot_flags",
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
+    "layout_compaction_bins",
 ]
 
 

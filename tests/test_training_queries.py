@@ -28,6 +28,7 @@ ORACLE_CHECKED = [
     "pipeline_curation_funnel",
     "pipeline_weighted_sample",
     "pipeline_assign_contiguous_ids",
+    "text_bpe_pair_counts",
 ]
 
 
