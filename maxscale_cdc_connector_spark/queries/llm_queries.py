@@ -2597,3 +2597,174 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, root) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+qual AS (
+    SELECT c.cluster_id, c.doc_id, length(d.text) AS len
+    FROM comp c JOIN dup_docs d ON d.doc_id = c.doc_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY cluster_id ORDER BY len DESC, doc_id ASC
+    ) AS rn
+    FROM qual
+)
+SELECT cluster_id,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc,
+       CAST(max(len) AS BIGINT) AS keep_len,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM ranked GROUP BY cluster_id
+""",
+    doc="Keep-BEST dedup representative selection: per near-dup cluster "
+    "(same Jaccard >= 0.8 components as dedup_cluster_cc), keep the "
+    "longest document (tie -> lowest id) instead of the arbitrary "
+    "min-id canonical — the curation-quality choice real pipelines "
+    "make (the longest copy is usually the least-truncated crawl). "
+    "One hash aggregate with a struct-ordered max_by over the "
+    "component key — no window over the corpus, shuffle ~ |clustered "
+    "docs| which is tiny relative to the corpus.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    qual = cc.join(
+        corpus.select(F.col("doc_id"), F.length("text").alias("len")),
+        cc["node"] == F.col("doc_id"),
+    )
+    return qual.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.max_by(
+            "node", F.struct(F.col("len"), (-F.col("node")).alias("neg"))
+        ).alias("keep_doc"),
+        F.max("len").cast("bigint").alias("keep_len"),
+        F.count("*").cast("bigint").alias("n_members"),
+        (F.count("*") - 1).cast("bigint").alias("n_dropped"),
+    )
+
+
+@register(
+    "pipeline_temperature_resample",
+    oracle="""
+WITH counts AS (
+    SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(list(CAST(n_docs AS DOUBLE) ORDER BY source),
+                              x -> sqrt(x))),
+               (a, x) -> a + x) AS wsum
+    FROM counts
+),
+rates AS (
+    SELECT c.source, c.n_docs,
+           CAST(floor(least(1.0,
+               (0.5 * t.total_docs) * sqrt(CAST(c.n_docs AS DOUBLE))
+                   / t.wsum / c.n_docs) * 1000000) AS BIGINT) AS p_ppm
+    FROM counts c, tot t
+),
+kept AS (
+    SELECT d.source, d.n_chars
+    FROM documents d JOIN rates r ON r.source = d.source
+    WHERE CAST(('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000 < r.p_ppm
+),
+kagg AS (
+    SELECT source, count(*) AS n_kept, sum(n_chars) AS kept_chars
+    FROM kept GROUP BY source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       r.p_ppm,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(k.kept_chars, 0) AS BIGINT) AS kept_chars
+FROM rates r LEFT JOIN kagg k ON k.source = r.source
+""",
+    doc="Temperature-based source re-balancing (tau=2, i.e. sqrt "
+    "scaling — the multilingual mixing rule of mT5/XLM-R): target "
+    "share per source proportional to sqrt(count), total budget half "
+    "the corpus, realized as a deterministic per-source keep rate in "
+    "exact ppm applied via a salted md5 bucket — reproducible on any "
+    "engine or cluster size, no RNG state. sqrt is IEEE "
+    "correctly-rounded (unlike pow, which differs across libm "
+    "implementations — the reason tau=2 and not 1/0.7), and the "
+    "20-source weight sum folds in fixed source order inside a "
+    "higher-order aggregate, so the rates are bit-identical on both "
+    "engines. The corpus-sized work is one broadcast-join + filter; "
+    "everything global is model-state sized.",
+)
+def pipeline_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("wsum"),
+    )
+    p = F.least(
+        F.lit(1.0),
+        (0.5 * F.col("total_docs"))
+        * F.sqrt(F.col("n_docs").cast("double"))
+        / F.col("wsum")
+        / F.col("n_docs"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.floor(p * 1_000_000).cast("bigint").alias("p_ppm"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    )
+    kept = docs.join(F.broadcast(rates.select("source", "p_ppm")), "source").filter(
+        bucket < F.col("p_ppm")
+    )
+    kagg = kept.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return (
+        rates.join(kagg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
+        )
+    )

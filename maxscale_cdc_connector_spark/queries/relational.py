@@ -5325,3 +5325,68 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+@register(
+    "events_daily_locf_fill",
+    oracle="""
+WITH daily AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           count(*) AS n_events,
+           max(value) AS day_max
+    FROM events GROUP BY user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+),
+span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+cal AS (
+    SELECT s.user_id, g.day
+    FROM span s, LATERAL (SELECT unnest(generate_series(s.d0, s.d1)) AS day) g
+),
+joined AS (
+    SELECT c.user_id, c.day, d.n_events, d.day_max
+    FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+)
+SELECT user_id, day,
+       CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+       (n_events IS NULL) AS was_gap,
+       last_value(day_max IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_value
+FROM joined
+""",
+    doc="Gap-filled daily series with last-observation-carried-forward: "
+    "per user, densify the day axis over the user's own [first, last] "
+    "span (integer epoch-day sequence — identical bucketing on both "
+    "engines), then forward-fill the daily max through gap days with "
+    "an ignore-nulls running last — the standard feature-store "
+    "densification before any rolling-window model input. The daily "
+    "collapse, the span aggregate, the fill window, and the calendar "
+    "join all key on user_id, so the whole plan reuses ONE exchange; "
+    "no global window, no driver calendar. day_max (an order-"
+    "independent max, not a float sum) keeps the fill value exact.",
+)
+def events_daily_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    daily = e.groupBy(
+        "user_id", F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    ).agg(F.count("*").alias("n_events"), F.max("value").alias("day_max"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    cal = span.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_events").isNull().alias("was_gap"),
+        F.last("day_max", ignorenulls=True).over(w).alias("locf_value"),
+    )

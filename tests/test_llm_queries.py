@@ -28,6 +28,8 @@ ORACLE_CHECKED = [
     "pipeline_decontaminate",
     "simsearch_cosine_full",
     "dedup_cluster_cc",
+    "dedup_keep_best",
+    "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
     "dedup_incremental_new_docs",
