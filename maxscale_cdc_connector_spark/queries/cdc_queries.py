@@ -1035,3 +1035,70 @@ def cdc_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, delta, ["c_custkey"],
         ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
     )
+
+
+@register(
+    "cdc_incremental_var",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+signed AS (
+    SELECT c_nationkey,
+           CASE event_type WHEN 'delete' THEN -1
+                           WHEN 'update_before' THEN -1 ELSE 1 END AS sgn,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM cdc_events
+),
+moments AS (
+    SELECT c_nationkey,
+           sum(sgn) AS n,
+           sum(sgn * cents) AS s1,
+           sum(sgn * cents * cents) AS s2
+    FROM signed GROUP BY c_nationkey
+)
+SELECT c_nationkey,
+       CAST(n AS BIGINT) AS n,
+       CAST(s1 AS BIGINT) AS s1_cents,
+       CAST(s2 AS BIGINT) AS s2_cents2,
+       round((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n AS DOUBLE) * n) / 10000.0, 4) AS variance
+FROM moments WHERE n > 0
+""",
+    doc="Self-maintainable VARIANCE view from signed CDC deltas: beyond "
+    "SUM/COUNT (cdc_incremental_agg), the second moment is also "
+    "incrementally maintainable — insert/update_after contribute "
+    "(+1, +x, +x^2), delete/update_before (-1, -x, -x^2), so the view "
+    "updates from the delta stream alone, never rescanning history. "
+    "Moments accumulate as EXACT 64-bit integer cents (order-"
+    "independent, immune to shuffle-order float drift; bounds: 1e12 "
+    "per cents^2 row, ~1e16 summed, << 2^63), with one deterministic "
+    "double expression at the output boundary. A pytest pins the "
+    "Lambda-architecture equivalence: these moments equal a full "
+    "recompute over the latest snapshot.",
+)
+def cdc_incremental_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    sgn = F.when(
+        F.col("event_type").isin("delete", "update_before"), F.lit(-1)
+    ).otherwise(F.lit(1))
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    signed = events.select(
+        "c_nationkey", sgn.alias("sgn"), cents.alias("cents")
+    )
+    moments = signed.groupBy("c_nationkey").agg(
+        F.sum("sgn").alias("n"),
+        F.sum(F.col("sgn") * F.col("cents")).alias("s1"),
+        F.sum(F.col("sgn") * F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    var = (
+        (F.col("n").cast("double") * F.col("s2")
+         - F.col("s1").cast("double") * F.col("s1"))
+        / (F.col("n").cast("double") * F.col("n"))
+        / 10000.0
+    )
+    return moments.filter(F.col("n") > 0).select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s1").cast("bigint").alias("s1_cents"),
+        F.col("s2").cast("bigint").alias("s2_cents2"),
+        F.round(var, 4).alias("variance"),
+    )

@@ -2768,3 +2768,80 @@ def pipeline_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("kept_chars", F.lit(0)).cast("bigint").alias("kept_chars"),
         )
     )
+
+
+@register(
+    "graph_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE nodes AS (
+    SELECT doc_id AS id, n_chars AS val FROM documents
+),
+up(descendant, anc) AS (
+    SELECT id, id // 2 FROM nodes WHERE id > 0
+    UNION ALL
+    SELECT u.descendant, u.anc // 2 FROM up u WHERE u.anc > 0
+),
+depths AS (
+    SELECT id, count(u.anc) AS depth
+    FROM nodes LEFT JOIN up u ON u.descendant = nodes.id
+    GROUP BY id
+),
+subtree AS (
+    SELECT a.anc AS id,
+           count(*) AS n_desc,
+           sum(n.val) AS desc_val
+    FROM up a JOIN nodes n ON n.id = a.descendant
+    GROUP BY a.anc
+)
+SELECT d.id AS node,
+       CAST(d.depth AS BIGINT) AS depth,
+       CAST(1 + coalesce(s.n_desc, 0) AS BIGINT) AS subtree_n,
+       CAST(n.val + coalesce(s.desc_val, 0) AS BIGINT) AS subtree_chars
+FROM depths d
+JOIN nodes n ON n.id = d.id
+LEFT JOIN subtree s ON s.id = d.id
+""",
+    doc="Hierarchy rollup — the WITH RECURSIVE workload Spark has no "
+    "native form for, solved in O(log depth) rounds: ancestor closure "
+    "of the synthetic forest parent(i) = i DIV 2 over documents via "
+    "pointer doubling (operators/graph.ancestor_closure — each round "
+    "one equi-join + one min-dist collapse, NOT one shuffle per "
+    "level), then node depth = |proper ancestors| and the bottom-up "
+    "subtree rollup (count, total chars) as ONE hash aggregate over "
+    "the closure — the org-chart/BOM/category-tree query pattern. "
+    "All-integer outputs; oracle is DuckDB's recursive CTE walking "
+    "the same tree one level at a time.",
+)
+def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.graph import ancestor_closure
+
+    nodes = t(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("id"), F.col("n_chars").alias("val")
+    )
+    edges = nodes.filter(F.col("id") > 0).select(
+        F.col("id").alias("child"), F.expr("id DIV 2").alias("parent")
+    )
+    closure = ancestor_closure(edges)
+    depths = (
+        nodes.join(closure, nodes["id"] == closure["desc"], "left")
+        .groupBy("id")
+        .agg(F.count("anc").alias("depth"))
+    )
+    subtree = (
+        closure.join(nodes.select(F.col("id").alias("d_id"), "val"),
+                     F.col("desc") == F.col("d_id"))
+        .groupBy("anc")
+        .agg(F.count("*").alias("n_desc"), F.sum("val").alias("desc_val"))
+    )
+    return (
+        depths.join(nodes, "id")
+        .join(subtree, depths["id"] == subtree["anc"], "left")
+        .select(
+            F.col("id").alias("node"),
+            F.col("depth").cast("bigint").alias("depth"),
+            (1 + F.coalesce("n_desc", F.lit(0))).cast("bigint").alias("subtree_n"),
+            (F.col("val") + F.coalesce("desc_val", F.lit(0)))
+            .cast("bigint")
+            .alias("subtree_chars"),
+        )
+    )

@@ -6,6 +6,7 @@ from tests.oracle import compare_query
 
 CDC_QUERIES = [
     "cdc_merge_into_upsert",
+    "cdc_incremental_var",
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
     "cdc_scd2_temporal_join",
@@ -248,3 +249,35 @@ def test_merge_upsert_action_provenance(spark, sf_dir) -> None:
     assert bad.count() == 0
     assert df.filter(F.col("c_custkey") % 20 == 0).count() == 0
     assert df.filter(F.col("merge_action") == "inserted").count() == 0
+
+
+def test_incremental_var_equals_snapshot_recompute(spark, sf_dir) -> None:
+    """The delta-maintained moments must equal a full recompute over the
+    latest snapshot — the self-maintainable-view guarantee for VAR."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.cdc import (
+        latest_snapshot,
+        synthetic_customer_events,
+    )
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    inc = {
+        r["c_nationkey"]: (r["n"], r["s1_cents"], r["s2_cents2"])
+        for r in REGISTRY["cdc_incremental_var"].fn(spark, sf_dir).collect()
+    }
+    snap = latest_snapshot(synthetic_customer_events(spark, sf_dir), ["c_custkey"])
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    full = {
+        r["c_nationkey"]: (r["n"], r["s1"], r["s2"])
+        for r in snap.select("c_nationkey", cents.alias("cents"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        )
+        .collect()
+    }
+    assert inc == full

@@ -29,6 +29,7 @@ ORACLE_CHECKED = [
     "simsearch_cosine_full",
     "dedup_cluster_cc",
     "dedup_keep_best",
+    "graph_hierarchy_rollup",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
@@ -552,3 +553,32 @@ def test_kcore_known_graph_and_invariant(spark, sf_dir):
         if mindeg is not None:
             assert mindeg >= k, (k, mindeg)
     assert cores[3] <= cores[2]
+
+
+def test_ancestor_closure_matches_known_tree(spark) -> None:
+    """Pointer doubling over a hand-built 3-level tree yields exactly the
+    transitive ancestor set with correct distances, in log rounds."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.graph import ancestor_closure
+
+    #        0
+    #      /   \
+    #     1     2
+    #    / \     \
+    #   3   4     5
+    #  /
+    # 6
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1), (4, 1), (5, 2), (6, 3)], "child long, parent long"
+    )
+    got = {
+        (r.desc, r.anc): r.dist for r in ancestor_closure(edges).collect()
+    }
+    want = {
+        (1, 0): 1, (2, 0): 1,
+        (3, 1): 1, (3, 0): 2, (4, 1): 1, (4, 0): 2,
+        (5, 2): 1, (5, 0): 2,
+        (6, 3): 1, (6, 1): 2, (6, 0): 3,
+    }
+    assert got == want
