@@ -2845,3 +2845,39 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("subtree_chars"),
         )
     )
+
+
+@register(
+    "multimodal_dedup_exact_bytes",
+    oracle="""
+WITH pay AS (
+    SELECT doc_id, sha256(text) AS payload_sha256,
+           octet_length(encode(text)) AS nb
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, sha256(text), octet_length(encode(text))
+    FROM documents
+)
+SELECT payload_sha256,
+       min(doc_id) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(nb) AS BIGINT) AS n_bytes
+FROM pay GROUP BY payload_sha256
+""",
+    doc="Content-addressed dedup over BINARY payloads (the multimodal "
+    "form of exact text dedup): group by the sha256 content address "
+    "from the manifest — the digest is computed once per payload at "
+    "manifest-build time, so the dedup itself never moves the bytes, "
+    "only (digest, id, size) triples through the shuffle. This is how "
+    "a 100 TB image/audio lake dedups: hash at ingest, group on the "
+    "32-byte address, keep min id. Runs over the id-shifted duplicated "
+    "corpus so every payload has exactly one known copy.",
+)
+def multimodal_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
+    man = build_manifest(d).select("doc_id", "payload_sha256", "n_bytes")
+    return man.groupBy("payload_sha256").agg(
+        F.min("doc_id").alias("keep_doc"),
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("n_bytes").cast("bigint").alias("n_bytes"),
+    )

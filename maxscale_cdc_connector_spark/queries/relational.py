@@ -5390,3 +5390,80 @@ def events_daily_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNull().alias("was_gap"),
         F.last("day_max", ignorenulls=True).over(w).alias("locf_value"),
     )
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
+           count(*) FILTER (WHERE event_type = 'click') OVER w AS c_click,
+           count(*) FILTER (WHERE event_type = 'view') OVER w AS c_view,
+           count(*) FILTER (WHERE event_type = 'signup') OVER w AS c_signup,
+           count(*) FILTER (WHERE event_type = 'error') OVER w AS c_error
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+    SELECT c_click, c_view, c_signup, c_error,
+           c_click + c_view + c_signup + c_error AS n_touch
+    FROM seq WHERE event_type = 'purchase'
+),
+credits AS (
+    SELECT 'click' AS channel, c_click * 1000000 // n_touch AS mc FROM conv WHERE n_touch > 0
+    UNION ALL
+    SELECT 'view', c_view * 1000000 // n_touch FROM conv WHERE n_touch > 0
+    UNION ALL
+    SELECT 'signup', c_signup * 1000000 // n_touch FROM conv WHERE n_touch > 0
+    UNION ALL
+    SELECT 'error', c_error * 1000000 // n_touch FROM conv WHERE n_touch > 0
+)
+SELECT channel,
+       CAST(count(*) FILTER (WHERE mc > 0) AS BIGINT) AS n_conversions_touched,
+       CAST(sum(mc) AS BIGINT) AS microcredits
+FROM credits GROUP BY channel
+""",
+    doc="Linear multi-touch attribution: each purchase splits one unit of "
+    "credit equally across the user's PRIOR touches, by channel. No "
+    "touch-to-conversion join at all: per-channel running counts over "
+    "ONE user-keyed window (exclusive frame) give every conversion its "
+    "upstream channel mix in a single pass — the per-user quadratic "
+    "blow-up of the naive touches-join never happens, so the plan "
+    "survives power users with 1e5 events. Credits are exact integer "
+    "micro-units ((cnt*1e6) DIV n — cross-engine stable, no float "
+    "division), and the final rollup is |channels| rows.",
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    chans = ["click", "view", "signup", "error"]
+    seq = e.select(
+        "event_type",
+        *[
+            F.count(F.when(F.col("event_type") == c, 1)).over(w).alias(f"c_{c}")
+            for c in chans
+        ],
+    )
+    conv = seq.where(F.col("event_type") == "purchase").withColumn(
+        "n_touch", sum(F.col(f"c_{c}") for c in chans)
+    ).where(F.col("n_touch") > 0)
+    # stack() unpivots all channels in ONE pass over the conversion rows —
+    # a per-channel UNION would re-execute the window subtree 4 times.
+    stack_args = ", ".join(
+        f"'{c}', c_{c} * 1000000 DIV n_touch" for c in chans
+    )
+    credits = conv.selectExpr(
+        f"stack({len(chans)}, {stack_args}) AS (channel, mc)"
+    )
+    return credits.groupBy("channel").agg(
+        F.count(F.when(F.col("mc") > 0, 1)).cast("bigint").alias(
+            "n_conversions_touched"
+        ),
+        F.sum("mc").cast("bigint").alias("microcredits"),
+    )

@@ -30,6 +30,7 @@ ORACLE_CHECKED = [
     "dedup_cluster_cc",
     "dedup_keep_best",
     "graph_hierarchy_rollup",
+    "multimodal_dedup_exact_bytes",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",

@@ -130,6 +130,7 @@ RELATIONAL = [
     "tpch_q11_important_stock",
     "layout_compaction_bins",
     "events_daily_locf_fill",
+    "events_linear_attribution",
 ]
 
 
