@@ -2881,3 +2881,104 @@ def multimodal_dedup_exact_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_copies"),
         F.min("n_bytes").cast("bigint").alias("n_bytes"),
     )
+
+
+@register(
+    "text_phrase_search",
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+    SELECT doc_id, unnest(w) AS word,
+           generate_subscripts(w, 1) AS p
+    FROM tok
+),
+a AS (SELECT doc_id, p FROM pos WHERE word = 'key'),
+b AS (SELECT doc_id, p FROM pos WHERE word = 'order'),
+hits AS (
+    SELECT a.doc_id FROM a JOIN b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM hits GROUP BY doc_id
+""",
+    doc="Exact phrase search ('key order') through a POSITIONAL inverted "
+    "index: posting lists are (doc, position) rows, the phrase is an "
+    "equi-join on doc with the adjacency residual pos_b = pos_a + 1 — "
+    "the classic search-engine phrase plan. Only the two terms' "
+    "posting lists ever shuffle (the index scan prunes every other "
+    "token before the exchange), so cost scales with term frequency, "
+    "not corpus size — a LIKE '%...%' scan reads every byte of every "
+    "document instead. Extends to k-word phrases as a k-way join with "
+    "offsets, and to NEAR/k with a band residual.",
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p", "word")
+    )
+    a = pos.where(F.col("word") == "key").select("doc_id", F.col("p").alias("pa"))
+    b = pos.where(F.col("word") == "order").select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+    )
+    hits = a.join(
+        b, (F.col("doc_b") == F.col("doc_id")) & (F.col("pb") == F.col("pa") + 1)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+
+
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle=f"""
+WITH prefixes AS (
+    SELECT vec_id, embedding, k
+    FROM embeddings, (SELECT unnest([8, 16, 32, 64]) AS k)
+),
+scored AS (
+    SELECT vec_id, k,
+           {_dot_sql('embedding[1:k]', 'embedding[1:k]')} AS pp,
+           {_dot_sql('embedding', 'embedding')} AS ff
+    FROM prefixes
+)
+SELECT vec_id, CAST(k AS BIGINT) AS k,
+       CAST(floor(sqrt(pp / ff) * 1000000) AS BIGINT) AS fidelity_ppm
+FROM scored
+""",
+    doc="Matryoshka truncation fidelity (Kusupati et al. NeurIPS'22): "
+    "cosine between each vector and its k-dim prefix is "
+    "sqrt(||prefix||^2 / ||full||^2), so one row-local pass scores "
+    "how much of every vector's energy the first 8/16/32/64 dims "
+    "retain — the measurement that licenses shipping truncated "
+    "embeddings to the ANN tier (64->8 dims = 8x less index). Both "
+    "norms are the same exact sequential fold the dedup/ANN oracles "
+    "use; sqrt is correctly-rounded IEEE and the ppm floor keeps the "
+    "hash integer-stable. Zero shuffles at any scale.",
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    ks = F.array(*[F.lit(k) for k in (8, 16, 32, 64)])
+    pref = emb.select("vec_id", "embedding", F.explode(ks).alias("k"))
+    # strict left-to-right double fold over the exact per-element
+    # products — matches the DuckDB list_sum fold bit-for-bit.
+    def ssq(col):
+        return F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = pref.select(
+        "vec_id",
+        F.col("k").cast("bigint").alias("k"),
+        ssq(F.slice("embedding", 1, F.col("k"))).alias("pp"),
+        ssq(F.col("embedding")).alias("ff"),
+    )
+    return scored.select(
+        "vec_id",
+        "k",
+        F.floor(F.sqrt(F.col("pp") / F.col("ff")) * 1_000_000)
+        .cast("bigint")
+        .alias("fidelity_ppm"),
+    )

@@ -5467,3 +5467,48 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("mc").cast("bigint").alias("microcredits"),
     )
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle="""
+WITH digits AS (
+    SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit,
+           count(*) AS n
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY 1
+),
+tot AS (SELECT sum(n) AS total FROM digits)
+SELECT d.digit,
+       CAST(d.n AS BIGINT) AS n_orders,
+       CAST(d.n * 1000000 // t.total AS BIGINT) AS observed_ppm,
+       CAST(floor(log10(1 + 1.0 / CAST(d.digit AS INTEGER)) * 1000000) AS BIGINT)
+           AS benford_ppm
+FROM digits d, tot t
+""",
+    doc="Benford's-law first-digit audit on order totals — the "
+    "fraud/synthetic-data screen auditors run on financial columns. "
+    "The digit is taken from the STRING form of exact integer cents "
+    "(integer-to-decimal-string is identical on every engine; "
+    "extracting it via log10/power arithmetic is ulp-fragile at "
+    "magnitude boundaries). One map-side-combinable 9-group aggregate; "
+    "observed shares in exact integer ppm against floor'd Benford "
+    "expectations, so the driver hash never touches a float boundary.",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    digits = o.groupBy(digit.alias("digit")).agg(F.count("*").alias("n"))
+    tot = digits.agg(F.sum("n").alias("total"))
+    return digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr("n * 1000000 DIV total").cast("bigint").alias("observed_ppm"),
+        F.floor(
+            F.log10(1 + 1.0 / F.col("digit").cast("int")) * 1_000_000
+        ).cast("bigint").alias("benford_ppm"),
+    )

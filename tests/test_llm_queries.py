@@ -31,6 +31,8 @@ ORACLE_CHECKED = [
     "dedup_keep_best",
     "graph_hierarchy_rollup",
     "multimodal_dedup_exact_bytes",
+    "text_phrase_search",
+    "embedding_matryoshka_fidelity",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",

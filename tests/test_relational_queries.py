@@ -131,6 +131,7 @@ RELATIONAL = [
     "layout_compaction_bins",
     "events_daily_locf_fill",
     "events_linear_attribution",
+    "dq_benford_first_digit",
 ]
 
 
