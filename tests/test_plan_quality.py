@@ -390,3 +390,55 @@ def test_referential_integrity_is_one_pass_per_child(spark, sf_dir) -> None:
     assert text.count("lineitem.parquet") <= 1 or text.lower().count("lineitem") <= 2, (
         text[:3000]
     )
+
+
+def test_q2_q11_broadcast_dims_no_cartesian(spark, sf_dir) -> None:
+    """The derived-partsupp TPC-H shapes keep region/nation/supplier on
+    the broadcast side; the only big shuffles key on partkey."""
+    for name in ["tpch_q2_min_cost_supplier", "tpch_q11_important_stock"]:
+        s = _summary(spark, sf_dir, name)
+        assert s.has("BroadcastHashJoin"), f"{name}: no broadcast join"
+        assert not s.has("CartesianProduct"), name
+
+
+def test_merge_upsert_preaggregates_delta(spark, sf_dir) -> None:
+    """MERGE INTO must collapse the delta log with a partial+final hash
+    aggregate BEFORE the key join (shuffle ~ |keys|, not |events|), and
+    the base-delta resolution must be a keyed join, never cartesian."""
+    s = _summary(spark, sf_dir, "cdc_merge_into_upsert")
+    # max_by over a string-bearing struct compiles to SortAggregate, not
+    # HashAggregate — what matters is partial+final around the exchange.
+    assert s.count("SortAggregate") + s.count("HashAggregate") >= 2, s.nodes
+    assert s.has("SortMergeJoin") or s.has("ShuffledHashJoin") or s.has(
+        "BroadcastHashJoin"
+    ), s.nodes
+    assert not s.has("CartesianProduct")
+
+
+def test_linear_attribution_single_user_exchange(spark, sf_dir) -> None:
+    """All channel counts come from ONE user-keyed window; stack() must
+    not add a second exchange before the |channels|-row rollup."""
+    s = _summary(spark, sf_dir, "events_linear_attribution")
+    assert s.count("Window") == 1, s.nodes
+    # one exchange for the window, one for the tiny channel rollup
+    assert s.count("Exchange") <= 2, s.nodes
+
+
+def test_phrase_search_filters_posting_lists_before_join(spark, sf_dir) -> None:
+    """Only the two query terms' posting lists may reach the join — the
+    term filters sit below the exchanges, and the adjacency residual
+    rides a keyed join, never a cartesian."""
+    s = _summary(spark, sf_dir, "text_phrase_search")
+    assert not s.has("CartesianProduct"), s.nodes
+    assert s.has("SortMergeJoin") or s.has("ShuffledHashJoin") or s.has(
+        "BroadcastHashJoin"
+    ), s.nodes
+
+
+def test_bpe_pair_counts_two_vocab_sized_aggregates(spark, sf_dir) -> None:
+    """Both aggregates must be partial+final hash aggregates: the corpus
+    collapses to word frequencies map-side, and the pair explode runs
+    over the vocab, not the raw token stream."""
+    s = _summary(spark, sf_dir, "text_bpe_pair_counts")
+    assert s.count("HashAggregate") >= 4, s.nodes  # 2 aggs x partial+final
+    assert not s.has("CartesianProduct")
