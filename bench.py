@@ -64,6 +64,11 @@ HEADLINE = [
     ("q33_graph_triangle_count", "graph_triangle_count"),
     ("q34_customer_whale_concentration", "customer_whale_concentration"),
     ("q35_embedding_outlier_distance", "embedding_outlier_distance"),
+    ("q36_cdc_merge_into_upsert", "cdc_merge_into_upsert"),
+    ("q37_graph_hierarchy_rollup", "graph_hierarchy_rollup"),
+    ("q38_pipeline_temperature_resample", "pipeline_temperature_resample"),
+    ("q39_events_linear_attribution", "events_linear_attribution"),
+    ("q40_text_bpe_pair_counts", "text_bpe_pair_counts"),
 ]
 
 

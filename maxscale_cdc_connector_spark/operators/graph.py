@@ -517,6 +517,7 @@ def ancestor_closure(
     # the final no-change confirmation pass.
     max_rounds = _math.ceil(_math.log2(max(2, max_depth))) + 2
     rounds = 0
+    n_cur = cur.count()
     while True:
         rounds += 1
         if rounds > max_rounds:
@@ -536,8 +537,17 @@ def ancestor_closure(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
-        n_cur, n_nxt = cur.count(), nxt.count()
+        # One convergence job per round: count + max(dist) together.
+        # n_cur carries over from the previous round (pair count is
+        # monotone, equality means fixpoint). The max(dist) check ends
+        # a round EARLY: an ancestor at distance k implies ancestors at
+        # every distance < k (the chain through it), so if no pair sits
+        # at the doubling reach 2^rounds, nothing deeper exists and the
+        # confirmation round is provably unnecessary.
+        stats = nxt.agg(F.count("*").alias("n"), F.max("dist").alias("m")).first()
+        n_nxt, max_dist = stats["n"], stats["m"]
         _release_local_checkpoint(cur)
         cur = nxt
-        if n_nxt == n_cur:
+        if n_nxt == n_cur or max_dist < 2 ** rounds:
             return cur
+        n_cur = n_nxt

@@ -5512,3 +5512,37 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log10(1 + 1.0 / F.col("digit").cast("int")) * 1_000_000
         ).cast("bigint").alias("benford_ppm"),
     )
+
+
+@register(
+    "events_theta_retention_overlap",
+    oracle=None,  # sketch estimates are approximate by design; pytest pins
+    # a 5% band against the exact intersection plus sketch-algebra sanity.
+    doc="Week-over-week retained-user counts from STORED sketches: per-"
+    "week theta sketches (theta_sketch_agg over user_id), adjacent "
+    "weeks joined and INTERSECTED (theta_intersection + estimate) — "
+    "the set operation HLL fundamentally cannot do (HLL unions only; "
+    "inclusion-exclusion on HLL estimates explodes the error for "
+    "small overlaps). At 100 TB this is the retention dashboard "
+    "pattern: persist one tiny sketch per (week, segment), answer "
+    "any A-intersect-B question later without rescanning raw events. "
+    "The only corpus-sized work is one map-side-combinable sketch "
+    "aggregate; the pair join runs over |weeks| rows.",
+)
+def events_theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    weekly = e.groupBy(
+        F.expr("ts_us DIV 604800000000").cast("bigint").alias("week")
+    ).agg(F.theta_sketch_agg("user_id").alias("sk"))
+    a = weekly.select(F.col("week").alias("week_a"), F.col("sk").alias("sk_a"))
+    b = weekly.select(F.col("week").alias("week_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(b, F.col("week_b") == F.col("week_a") + 1)
+    return pairs.select(
+        "week_a",
+        "week_b",
+        F.round(F.theta_sketch_estimate("sk_a")).cast("bigint").alias("est_users_a"),
+        F.round(F.theta_sketch_estimate("sk_b")).cast("bigint").alias("est_users_b"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
+        ).cast("bigint").alias("est_retained"),
+    ).orderBy("week_a")

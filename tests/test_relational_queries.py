@@ -306,3 +306,34 @@ def test_hll_sketch_rollup_accuracy_and_merge(spark, sf_dir):
         .collect()
     }
     assert got == direct, "daily-sketch union diverged from whole-week sketch"
+
+
+def test_theta_retention_overlap_matches_exact_within_5pct(spark, sf_dir):
+    """Sketch-intersection retention must sit within 5% of the exact
+    week-over-week retained-user counts, and never exceed either week's
+    own estimate (intersection monotonicity)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import events_ts_us, load_table
+
+    load_all()
+    got = {
+        (r.week_a, r.week_b): r
+        for r in REGISTRY["events_theta_retention_overlap"].fn(spark, sf_dir).collect()
+    }
+    e = events_ts_us(load_table(spark, "events", sf_dir))
+    weeks = e.select(
+        F.expr("ts_us DIV 604800000000").cast("bigint").alias("week"), "user_id"
+    ).distinct()
+    by_week: dict[int, set] = {}
+    for r in weeks.collect():
+        by_week.setdefault(r.week, set()).add(r.user_id)
+    assert got, "no adjacent week pairs"
+    for (wa, wb), row in got.items():
+        exact = len(by_week[wa] & by_week[wb])
+        assert row.est_retained <= min(row.est_users_a, row.est_users_b)
+        if exact >= 100:
+            assert abs(row.est_retained - exact) / exact < 0.05, (wa, wb, exact, row)
+        else:
+            assert abs(row.est_retained - exact) <= 10, (wa, wb, exact, row)
