@@ -5546,3 +5546,102 @@ def events_theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
         ).cast("bigint").alias("est_retained"),
     ).orderBy("week_a")
+
+
+@register(
+    "sql_lateral_topk_per_customer",
+    oracle="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+FROM customer c,
+LATERAL (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 3
+) o
+WHERE c.c_mktsegment = 'BUILDING'
+""",
+    doc="Correlated LATERAL subquery — top-3 orders per customer written "
+    "the way an analyst writes it (a per-row subquery with its own "
+    "ORDER BY/LIMIT). Catalyst DECORRELATES the lateral into a "
+    "set-based plan (the same keyed join + per-key ranking "
+    "topk_per_group spells out manually) rather than executing the "
+    "subquery once per customer row — the difference between one "
+    "shuffle and |customers| scans at 100 TB. Exercised through "
+    "spark.sql to pin the SQL surface itself; exact integer cents "
+    "output.",
+)
+def sql_lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, "customer", sf_dir)
+    o = t(spark, "orders", sf_dir)
+    c.createOrReplaceTempView("v_customer")
+    o.createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM v_customer c,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM v_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 3
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "fn_safe_arithmetic",
+    oracle="""
+WITH safe AS (
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice / nullif(l_discount, 0) AS div_or_null,
+           TRY_CAST(l_returnflag AS INTEGER) AS bad_cast,
+           TRY_CAST(l_shipdate AS DATE) AS ok_cast,
+           CASE WHEN l_linenumber <= 2
+                THEN [l_orderkey, CAST(l_linenumber AS BIGINT)][l_linenumber]
+                ELSE NULL END AS idx_or_null
+    FROM lineitem
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(div_or_null) AS BIGINT) AS n_div_by_zero,
+       CAST(count(bad_cast) AS BIGINT) AS n_bad_cast_ok,
+       CAST(count(ok_cast) AS BIGINT) AS n_date_cast_ok,
+       CAST(count(*) - count(idx_or_null) AS BIGINT) AS n_idx_out_of_bounds
+FROM safe
+""",
+    doc="Error-safe expression semantics (the ANSI-mode survival kit): "
+    "try_divide turns division-by-zero into NULL instead of a query-"
+    "killing exception, try_cast quarantines unparseable values, "
+    "try_element_at bounds-checks collection access — on a 100 TB "
+    "backfill one poisoned row must not abort a 6-hour job (same "
+    "philosophy as the CDC dead-letter channel, applied at expression "
+    "level). All row-local; the audit rollup counts how many rows each "
+    "guard actually caught, which is the number a data engineer "
+    "watches after enabling ANSI mode.",
+)
+def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    safe = li.select(
+        F.try_divide("l_extendedprice", "l_discount").alias("div_or_null"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("bad_cast"),
+        F.expr("try_cast(l_shipdate AS DATE)").alias("ok_cast"),
+        F.try_element_at(
+            F.array(F.col("l_orderkey"), F.col("l_linenumber").cast("bigint")),
+            F.col("l_linenumber"),
+        ).alias("idx_or_null"),
+    )
+    return safe.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        (F.count("*") - F.count("div_or_null")).cast("bigint").alias("n_div_by_zero"),
+        F.count("bad_cast").cast("bigint").alias("n_bad_cast_ok"),
+        F.count("ok_cast").cast("bigint").alias("n_date_cast_ok"),
+        (F.count("*") - F.count("idx_or_null")).cast("bigint").alias(
+            "n_idx_out_of_bounds"
+        ),
+    )

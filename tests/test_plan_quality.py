@@ -442,3 +442,14 @@ def test_bpe_pair_counts_two_vocab_sized_aggregates(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "text_bpe_pair_counts")
     assert s.count("HashAggregate") >= 4, s.nodes  # 2 aggs x partial+final
     assert not s.has("CartesianProduct")
+
+
+def test_lateral_subquery_decorrelates_to_keyed_plan(spark, sf_dir) -> None:
+    """The correlated LATERAL must compile to a set-based keyed plan
+    (window rank or keyed join) — never a per-row re-execution shape
+    (cartesian / broadcast nested loop over the full orders table)."""
+    s = _summary(spark, sf_dir, "sql_lateral_topk_per_customer")
+    assert not s.has("CartesianProduct"), s.nodes
+    assert s.has("Window") or s.has("SortMergeJoin") or s.has(
+        "ShuffledHashJoin"
+    ) or s.has("BroadcastHashJoin"), s.nodes

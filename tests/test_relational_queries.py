@@ -132,6 +132,8 @@ RELATIONAL = [
     "events_daily_locf_fill",
     "events_linear_attribution",
     "dq_benford_first_digit",
+    "sql_lateral_topk_per_customer",
+    "fn_safe_arithmetic",
 ]
 
 
