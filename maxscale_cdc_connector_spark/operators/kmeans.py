@@ -115,7 +115,13 @@ def _partial_stats_gen(centroids: list[list[float]], vec_col: str):
                 "cluster": nz.astype(np.int32),
                 "n": n[nz],
                 "sum_dist2": sd2[nz],
-                "sum_vec": [sv[j].tolist() for j in nz],
+                # object dtype: an EMPTY task would otherwise produce a
+                # float64 ndarray column, which Arrow cannot convert to
+                # list<double> (empty partitions are routine when the
+                # input has fewer rows than shuffle partitions).
+                "sum_vec": pd.Series(
+                    [sv[j].tolist() for j in nz], dtype=object
+                ),
             }
         )
 

@@ -5645,3 +5645,173 @@ def fn_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_idx_out_of_bounds"
         ),
     )
+
+
+@register(
+    "orders_kaplan_meier_ship_lag",
+    oracle="""
+WITH first_ship AS (
+    SELECT l_orderkey, min(CAST(l_shipdate AS DATE)) AS ship_day
+    FROM lineitem GROUP BY l_orderkey
+),
+horizon AS (SELECT max(ship_day) AS h FROM first_ship),
+durs AS (
+    SELECT o.o_orderkey,
+           CASE WHEN f.l_orderkey IS NOT NULL
+                THEN date_diff('day', CAST(o.o_orderdate AS DATE), f.ship_day)
+                ELSE date_diff('day', CAST(o.o_orderdate AS DATE), hz.h)
+           END AS dur,
+           (f.l_orderkey IS NOT NULL) AS shipped
+    FROM orders o
+    LEFT JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+    CROSS JOIN horizon hz
+),
+day_counts AS (
+    SELECT dur, count(*) FILTER (WHERE shipped) AS d,
+           count(*) FILTER (WHERE NOT shipped) AS c
+    FROM durs GROUP BY dur
+),
+tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM day_counts),
+risk AS (
+    SELECT dur, d, c,
+           t.n0 - coalesce(sum(d + c) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS n_at_risk
+    FROM day_counts, tot t
+),
+folded AS (
+    SELECT list(dur ORDER BY dur) AS ds,
+           list(CAST(d AS BIGINT) ORDER BY dur) AS evs,
+           list(CAST(n_at_risk AS BIGINT) ORDER BY dur) AS risks
+    FROM risk WHERE d > 0
+)
+SELECT f.ds[t.i] AS dur,
+       f.evs[t.i] AS n_shipped,
+       f.risks[t.i] AS n_at_risk,
+       CAST(floor(list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(generate_series(1, t.i),
+                j -> 1.0 - CAST(f.evs[j] AS DOUBLE) / f.risks[j])),
+            (a, x) -> a * x) * 1000000) AS BIGINT) AS survival_ppm
+FROM folded f, LATERAL (SELECT unnest(generate_series(1, len(f.ds))) AS i) t
+""",
+    doc="Kaplan-Meier survival curve of order-to-ship lag with CENSORING "
+    "(orders that never shipped are censored at the observation "
+    "horizon, not dropped — dropping them biases the curve optimistic, "
+    "the classic survival-analysis mistake). S(t) = prod(1 - d_u/n_u) "
+    "over event days u <= t. The corpus-sized work is two key-partitioned "
+    "aggregates (first-ship per order, counts per distinct lag day); "
+    "the at-risk window and the product fold run over the ~200-row "
+    "distinct-day table collected into ONE array and folded in fixed "
+    "ascending-day order — bit-identical IEEE products on both engines, "
+    "no shuffle-order drift, no corpus-sized window. ppm floor output.",
+)
+def orders_kaplan_meier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir)
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.to_date("l_shipdate")).alias("ship_day")
+    )
+    horizon = first_ship.agg(F.max("ship_day").alias("h"))
+    durs = (
+        o.join(first_ship, o["o_orderkey"] == first_ship["l_orderkey"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("l_orderkey").isNotNull(),
+                F.datediff(F.col("ship_day"), F.to_date("o_orderdate")),
+            )
+            .otherwise(F.datediff(F.col("h"), F.to_date("o_orderdate")))
+            .cast("bigint")
+            .alias("dur"),
+            F.col("l_orderkey").isNotNull().alias("shipped"),
+        )
+    )
+    day_counts = durs.groupBy("dur").agg(
+        F.count_if(F.col("shipped")).alias("d"),
+        F.count_if(~F.col("shipped")).alias("c"),
+    )
+    # The remaining frames are distinct-day sized (~hundreds of rows) —
+    # the unpartitioned window and the collected fold are model-state
+    # sized by construction, never corpus-sized.
+    tot = day_counts.agg(F.sum(F.col("d") + F.col("c")).alias("n0"))
+    w = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = (
+        day_counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("n0")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w), F.lit(0)),
+        )
+        .where(F.col("d") > 0)
+    )
+    folded = risk.agg(
+        F.sort_array(
+            F.collect_list(F.struct("dur", "d", "n_at_risk"))
+        ).alias("seq")
+    )
+    # running product in fixed ascending-day order: scan over the array
+    # emitting (day row, cumulative survival) — the same left fold the
+    # DuckDB list_reduce applies.
+    exploded = folded.select(
+        F.posexplode(
+            F.expr(
+                """
+                transform(seq, (x, i) ->
+                    struct(x.dur as dur, x.d as d, x.n_at_risk as n_at_risk,
+                        aggregate(slice(seq, 1, i + 1), cast(1.0 as double),
+                            (acc, y) -> acc * (1.0 - cast(y.d as double) / y.n_at_risk)
+                        ) as s))
+                """
+            )
+        ).alias("i", "r")
+    )
+    return exploded.select(
+        F.col("r.dur").alias("dur"),
+        F.col("r.d").alias("n_shipped"),
+        F.col("r.n_at_risk").alias("n_at_risk"),
+        F.floor(F.col("r.s") * 1_000_000).cast("bigint").alias("survival_ppm"),
+    )
+
+
+@register(
+    "events_user_segmentation_kmeans",
+    oracle=None,  # iterative clustering; invariants pinned in pytest
+    # (partition of users, k segments, fixed-seed determinism).
+    doc="Behavioral user segmentation: per-user event-type count vectors "
+    "(one conditional-count aggregate — a 5-dim 'behavior embedding' "
+    "derived from the fact stream, no pivot shuffle) clustered with "
+    "the SAME distributed Lloyd operator the embedding table uses "
+    "(operators/kmeans: mapInPandas partials, driver holds only k "
+    "centroids) — demonstrating the clustering path composes over "
+    "DERIVED features, not just stored embeddings. Output is the "
+    "segment profile table (size + per-channel activity sums, exact "
+    "integers) a growth team reads.",
+)
+def events_user_segmentation_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.kmeans import kmeans_fit
+
+    e = t(spark, "events", sf_dir)
+    chans = ["click", "view", "signup", "error", "purchase"]
+    feats = e.groupBy("user_id").agg(
+        *[
+            F.count_if(F.col("event_type") == c).cast("double").alias(f"n_{c}")
+            for c in chans
+        ]
+    )
+    vec = feats.select(
+        "user_id",
+        F.array(*[F.col(f"n_{c}") for c in chans]).alias("embedding"),
+    )
+    assigned, _, _ = kmeans_fit(vec, id_col="user_id", k=4, iters=4)
+    profile = assigned.join(feats, "user_id").groupBy("cluster").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        *[
+            F.sum(f"n_{c}").cast("bigint").alias(f"total_{c}s")
+            for c in chans
+        ],
+    )
+    return profile.select(
+        F.col("cluster").cast("bigint").alias("segment"),
+        "n_users",
+        *[f"total_{c}s" for c in chans],
+    )

@@ -134,6 +134,7 @@ RELATIONAL = [
     "dq_benford_first_digit",
     "sql_lateral_topk_per_customer",
     "fn_safe_arithmetic",
+    "orders_kaplan_meier_ship_lag",
 ]
 
 
@@ -339,3 +340,25 @@ def test_theta_retention_overlap_matches_exact_within_5pct(spark, sf_dir):
             assert abs(row.est_retained - exact) / exact < 0.05, (wa, wb, exact, row)
         else:
             assert abs(row.est_retained - exact) <= 10, (wa, wb, exact, row)
+
+
+def test_user_segmentation_partitions_users_deterministically(spark, sf_dir):
+    """Segments must partition the user set into exactly k groups, sum
+    of per-segment activity must equal the corpus totals, and the
+    fixed-seed fit must be run-to-run deterministic."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    fn = REGISTRY["events_user_segmentation_kmeans"].fn
+    rows1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    rows2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert rows1 == rows2, "k-means segmentation is not deterministic"
+    assert len(rows1) <= 4
+    e = load_table(spark, "events", sf_dir)
+    n_users = e.select("user_id").distinct().count()
+    n_clicks = e.filter(F.col("event_type") == "click").count()
+    assert sum(r[1] for r in rows1) == n_users
+    assert sum(r[2] for r in rows1) == n_clicks
