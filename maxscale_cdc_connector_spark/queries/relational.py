@@ -5815,3 +5815,56 @@ def events_user_segmentation_kmeans(spark: SparkSession, sf_dir: str) -> DataFra
         "n_users",
         *[f"total_{c}s" for c in chans],
     )
+
+
+@register(
+    "udtf_installment_schedule",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) + 1 AS n,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT b.o_orderkey,
+       CAST(g.i AS INTEGER) AS installment,
+       CAST(b.cents // b.n
+            + CASE WHEN g.i = 1 THEN b.cents % b.n ELSE 0 END AS BIGINT)
+           AS amount_cents
+FROM base b, LATERAL (SELECT unnest(generate_series(1, b.n)) AS i) g
+""",
+    doc="Python UDTF (Spark 4 user-defined TABLE function): each open "
+    "order fans out to its installment schedule — n rows of exact "
+    "integer-cents amounts, remainder on the first installment, so "
+    "every schedule sums back to its order total. The UDTF runs as an "
+    "Arrow-batched lateral correlation (FROM t, LATERAL udtf(...)); "
+    "this key exists to pin the TABLE-function surface itself — for "
+    "pure arithmetic like this a JVM-side explode(sequence(...)) is "
+    "the faster plan, and the UDTF is the escape hatch for row "
+    "generation that genuinely needs imperative Python (parsers, "
+    "schedule engines, API paginators).",
+)
+def udtf_installment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, installment int, amount_cents bigint")
+    class Installments:
+        def eval(self, o_orderkey: int, n: int, cents: int):
+            base = cents // n
+            rem = cents - base * n
+            for i in range(1, n + 1):
+                yield o_orderkey, i, base + (rem if i == 1 else 0)
+
+    spark.udtf.register("installments", Installments)
+    o = t(spark, "orders", sf_dir)
+    o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        (F.substring("o_orderpriority", 1, 1).cast("int") + 1).alias("n"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    ).createOrReplaceTempView("v_open_orders")
+    return spark.sql(
+        """
+        SELECT i.o_orderkey, i.installment, i.amount_cents
+        FROM v_open_orders b, LATERAL installments(b.o_orderkey, b.n, b.cents) i
+        """
+    )

@@ -135,6 +135,7 @@ RELATIONAL = [
     "sql_lateral_topk_per_customer",
     "fn_safe_arithmetic",
     "orders_kaplan_meier_ship_lag",
+    "udtf_installment_schedule",
 ]
 
 
