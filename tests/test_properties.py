@@ -236,3 +236,38 @@ def test_connected_components_long_chain_converges_fast(spark) -> None:
     }
     assert got == {i: 0 for i in range(n)}
     assert rounds[0] <= 15, f"chain took {rounds[0]} rounds — diameter leaked in"
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_event_logs(), st.data())
+def test_merge_upsert_equals_replay_for_any_split(spark, events, data) -> None:
+    """For ANY GTID-ordered split of a random change log into (prefix,
+    suffix): merge_upsert(snapshot(prefix), suffix) == snapshot(full) —
+    the incremental path may never diverge from replay, including
+    delete-then-reinsert, keys born in the suffix, and keys whose last
+    prefix event was a delete. Arrival order within each side is
+    permuted independently (only GTID order is semantic)."""
+    from maxscale_cdc_connector_spark.operators.cdc import merge_upsert
+
+    ordered = sorted(events, key=lambda e: (e[2], e[3]))
+    s = data.draw(st.integers(min_value=0, max_value=len(ordered)))
+    prefix = data.draw(st.permutations(ordered[:s])) if s else []
+    suffix = data.draw(st.permutations(ordered[s:])) if s < len(ordered) else []
+
+    base_rows = [
+        (e[5], e[6]) for e in _expected_snapshot(list(prefix)).values()
+    ]
+    want = {k: e[6] for k, e in _expected_snapshot(list(ordered)).items()}
+
+    base = spark.createDataFrame(base_rows or [], "k int, v string")
+    if suffix:
+        delta = spark.createDataFrame(list(suffix), _EVENT_FIELDS)
+        merged = merge_upsert(base, delta, ["k"], ["k", "v"])
+        got = {r["k"]: r["v"] for r in merged.collect()}
+    else:
+        got = {r["k"]: r["v"] for r in base.collect()}
+    assert got == want
