@@ -5868,3 +5868,65 @@ def udtf_installment_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_open_orders b, LATERAL installments(b.o_orderkey, b.n, b.cents) i
         """
     )
+
+
+@register(
+    "sql_window_clause_reuse",
+    oracle="""
+SELECT user_id, event_id,
+       row_number() OVER w AS rk,
+       lag(event_type) OVER w AS prev_type,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            OVER w AS BIGINT) AS purchases_so_far
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    doc="Named WINDOW clause: three analytic functions share ONE window "
+    "definition (the SQL:2003 surface analysts actually write), and "
+    "the engine must recognize the shared spec and evaluate all three "
+    "in a single Window operator over a single user-keyed exchange — "
+    "textually repeated inline specs must not become repeated sorts. "
+    "Exercised through spark.sql to pin the SQL surface; the "
+    "running sum rides the named window's default frame (the ORDER BY "
+    "is unique, so RANGE and ROWS agree — frame-EXTENDING a named "
+    "window, 'OVER (w ROWS ...)', is a SQL:2003 feature Spark does "
+    "not parse).",
+)
+def sql_window_clause_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_timestamp(t(spark, "events", sf_dir))
+    e.createOrReplaceTempView("v_events_w")
+    return spark.sql(
+        """
+        SELECT user_id, event_id,
+               row_number() OVER w AS rk,
+               lag(event_type) OVER w AS prev_type,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER w AS BIGINT) AS purchases_so_far
+        FROM v_events_w
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+
+
+@register(
+    "layout_file_metadata_audit",
+    oracle=None,  # the _metadata hidden column has no DuckDB analog over
+    # the same single-file inputs (filename granularity differs);
+    # pytest pins counts and path/size facts against os.stat.
+    doc="Scan-layer observability via Spark's hidden _metadata struct: "
+    "per input file — name, size, row count — without reading any data "
+    "column (the audit a table-maintenance job runs to find skewed or "
+    "tiny files before compaction; pairs with layout_compaction_bins). "
+    "The projection is metadata-only, so the scan prunes every data "
+    "column; the rollup groups on file_name with map-side partials.",
+)
+def layout_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )

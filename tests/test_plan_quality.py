@@ -453,3 +453,12 @@ def test_lateral_subquery_decorrelates_to_keyed_plan(spark, sf_dir) -> None:
     assert s.has("Window") or s.has("SortMergeJoin") or s.has(
         "ShuffledHashJoin"
     ) or s.has("BroadcastHashJoin"), s.nodes
+
+
+def test_named_window_reuse_single_window_operator(spark, sf_dir) -> None:
+    """Three analytics over one named WINDOW must share a single Window
+    operator and a single user-keyed exchange — the shared spec must
+    not compile to repeated sorts."""
+    s = _summary(spark, sf_dir, "sql_window_clause_reuse")
+    assert s.count("Window") == 1, s.nodes
+    assert s.count("Exchange") == 1, s.nodes

@@ -136,6 +136,7 @@ RELATIONAL = [
     "fn_safe_arithmetic",
     "orders_kaplan_meier_ship_lag",
     "udtf_installment_schedule",
+    "sql_window_clause_reuse",
 ]
 
 
@@ -363,3 +364,21 @@ def test_user_segmentation_partitions_users_deterministically(spark, sf_dir):
     n_clicks = e.filter(F.col("event_type") == "click").count()
     assert sum(r[1] for r in rows1) == n_users
     assert sum(r[2] for r in rows1) == n_clicks
+
+
+def test_file_metadata_audit_matches_os_stat(spark, sf_dir):
+    """The _metadata-derived audit must agree with the filesystem (size)
+    and the table row count — and keep one row per physical file."""
+    import os
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    rows = REGISTRY["layout_file_metadata_audit"].fn(spark, sf_dir).collect()
+    path = os.path.join(sf_dir, "documents.parquet")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.file_name == "documents.parquet"
+    assert r.file_size == os.stat(path).st_size
+    n = spark.read.parquet(path).count()
+    assert r.n_rows == n
