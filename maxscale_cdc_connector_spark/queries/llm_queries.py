@@ -2982,3 +2982,88 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("fidelity_ppm"),
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+top50 AS (
+    SELECT word FROM counts ORDER BY n DESC, word LIMIT 50
+),
+dw AS (
+    SELECT DISTINCT doc_id, word FROM w
+    WHERE word IN (SELECT word FROM top50)
+),
+df AS (SELECT word, count(*) AS docs FROM dw GROUP BY word),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+pairs AS (
+    SELECT a.word AS word_a, b.word AS word_b, count(*) AS co_docs
+    FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.word < b.word
+    GROUP BY a.word, b.word
+)
+SELECT p.word_a, p.word_b,
+       CAST(p.co_docs AS BIGINT) AS co_docs,
+       CAST(floor(ln(CAST(p.co_docs AS DOUBLE) * n.n
+                     / (fa.docs * fb.docs)) * 1000000) AS BIGINT) AS pmi_micro
+FROM pairs p
+JOIN df fa ON fa.word = p.word_a
+JOIN df fb ON fb.word = p.word_b
+CROSS JOIN n_docs n
+WHERE p.co_docs >= 50
+""",
+    doc="Pointwise mutual information over word co-occurrence (document "
+    "level, top-50 vocabulary): PMI = ln(P(a,b)/(P(a)P(b))) — the "
+    "collocation/association measure behind phrase mining and "
+    "word-embedding objectives (PMI matrix factorization). The "
+    "vocabulary RESTRICTION is the scale design: the pair join runs "
+    "over (doc, top-word) rows only, bounding per-doc fan-out at "
+    "50^2/2 regardless of document length — unbounded-vocab PMI is "
+    "quadratic in distinct words per doc. Counts exact; ln enters "
+    "once at the output boundary on an exact integer ratio, floored "
+    "to micro-units (same determinism argument as the Benford key).",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    top50 = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+        .select("word")
+    )
+    dw = w.join(F.broadcast(top50), "word").select("doc_id", "word").distinct()
+    df_ = dw.groupBy("word").agg(F.count("*").alias("docs"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n"))
+    a = dw.select("doc_id", F.col("word").alias("word_a"))
+    b = dw.select(F.col("doc_id").alias("doc_b"), F.col("word").alias("word_b"))
+    pairs = (
+        a.join(b, (F.col("doc_b") == F.col("doc_id")) & (F.col("word_a") < F.col("word_b")))
+        .groupBy("word_a", "word_b")
+        .agg(F.count("*").alias("co_docs"))
+        .where(F.col("co_docs") >= 50)
+    )
+    fa = df_.select(F.col("word").alias("word_a"), F.col("docs").alias("docs_a"))
+    fb = df_.select(F.col("word").alias("word_b"), F.col("docs").alias("docs_b"))
+    return (
+        pairs.join(F.broadcast(fa), "word_a")
+        .join(F.broadcast(fb), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            F.col("co_docs").cast("bigint").alias("co_docs"),
+            F.floor(
+                F.log(
+                    F.col("co_docs").cast("double")
+                    * F.col("n")
+                    / (F.col("docs_a") * F.col("docs_b"))
+                )
+                * 1_000_000
+            ).cast("bigint").alias("pmi_micro"),
+        )
+    )

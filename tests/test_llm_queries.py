@@ -33,6 +33,7 @@ ORACLE_CHECKED = [
     "multimodal_dedup_exact_bytes",
     "text_phrase_search",
     "embedding_matryoshka_fidelity",
+    "text_pmi_cooccurrence",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
