@@ -5930,3 +5930,106 @@ def layout_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name", "file_size")
         .agg(F.count("*").cast("bigint").alias("n_rows"))
     )
+
+
+@register(
+    "timeseries_user_similarity_topk",
+    oracle="""
+WITH anchor AS (
+    SELECT min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0 FROM events
+),
+vec AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) - a.d0 AS di
+    FROM events, anchor a
+),
+m AS (
+    SELECT user_id,
+           count(*) FILTER (WHERE di = 0) AS c0,
+           count(*) FILTER (WHERE di = 1) AS c1,
+           count(*) FILTER (WHERE di = 2) AS c2,
+           count(*) FILTER (WHERE di = 3) AS c3,
+           count(*) FILTER (WHERE di = 4) AS c4,
+           count(*) FILTER (WHERE di = 5) AS c5,
+           count(*) FILTER (WHERE di = 6) AS c6,
+           count(*) FILTER (WHERE di = 7) AS c7,
+           count(*) FILTER (WHERE di = 8) AS c8,
+           count(*) FILTER (WHERE di = 9) AS c9,
+           count(*) FILTER (WHERE di = 10) AS c10,
+           count(*) FILTER (WHERE di = 11) AS c11,
+           count(*) FILTER (WHERE di = 12) AS c12,
+           count(*) FILTER (WHERE di = 13) AS c13
+    FROM vec WHERE di BETWEEN 0 AND 13 GROUP BY user_id
+),
+q AS (SELECT * FROM m WHERE user_id = 0),
+scored AS (
+    SELECT m.user_id,
+           m.c0*q.c0 + m.c1*q.c1 + m.c2*q.c2 + m.c3*q.c3 + m.c4*q.c4
+         + m.c5*q.c5 + m.c6*q.c6 + m.c7*q.c7 + m.c8*q.c8 + m.c9*q.c9
+         + m.c10*q.c10 + m.c11*q.c11 + m.c12*q.c12 + m.c13*q.c13 AS dot,
+           m.c0*m.c0 + m.c1*m.c1 + m.c2*m.c2 + m.c3*m.c3 + m.c4*m.c4
+         + m.c5*m.c5 + m.c6*m.c6 + m.c7*m.c7 + m.c8*m.c8 + m.c9*m.c9
+         + m.c10*m.c10 + m.c11*m.c11 + m.c12*m.c12 + m.c13*m.c13 AS nm,
+           q.c0*q.c0 + q.c1*q.c1 + q.c2*q.c2 + q.c3*q.c3 + q.c4*q.c4
+         + q.c5*q.c5 + q.c6*q.c6 + q.c7*q.c7 + q.c8*q.c8 + q.c9*q.c9
+         + q.c10*q.c10 + q.c11*q.c11 + q.c12*q.c12 + q.c13*q.c13 AS nq
+    FROM m, q
+    WHERE m.user_id <> 0
+)
+SELECT user_id,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(floor(dot * 1000000 / (sqrt(CAST(nm AS DOUBLE)) * sqrt(CAST(nq AS DOUBLE))))
+            AS BIGINT) AS cos_micro
+FROM scored
+WHERE nm > 0
+ORDER BY cos_micro DESC, user_id ASC
+LIMIT 20
+""",
+    doc="Time-series similarity search (EDBT'19 streaming-similarity "
+    "family, simplest exact form): each user's first-14-day activity "
+    "profile as an integer count vector, cosine against a query user, "
+    "top-20. EVERYTHING except two sqrt calls is 64-bit integer "
+    "arithmetic (dot and norms of small counts), so the score is "
+    "cross-engine exact to the micro-unit floor; the query vector is "
+    "a broadcast 1-row frame and the ranking is TakeOrderedAndProject "
+    "— one fact scan, one user-keyed aggregate, no corpus shuffle for "
+    "the ranking. The 14-bucket profile build is one conditional-"
+    "count aggregate (no pivot shuffle).",
+)
+def timeseries_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    anchor = e.agg(F.min(F.expr("ts_us DIV 86400000000")).alias("d0"))
+    vec = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id", (F.expr("ts_us DIV 86400000000") - F.col("d0")).alias("di")
+    ).where(F.col("di").between(0, 13))
+    counts = [
+        F.count_if(F.col("di") == i).alias(f"c{i}") for i in range(14)
+    ]
+    m = vec.groupBy("user_id").agg(*counts)
+    q = m.where(F.col("user_id") == 0).select(
+        *[F.col(f"c{i}").alias(f"q{i}") for i in range(14)]
+    )
+    dot = sum(F.col(f"c{i}") * F.col(f"q{i}") for i in range(14))
+    nm = sum(F.col(f"c{i}") * F.col(f"c{i}") for i in range(14))
+    nq = sum(F.col(f"q{i}") * F.col(f"q{i}") for i in range(14))
+    scored = (
+        m.where(F.col("user_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "user_id",
+            dot.alias("dot"),
+            nm.alias("nm"),
+            nq.alias("nq"),
+        )
+        .where(F.col("nm") > 0)
+    )
+    ranked = scored.select(
+        "user_id",
+        F.col("dot").cast("bigint").alias("dot"),
+        F.floor(
+            F.col("dot")
+            * 1_000_000
+            / (F.sqrt(F.col("nm").cast("double")) * F.sqrt(F.col("nq").cast("double")))
+        ).cast("bigint").alias("cos_micro"),
+    )
+    return ranked.orderBy(F.desc("cos_micro"), F.asc("user_id")).limit(20)

@@ -137,6 +137,7 @@ RELATIONAL = [
     "orders_kaplan_meier_ship_lag",
     "udtf_installment_schedule",
     "sql_window_clause_reuse",
+    "timeseries_user_similarity_topk",
 ]
 
 
