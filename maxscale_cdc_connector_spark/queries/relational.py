@@ -6033,3 +6033,125 @@ def timeseries_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFra
         ).cast("bigint").alias("cos_micro"),
     )
     return ranked.orderBy(F.desc("cos_micro"), F.asc("user_id")).limit(20)
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+WITH l AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_custkey % 50 END AS k
+    FROM orders
+),
+r AS (
+    SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL
+                ELSE c_custkey % 50 END AS k,
+           c_custkey
+    FROM customer
+)
+SELECT coalesce(CAST(l.k AS VARCHAR), '<null>') AS join_key,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(count(DISTINCT l.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT r.c_custkey) AS BIGINT) AS n_customers
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+GROUP BY l.k
+""",
+    doc="NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "MATCH each other instead of silently dropping — the semantics "
+    "entity-resolution and SCD pipelines need when 'unknown' is a "
+    "legitimate join value. Catalyst treats <=> as an equi-join "
+    "condition, so this still plans as a hash join with both sides "
+    "shuffled on the key (NULLs hash to one partition — a real skew "
+    "hazard called out in the doc: salt the NULL bucket if unknowns "
+    "dominate). A plain = join here would lose every NULL-keyed row.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey") % 50)
+        .alias("k"),
+    )
+    c = t(spark, "customer", sf_dir).select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey") % 50)
+        .alias("rk"),
+        "c_custkey",
+    )
+    joined = o.join(c, F.col("k").eqNullSafe(F.col("rk")))
+    return joined.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.countDistinct("o_orderkey").cast("bigint").alias("n_orders"),
+        F.countDistinct("c_custkey").cast("bigint").alias("n_customers"),
+    ).select(
+        F.coalesce(F.col("k").cast("string"), F.lit("<null>")).alias("join_key"),
+        "n_matches",
+        "n_orders",
+        "n_customers",
+    )
+
+
+@register(
+    "fn_bitwise_ops",
+    oracle="""
+SELECT CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bit_count(o_orderkey)) AS BIGINT) AS total_bits,
+       CAST(max(o_orderkey | 4096) AS BIGINT) AS max_or,
+       CAST(min(xor(o_orderkey, 21845)) AS BIGINT) AS min_xor,
+       CAST(max(o_orderkey << 2) AS BIGINT) AS max_shl,
+       CAST(min(o_orderkey >> 3) AS BIGINT) AS min_shr
+FROM orders
+GROUP BY o_orderkey & 255
+HAVING count(*) >= 4
+""",
+    doc="Bitwise expression pack (&, |, xor, bit_count, shifts) — the "
+    "primitives under bitmap indexes, bucket masks, and flag columns "
+    "(the behavior-bitmap key builds on these). All row-local 64-bit "
+    "integer ops inside whole-stage codegen; the rollup groups on the "
+    "masked low byte with map-side partials.",
+)
+def fn_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    low = F.expr("o_orderkey & 255")
+    return (
+        o.groupBy(low.cast("bigint").alias("low_byte"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.bit_count("o_orderkey")).cast("bigint").alias("total_bits"),
+            F.max(F.expr("o_orderkey | 4096")).cast("bigint").alias("max_or"),
+            F.min(F.expr("o_orderkey ^ 21845")).cast("bigint").alias("min_xor"),
+            F.max(F.expr("shiftleft(o_orderkey, 2)")).cast("bigint").alias("max_shl"),
+            F.min(F.expr("shiftright(o_orderkey, 3)")).cast("bigint").alias("min_shr"),
+        )
+        .where(F.col("n") >= 4)
+    )
+
+
+@register(
+    "events_value_log_histogram",
+    oracle="""
+SELECT length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)) AS decade,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(floor(value) AS BIGINT)) AS BIGINT) AS min_floor,
+       CAST(max(CAST(floor(value) AS BIGINT)) AS BIGINT) AS max_floor
+FROM events WHERE value >= 1
+GROUP BY length(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR))
+""",
+    doc="Log-scale (order-of-magnitude) histogram WITHOUT log(): the "
+    "decade of a positive value is the digit count of its integer "
+    "part, and integer-to-string is exact on every engine — "
+    "floor(log10(x)) puts values at exact powers of ten on a 1-ulp "
+    "cliff (log10(1000) can evaluate below 3.0), silently shifting "
+    "whole bucket boundaries between engines. Same trick as the "
+    "Benford key; one map-side-combinable aggregate over ~10 buckets.",
+)
+def events_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir).where(F.col("value") >= 1)
+    decade = F.length(F.floor("value").cast("bigint").cast("string"))
+    return e.groupBy(decade.alias("decade")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min(F.floor("value").cast("bigint")).cast("bigint").alias("min_floor"),
+        F.max(F.floor("value").cast("bigint")).cast("bigint").alias("max_floor"),
+    )

@@ -138,6 +138,9 @@ RELATIONAL = [
     "udtf_installment_schedule",
     "sql_window_clause_reuse",
     "timeseries_user_similarity_topk",
+    "join_null_safe_eq",
+    "fn_bitwise_ops",
+    "events_value_log_histogram",
 ]
 
 
