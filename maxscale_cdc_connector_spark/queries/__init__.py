@@ -39,6 +39,10 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # are output-pinned bit-identical locally, and the driver re-verifies
 # them on the new execution strategies via this list.
 _CHANGED_THIS_ROUND = (
+    # Fifth-half change: gap_variance moved from round(float,4) to exact
+    # integer 1e-4 units after a .00005-lattice split at sf0.1 (user 406)
+    # — schema and values changed, prior green no longer vouches.
+    "events_regularity_bot_flags",
     "simsearch_pairwise_threshold",
     "dedup_embedding_cosine",
     "embedding_normalize_l2",

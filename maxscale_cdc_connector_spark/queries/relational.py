@@ -5065,8 +5065,8 @@ SELECT user_id,
        CAST(n_gaps AS BIGINT) AS n_gaps,
        CAST(sg // n_gaps AS BIGINT) AS mean_gap_floor,
        CAST(n_gaps * sg2 - sg * sg AS BIGINT) AS var_num,
-       round(CAST(n_gaps * sg2 - sg * sg AS DOUBLE) / (n_gaps * n_gaps), 4)
-           AS gap_variance,
+       CAST((n_gaps * sg2 - sg * sg) * 10000 // (n_gaps * n_gaps) AS BIGINT)
+           AS gap_variance_e4,
        (n_gaps >= 20 AND n_gaps * sg2 - sg * sg < n_gaps * n_gaps * 3600)
            AS is_metronomic
 FROM per_user
@@ -5102,9 +5102,12 @@ def events_regularity_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_gaps").cast("bigint").alias("n_gaps"),
         F.expr("sg DIV n_gaps").cast("bigint").alias("mean_gap_floor"),
         var_num.cast("bigint").alias("var_num"),
-        F.round(var_num.cast("double") / (F.col("n_gaps") * F.col("n_gaps")), 4).alias(
-            "gap_variance"
-        ),
+        # exact 1e-4 units via integer floor division — round(float, 4)
+        # splits engines on the .00005 lattice (seen at sf0.1: user 406,
+        # 6533796631081/3364 rounds .3641 vs .3642).
+        F.expr("(n_gaps * sg2 - sg * sg) * 10000 DIV (n_gaps * n_gaps)")
+        .cast("bigint")
+        .alias("gap_variance_e4"),
         (
             (F.col("n_gaps") >= 20)
             & (var_num < F.col("n_gaps") * F.col("n_gaps") * 3600)
@@ -6154,4 +6157,134 @@ def events_value_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.min(F.floor("value").cast("bigint")).cast("bigint").alias("min_floor"),
         F.max(F.floor("value").cast("bigint")).cast("bigint").alias("max_floor"),
+    )
+
+
+@register(
+    "timeseries_pattern_match",
+    oracle="""
+WITH anchor AS (
+    SELECT min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0 FROM events
+),
+daily AS (
+    SELECT user_id,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) - a.d0 AS di,
+           count(*) AS c
+    FROM events, anchor a
+    GROUP BY user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) - a.d0
+),
+span AS (SELECT user_id, max(di) AS dmax FROM daily GROUP BY user_id),
+cal AS (
+    SELECT s.user_id, g.di FROM span s,
+         LATERAL (SELECT unnest(generate_series(0, s.dmax)) AS di) g
+),
+dense AS (
+    SELECT c.user_id, c.di, coalesce(d.c, 0) AS y
+    FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.di = c.di
+),
+win AS (
+    -- inline OVER specs: a WINDOW clause as the last element of a CTE
+    -- trips DuckDB's parser (the following ', cte AS (' reads as
+    -- another window definition)
+    SELECT user_id, di AS t0,
+           y AS y0,
+           lead(y, 1) OVER (PARTITION BY user_id ORDER BY di) AS y1,
+           lead(y, 2) OVER (PARTITION BY user_id ORDER BY di) AS y2,
+           lead(y, 3) OVER (PARTITION BY user_id ORDER BY di) AS y3,
+           lead(y, 4) OVER (PARTITION BY user_id ORDER BY di) AS y4,
+           lead(y, 5) OVER (PARTITION BY user_id ORDER BY di) AS y5,
+           lead(y, 6) OVER (PARTITION BY user_id ORDER BY di) AS y6
+    FROM dense
+),
+scored AS (
+    SELECT user_id, t0,
+           1*y0 + 1*y1 + 2*y2 + 3*y3 + 5*y4 + 3*y5 + 1*y6 AS sxy,
+           y0 + y1 + y2 + y3 + y4 + y5 + y6 AS sy,
+           y0*y0 + y1*y1 + y2*y2 + y3*y3 + y4*y4 + y5*y5 + y6*y6 AS sy2
+    FROM win WHERE y6 IS NOT NULL
+),
+metrics AS (
+    SELECT user_id, t0,
+           7 * sxy - 16 * sy AS num,
+           7 * sy2 - sy * sy AS var_y
+    FROM scored
+),
+best AS (
+    SELECT user_id, t0,
+           CAST(floor(num * 1000000
+                / (sqrt(CAST(90.0 AS DOUBLE)) * sqrt(CAST(var_y AS DOUBLE))))
+               AS BIGINT) AS corr_micro,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(num AS DOUBLE) / sqrt(CAST(var_y AS DOUBLE)) DESC,
+                        t0 ASC
+           ) AS rn
+    FROM metrics WHERE var_y > 0
+)
+SELECT user_id, CAST(t0 AS BIGINT) AS best_offset, corr_micro
+FROM best WHERE rn = 1
+""",
+    doc="Sliding-window pattern match (the matrix-profile/'shape query' "
+    "family, EDBT'19): each user's densified daily series is scanned "
+    "for the 7-day window best correlated with a fixed spike template "
+    "[1,1,2,3,5,3,1]. Pearson terms are ALL integer (n*sxy - sx*sy, "
+    "integer variances; the template's variance 90 is a constant), so "
+    "ranking and the micro-unit floor are cross-engine exact; sqrt "
+    "enters once per window at the boundary. Plan: the 7 shifted "
+    "values come from lead() over ONE user-keyed window on the dense "
+    "calendar (same single-exchange shape as the LOCF key), the "
+    "argmax is a per-user rank — no self-join of the series against "
+    "itself, which is the naive quadratic formulation.",
+)
+def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    anchor = e.agg(F.min(F.expr("ts_us DIV 86400000000")).alias("d0"))
+    daily = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy(
+            "user_id",
+            (F.expr("ts_us DIV 86400000000") - F.col("d0")).alias("di"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    span = daily.groupBy("user_id").agg(F.max("di").alias("dmax"))
+    cal = span.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.col("dmax"))).alias("di")
+    )
+    dense = cal.join(daily, ["user_id", "di"], "left").select(
+        "user_id", "di", F.coalesce("c", F.lit(0)).alias("y")
+    )
+    w = W.partitionBy("user_id").orderBy("di")
+    pattern = [1, 1, 2, 3, 5, 3, 1]  # sum 16, 7*sum(sq)-16^2 = 90
+    ys = [F.col("y").alias("y0")] + [
+        F.lead("y", j).over(w).alias(f"y{j}") for j in range(1, 7)
+    ]
+    win = dense.select("user_id", F.col("di").alias("offset"), *ys).where(
+        F.col("y6").isNotNull()
+    )
+    sxy = sum(F.col(f"y{j}") * pattern[j] for j in range(7))
+    sy = sum(F.col(f"y{j}") for j in range(7))
+    sy2 = sum(F.col(f"y{j}") * F.col(f"y{j}") for j in range(7))
+    scored = win.select(
+        "user_id",
+        "offset",
+        (7 * sxy - 16 * sy).alias("num"),
+        (7 * sy2 - sy * sy).alias("var_y"),
+    ).where(F.col("var_y") > 0)
+    rnk = W.partitionBy("user_id").orderBy(
+        (F.col("num").cast("double") / F.sqrt(F.col("var_y").cast("double"))).desc(),
+        F.asc("offset"),
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rnk))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("offset").cast("bigint").alias("best_offset"),
+            F.floor(
+                F.col("num")
+                * 1_000_000
+                / (F.sqrt(F.lit(90.0)) * F.sqrt(F.col("var_y").cast("double")))
+            ).cast("bigint").alias("corr_micro"),
+        )
     )

@@ -6,13 +6,14 @@ from maxscale_cdc_connector_spark.session import get_session
 from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
 from tests.oracle import compare_query
 load_all()
+SF = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 spark = get_session("sweep001")
 keys = [k for k, e in REGISTRY.items() if e.oracle is not None]
 fails = []
 t00 = time.time()
 for i, k in enumerate(keys):
     try:
-        compare_query(spark, "/root/testdata/sf0.01", k)
+        compare_query(spark, SF, k)
         print(f"PASS {k}", flush=True)
     except Exception as ex:
         fails.append(k)

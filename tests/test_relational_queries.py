@@ -141,6 +141,7 @@ RELATIONAL = [
     "join_null_safe_eq",
     "fn_bitwise_ops",
     "events_value_log_histogram",
+    "timeseries_pattern_match",
 ]
 
 
