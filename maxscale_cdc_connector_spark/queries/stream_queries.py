@@ -750,3 +750,74 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_session_ttl_finalize",
+    oracle="""
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 3 ELSE 1 END AS BIGINT) AS n_events,
+       CAST(CASE WHEN c_custkey % 10 = 0 THEN 100000000000000 ELSE 0 END
+            AS BIGINT) AS duration_us
+FROM customer WHERE c_custkey % 20 <> 0
+""",
+    doc="State-EXPIRING session finalization through a real Structured "
+    "Streaming replay: per-key sessions fold in applyInPandasWithState "
+    "under EventTimeTimeout (streaming/ops.stateful_session_ttl), and "
+    "a session row is emitted exactly when the event-time watermark "
+    "proves it closed — then its state is REMOVED, which is the "
+    "bounded-memory contract an unbounded keyspace demands (NoTimeout "
+    "state accretes forever). The replay's three event-time waves sit "
+    "1e8 seconds apart with a 1-day watermark and 1-hour gap, so the "
+    "closure set is decade-robust at any scale factor. availableNow runs a FINAL empty micro-batch after the last data batch, flushing timeouts against the post-delete-wave watermark: insert-only keys close with (n=1, dur=0), updated keys with (n=3, dur=1e14 us exactly — the integer wave spacing), while deleted-wave keys saw the newest activity and must remain OPEN and unemitted — the exact-hash oracle pins both the emissions and the non-emissions.",
+)
+def stream_session_ttl_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_session_ttl
+
+    ev = synthetic_customer_events(spark, sf_dir)
+    base = os.path.join(tempfile.gettempdir(), f"ttlfin-{uuid.uuid4().hex[:12]}")
+    log_dir = os.path.join(base, "log")
+    os.makedirs(log_dir)
+    bounds = [(0, 10_000_000), (10_000_000, 20_000_000), (20_000_000, 1 << 62)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = ev.filter((F.col("sequence") >= lo) & (F.col("sequence") < hi))
+        tmp_dir = os.path.join(base, f"tmp-{i:03d}")
+        part.coalesce(1).write.mode("overwrite").json(tmp_dir)
+        (src_file,) = glob.glob(os.path.join(tmp_dir, "part-*.json"))
+        shutil.move(src_file, os.path.join(log_dir, f"part-{i:03d}.jsonl"))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    stream = replay_stream(
+        spark, log_dir, CUSTOMER_SCHEMA_RECORD, max_files_per_trigger=1
+    )
+    sessions = stateful_session_ttl(
+        stream.withColumn("ts", F.timestamp_seconds(F.col("event_ts")))
+        .withWatermark("ts", "1 day"),
+        key_col="c_custkey",
+        gap="1 hour",
+        gap_ms=3_600_000,
+    )
+    name = f"ttl_fin_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("TTL finalize replay did not finish in 300s")
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

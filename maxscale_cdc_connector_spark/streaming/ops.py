@@ -400,3 +400,69 @@ def stateful_ewma(events: DataFrame, key_col: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def stateful_session_ttl(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 seconds",
+    gap_ms: int = 30_000,
+) -> DataFrame:
+    """Session finalization with STATE EXPIRY (EventTimeTimeout): emit a
+    key's session row only when the watermark proves it is CLOSED, and
+    clear the state — the bounded-memory contract an unbounded keyspace
+    needs (NoTimeout state, like :func:`stateful_ewma`'s, lives
+    forever; a 100 TB stream with churning keys would accrete state
+    without bound).
+
+    Per key the state is ``(n, first_us, last_us)``; each batch folds
+    its rows in, then re-arms the timeout at ``last event + gap``. When
+    the EVENT-TIME watermark (set via ``withWatermark`` upstream)
+    passes that point, Spark invokes the function once more with
+    ``state.hasTimedOut`` — the closed session is emitted and the state
+    removed. Emission is therefore watermark-driven and deterministic
+    under replay, unlike ProcessingTimeTimeout.
+
+    Output: one row per CLOSED session: key, n_events, duration_us.
+    """
+    out_schema = f"{key_col} bigint, n_events bigint, duration_us bigint"
+    state_schema = "n bigint, first_us bigint, last_us bigint"
+    key_name = key_col
+
+    def update(key, pdfs, state):
+        import pandas as _pd
+
+        if state.hasTimedOut:
+            n, first_us, last_us = state.get
+            state.remove()
+            yield _pd.DataFrame(
+                {
+                    key_name: [key[0]],
+                    "n_events": [int(n)],
+                    "duration_us": [int(last_us - first_us)],
+                }
+            )
+            return
+        n, first_us, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (pdf[ts_col].astype("int64") // 1000).tolist()
+            n += len(us)
+            lo, hi = min(us), max(us)
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        if n:
+            state.update((int(n), int(first_us), int(last_us)))
+            # re-arm: expire when event time passes last event + gap
+            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        return
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf="EventTimeTimeout",
+    )

@@ -18,6 +18,7 @@ ORACLE_CHECKED = [
     "stream_enrich_static",
     "stream_snapshot_sink_replayed",
     "stream_dedup_within_watermark",
+    "stream_session_ttl_finalize",
 ]
 
 

@@ -681,3 +681,58 @@ def test_stateful_ewma_carries_state_across_micro_batches(spark, tmp_path):
             want[u] = (n + 1, 0.8 * ew + 0.2 * x)
     want = {u: (n, round(ew, 10)) for u, (n, ew) in want.items()}
     assert got == want
+
+
+def test_stateful_session_ttl_emits_only_watermark_closed_sessions(spark, tmp_path):
+    """EventTimeTimeout state expiry: sessions emit exactly when the
+    event-time watermark passes (last event + gap), and the emitting
+    key's state is removed — bounded memory for unbounded keyspaces.
+    The watermark from batch N's data governs batch N+1's timeouts, so
+    a third batch is required to flush sessions closed by the second."""
+    import json
+
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_session_ttl
+
+    def ev(user, sec, eid):
+        return {"user_id": user, "ts": f"2026-01-01 00:{sec // 60:02d}:{sec % 60:02d}", "event_id": eid}
+
+    log = tmp_path / "ttl_log"
+    log.mkdir()
+    batches = [
+        # users 1 and 2: short sessions around t=0..8s
+        [ev(1, 0, 1), ev(1, 5, 2), ev(2, 3, 3), ev(2, 8, 4)],
+        # much later traffic advances the watermark far past 8s + 30s gap
+        [ev(3, 600, 5)],
+        # one more batch so the post-batch-2 watermark drives timeouts
+        [ev(3, 610, 6)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(log / f"part-{i:03d}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(log / f"part-{i:03d}.jsonl", (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("user_id bigint, ts string, event_id bigint")
+        .json(str(log))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        stateful_session_ttl(stream, gap="30 seconds", gap_ms=30_000)
+        .writeStream.format("memory")
+        .queryName("ttl_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.duration_us)
+        for r in spark.sql("SELECT * FROM ttl_sessions").collect()
+    }
+    # users 1 and 2 closed (watermark 590s >> their end + 30s); user 3's
+    # session is still open — its state must NOT have been emitted.
+    assert got == {1: (2, 5_000_000), 2: (2, 5_000_000)}, got
