@@ -6288,3 +6288,112 @@ def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("corr_micro"),
         )
     )
+
+
+@register(
+    "win_nth_value_pack",
+    oracle="""
+WITH w AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           nth_value(CAST(round(o_totalprice * 100) AS BIGINT), 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_cents,
+           first_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_order,
+           last_value(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rk
+    FROM orders
+)
+SELECT o_custkey, second_order_cents, first_order, last_order
+FROM w WHERE rk = 1
+""",
+    doc="nth_value / first_value / last_value with the full-partition "
+    "frame — the window functions that answer 'second purchase value' "
+    "(the classic repeat-buyer feature) in one pass. The explicit "
+    "UNBOUNDED FOLLOWING frame matters: the default frame stops at "
+    "CURRENT ROW, silently turning last_value into 'current value' — "
+    "the single most common window-function bug in analyst SQL, "
+    "pinned here across both engines. One customer-keyed exchange "
+    "serves all four functions; the rk=1 filter collapses to one row "
+    "per customer without a second shuffle.",
+)
+def win_nth_value_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w = o.select(
+        "o_custkey",
+        F.nth_value(cents, 2).over(full).alias("second_order_cents"),
+        F.first("o_orderkey").over(full).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.row_number().over(base).alias("rk"),
+    )
+    return w.where(F.col("rk") == 1).drop("rk")
+
+
+@register(
+    "part_brand_price_stats",
+    oracle="""
+WITH p AS (
+    SELECT p_brand,
+           CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+    FROM part
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(min(cents) AS BIGINT) AS min_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(*) * sum(cents * cents) - sum(cents) * sum(cents) AS BIGINT)
+           AS var_num,
+       CAST(CASE WHEN sum(cents) > 0 THEN
+            CAST(floor(sqrt(CAST(count(*) * sum(cents * cents)
+                                 - sum(cents) * sum(cents) AS DOUBLE))
+                       / sum(cents) * 1000000) AS BIGINT)
+            ELSE 0 END AS BIGINT) AS cv_micro
+FROM p GROUP BY p_brand
+""",
+    doc="Price dispersion per brand: n/min/max/sum plus the exact "
+    "integer variance numerator n*sum(x^2) - sum(x)^2 and a "
+    "coefficient-of-variation in micro-units (sqrt enters once on an "
+    "exact integer; CV = stddev/mean = sqrt(var_num)/sum since the "
+    "n factors cancel). Order-independent integer moments — immune to "
+    "shuffle-order float drift — in one map-side-combinable aggregate "
+    "over the catalog table.",
+)
+def part_brand_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, "part", sf_dir).select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents")
+    )
+    g = p.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+        F.sum("cents").alias("sum_cents"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    var_num = F.col("n_parts") * F.col("s2") - F.col("sum_cents") * F.col("sum_cents")
+    return g.select(
+        "p_brand",
+        F.col("n_parts").cast("bigint").alias("n_parts"),
+        F.col("min_cents").cast("bigint").alias("min_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        var_num.cast("bigint").alias("var_num"),
+        F.when(
+            F.col("sum_cents") > 0,
+            F.floor(
+                F.sqrt(var_num.cast("double")) / F.col("sum_cents") * 1_000_000
+            ).cast("bigint"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("cv_micro"),
+    )

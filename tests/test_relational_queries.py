@@ -142,6 +142,8 @@ RELATIONAL = [
     "fn_bitwise_ops",
     "events_value_log_histogram",
     "timeseries_pattern_match",
+    "win_nth_value_pack",
+    "part_brand_price_stats",
 ]
 
 
