@@ -462,3 +462,12 @@ def test_named_window_reuse_single_window_operator(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "sql_window_clause_reuse")
     assert s.count("Window") == 1, s.nodes
     assert s.count("Exchange") == 1, s.nodes
+
+
+def test_geo_grid_join_is_keyed_never_cartesian(spark, sf_dir) -> None:
+    """The spatial self-join must run as an equi-join on cell ids with
+    the distance predicate as a residual — an accidental cross join
+    here is quadratic in the point count."""
+    s = _summary(spark, sf_dir, "geo_grid_neighbor_join")
+    assert not s.has("CartesianProduct"), s.nodes
+    assert not s.has("BroadcastNestedLoopJoin"), s.nodes

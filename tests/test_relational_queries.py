@@ -144,6 +144,7 @@ RELATIONAL = [
     "timeseries_pattern_match",
     "win_nth_value_pack",
     "part_brand_price_stats",
+    "geo_grid_neighbor_join",
 ]
 
 
