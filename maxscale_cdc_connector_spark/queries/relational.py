@@ -6492,3 +6492,80 @@ def geo_grid_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             d2.cast("bigint").alias("dist2"),
         )
     )
+
+
+@register(
+    "fn_higher_order_pack",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey,
+           [o_orderkey % 7, o_orderkey % 11, o_orderkey % 13,
+            o_orderkey % 17, o_orderkey % 19] AS xs
+    FROM orders
+)
+SELECT o_orderkey,
+       list_filter(xs, x -> x % 2 = 0) AS evens,
+       len(list_filter(xs, x -> x > 10)) AS n_big,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                        (a, x) -> a + x) AS BIGINT) AS total,
+       list_transform(xs, x -> x * x) AS squares,
+       CASE WHEN len(list_filter(xs, x -> x >= 5)) = len(xs)
+            THEN true ELSE false END AS all_ge5,
+       len(list_filter(xs, x -> x = 0)) > 0 AS any_zero
+FROM base
+""",
+    doc="Higher-order array functions — filter / transform / aggregate "
+    "(fold) / exists / forall over per-row arrays, the expression-"
+    "level data-programming surface that keeps array logic INSIDE "
+    "Catalyst instead of exploding to rows (an explode+groupBy "
+    "re-aggregation shuffles the whole fan-out; these evaluate "
+    "row-local in one projection). Arrays are derived from integer "
+    "key arithmetic, so every lambda result is exact on both engines; "
+    "DuckDB mirrors via list_filter/list_transform/list_reduce.",
+)
+def fn_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    xs = F.array(*[(F.col("o_orderkey") % m).cast("bigint") for m in (7, 11, 13, 17, 19)])
+    base = o.select("o_orderkey", xs.alias("xs"))
+    return base.select(
+        "o_orderkey",
+        F.filter("xs", lambda x: x % 2 == 0).alias("evens"),
+        F.size(F.filter("xs", lambda x: x > 10)).alias("n_big"),
+        F.aggregate("xs", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total"),
+        F.transform("xs", lambda x: x * x).alias("squares"),
+        F.forall("xs", lambda x: x >= 5).alias("all_ge5"),
+        F.exists("xs", lambda x: x == 0).alias("any_zero"),
+    )
+
+
+@register(
+    "fn_binary_encodings",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       upper(hex(encode(substr(text, 1, 8)))) AS head_hex,
+       to_base64(encode(substr(text, 1, 9))) AS head_b64,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 5 = 0
+""",
+    doc="Binary encodings and digests — md5 / sha256 / hex / base64 / "
+    "byte length over document payloads: the content-addressing and "
+    "wire-encoding primitives under the manifest, dedup, and split "
+    "keys, pinned here directly so an engine/runtime digest "
+    "divergence (or a base64 padding change) is caught by its own "
+    "key rather than by a downstream dedup mismatch. Row-local "
+    "codegen expressions; the %5 filter bounds output.",
+)
+def fn_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir).where(F.col("doc_id") % 5 == 0)
+    head8 = F.substring("text", 1, 8).cast("binary")
+    head9 = F.substring("text", 1, 9).cast("binary")
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("md5_hex"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("sha256_hex"),
+        F.hex(head8).alias("head_hex"),
+        F.base64(head9).alias("head_b64"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )

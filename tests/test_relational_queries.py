@@ -145,6 +145,8 @@ RELATIONAL = [
     "win_nth_value_pack",
     "part_brand_price_stats",
     "geo_grid_neighbor_join",
+    "fn_higher_order_pack",
+    "fn_binary_encodings",
 ]
 
 
