@@ -43,6 +43,12 @@ _CHANGED_THIS_ROUND = (
     # integer 1e-4 units after a .00005-lattice split at sf0.1 (user 406)
     # — schema and values changed, prior green no longer vouches.
     "events_regularity_bot_flags",
+    # Promoted from rows-only to exact-hash oracles (decode stub byte
+    # stats / frame slices / thumbnail strides are pure arithmetic both
+    # engines reproduce); decode_features also moved to integer columns.
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbs",
     "simsearch_pairwise_threshold",
     "dedup_embedding_cosine",
     "embedding_normalize_l2",

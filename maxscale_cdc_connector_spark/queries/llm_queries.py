@@ -451,32 +451,63 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas plumbing; binary lambda not worth a SQL oracle.
+    oracle="""
+WITH by_char AS (
+    SELECT doc_id,
+           octet_length(encode(text)) AS f_len,
+           ascii(substr(text, 1, 1)) AS f_first,
+           ascii(substr(text, length(text), 1)) AS f_last,
+           sum(ascii(substr(text, g.i, 1))) AS byte_sum
+    FROM documents,
+         LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
+    GROUP BY doc_id, text
+)
+SELECT doc_id,
+       CAST(f_len AS BIGINT) AS f_len,
+       CAST(f_first AS BIGINT) AS f_first,
+       CAST(f_last AS BIGINT) AS f_last,
+       CAST(byte_sum % 256 AS BIGINT) AS f_checksum
+FROM by_char
+""",
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas — the real plumbing (schema, batch shape, partitioning) "
     "for a media decoder; extractor stubbed deterministically (container "
-    "has no media libs). pytest pins the exact feature values.",
+    "has no media libs) as exact byte statistics, which makes this the "
+    "rare mapInPandas op with a FULL exact-hash oracle: DuckDB recomputes "
+    "the same bytes char-wise (the corpus is ASCII, so ascii() == byte). "
+    "The integer cast at the boundary keeps the driver hash exact.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     feats = decode_features(build_manifest(d))
     return feats.select(
         "doc_id",
-        F.element_at("features", 1).alias("f_len"),
-        F.element_at("features", 2).alias("f_first"),
-        F.element_at("features", 3).alias("f_last"),
-        F.element_at("features", 4).alias("f_checksum"),
+        F.element_at("features", 1).cast("bigint").alias("f_len"),
+        F.element_at("features", 2).cast("bigint").alias("f_first"),
+        F.element_at("features", 3).cast("bigint").alias("f_last"),
+        F.element_at("features", 4).cast("bigint").alias("f_checksum"),
     )
 
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # mapInPandas fan-out; extractor stubbed — rows-only.
+    oracle="""
+WITH m AS (
+    SELECT doc_id, text,
+           greatest(1, octet_length(encode(text)) // 4) AS step
+    FROM documents
+)
+SELECT doc_id, CAST(g.i AS INTEGER) AS frame_idx,
+       sha256(substr(text, g.i * step + 1, step)) AS frame_sha256
+FROM m, LATERAL (SELECT unnest(generate_series(0, 3)) AS i) g
+""",
     doc="Frame sampling over binary payloads: one payload row fans out "
     "to 4 frame rows (frame bytes + sha256 content address) inside a "
     "single Arrow-batched mapInPandas pass — the video keyframe-sampling "
-    "shape; decoder stubbed as deterministic byte slicing. pytest pins "
-    "exact frame bytes and digests.",
+    "shape; decoder stubbed as deterministic byte slicing, which makes "
+    "the fan-out fully exact-hash verifiable: DuckDB recomputes each "
+    "frame digest from the same substring slices. pytest additionally "
+    "pins exact frame bytes.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
@@ -485,13 +516,35 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize_thumbs",
-    oracle=None,  # mapInPandas over binary payloads; resampler stubbed — rows-only.
+    oracle="""
+WITH m AS (
+    SELECT doc_id, text, octet_length(encode(text)) AS len FROM documents
+),
+small AS (SELECT doc_id, text AS thumb FROM m WHERE len <= 64),
+big AS (
+    SELECT doc_id,
+           string_agg(
+               substr(text, CAST(trunc(g.i * (len / 64.0)) AS INTEGER) + 1, 1),
+               '' ORDER BY g.i) AS thumb
+    FROM m, LATERAL (SELECT unnest(generate_series(0, 63)) AS i) g
+    WHERE len > 64
+    GROUP BY doc_id
+),
+all_t AS (SELECT * FROM small UNION ALL SELECT * FROM big)
+SELECT doc_id,
+       CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_bytes,
+       sha256(thumb) AS thumb_sha256
+FROM all_t
+""",
     doc="Fixed-size thumbnail resize over binary payloads: one "
     "Arrow-batched mapInPandas pass emits (doc_id, thumb_bytes, "
     "thumb_sha256) per payload — the CLIP-style fixed-resolution "
     "preprocessing shape (operators/multimodal.resize_thumbnails). "
     "The resampler is the deterministic strided-byte stub behind the "
-    "PIL-gated decode boundary; pytest pins exact thumbnail bytes.",
+    "PIL-gated decode boundary — and because the stride positions are "
+    "pure IEEE arithmetic (int(i*len/64)), DuckDB rebuilds every "
+    "thumbnail byte-for-byte and the driver hash-verifies the whole "
+    "fan-in. pytest additionally pins exact thumbnail bytes.",
 )
 def multimodal_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)

@@ -34,6 +34,9 @@ ORACLE_CHECKED = [
     "text_phrase_search",
     "embedding_matryoshka_fidelity",
     "text_pmi_cooccurrence",
+    "multimodal_decode_features",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbs",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
