@@ -49,6 +49,8 @@ _CHANGED_THIS_ROUND = (
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize_thumbs",
+    "cdc_dead_letter",
+    "stream_replay_count",
     "simsearch_pairwise_threshold",
     "dedup_embedding_cosine",
     "embedding_normalize_l2",

@@ -470,12 +470,20 @@ def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "cdc_dead_letter",
-    oracle=None,  # exercises the malformed-line quarantine path; the mixed
-    # log is built in-process, so no parquet-side oracle exists.
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT 'good' AS channel, CAST(count(*) AS BIGINT) AS n FROM cdc_events
+UNION ALL
+SELECT 'dead_letter' AS channel, CAST(4 AS BIGINT) AS n
+""",
     doc="Dead-letter decode over a log with malformed lines mixed in: "
     "good rows decode typed, bad lines are quarantined with the raw "
-    "payload preserved (split_dead_letter). Returns per-channel counts; "
-    "exact routing is pinned in tests/test_cdc_queries.py.",
+    "payload preserved (split_dead_letter). Every well-formed event "
+    "must survive and EXACTLY the four injected junk lines must "
+    "quarantine — the oracle pins both channel counts (the good count "
+    "is the full synthetic log; a decode regression that drops or "
+    "misroutes any line flips a row). Exact routing of each line is "
+    "additionally pinned in tests/test_cdc_queries.py.",
 )
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.cdc import split_dead_letter

@@ -321,12 +321,21 @@ def stream_snapshot_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_replay_count",
-    oracle=None,  # true streaming execution — rows-only driver check.
-    doc="File-replay smoke through the real Structured Streaming path: "
-    "replays the synthetic change log as a stream (availableNow) into a "
-    "memory sink and returns per-event_type counts. The full behavior "
-    "matrix (watermarks, sessions, snapshot sink, dedup state) is pinned "
-    "in tests/test_streaming.py and tests/test_cdc_source.py.",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM cdc_events WHERE sequence <= 2000
+GROUP BY event_type
+""",
+    doc="File-replay through the real Structured Streaming path: replays "
+    "a deterministic slice of the synthetic change log (sequence <= "
+    "2000 — a LIMIT would pick arbitrary rows and break the oracle at "
+    "larger scale factors) as a stream (availableNow) into a memory "
+    "sink and hash-verifies per-event_type counts against the batch "
+    "oracle — the stream must lose nothing and double nothing. The "
+    "full behavior matrix (watermarks, sessions, snapshot sink, dedup "
+    "state) is pinned in tests/test_streaming.py and "
+    "tests/test_cdc_source.py.",
 )
 def stream_replay_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
@@ -337,7 +346,7 @@ def stream_replay_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
     from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
 
-    ev = synthetic_customer_events(spark, sf_dir).limit(2000)
+    ev = synthetic_customer_events(spark, sf_dir).filter(F.col("sequence") <= 2000)
     log_dir = os.path.join(tempfile.gettempdir(), f"replay-{uuid.uuid4().hex[:12]}")
     os.makedirs(log_dir)
     with open(os.path.join(log_dir, "part-000.jsonl"), "w") as fh:

@@ -19,6 +19,7 @@ ORACLE_CHECKED = [
     "stream_snapshot_sink_replayed",
     "stream_dedup_within_watermark",
     "stream_session_ttl_finalize",
+    "stream_replay_count",
 ]
 
 
