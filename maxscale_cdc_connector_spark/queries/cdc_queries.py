@@ -1110,3 +1110,50 @@ def cdc_incremental_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s2").cast("bigint").alias("s2_cents2"),
         F.round(var, 4).alias("variance"),
     )
+
+
+@register(
+    "cdc_txn_manifest",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL}
+SELECT domain, server_id, sequence,
+       CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, ',' ORDER BY event_number) AS event_chain,
+       CAST(min(c_custkey) AS BIGINT) AS first_key,
+       CAST(max(event_number) AS BIGINT) AS last_event_number
+FROM cdc_events
+GROUP BY domain, server_id, sequence
+HAVING count(*) > 1
+""",
+    doc="Transaction reassembly: one manifest row per GTID whose "
+    "transaction carries multiple events (the avrorouter emits an "
+    "update's before/after halves under ONE sequence with consecutive "
+    "event_numbers — envelope semantics, cdc_connector.h:65), with the "
+    "event-type chain rebuilt in event_number order via an ordered "
+    "string aggregation. This is the audit a downstream consumer runs "
+    "to confirm transactional atomicity survived transport: a chain "
+    "that is not 'update_before,update_after' means a half-applied "
+    "transaction. One hash aggregate keyed on the GTID triple; "
+    "map-side partials collapse each transaction before the shuffle.",
+)
+def cdc_txn_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    chain = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("event_number", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    return (
+        events.groupBy("domain", "server_id", "sequence")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            chain.alias("event_chain"),
+            F.min("c_custkey").cast("bigint").alias("first_key"),
+            F.max("event_number").cast("bigint").alias("last_event_number"),
+        )
+        .where(F.col("n_events") > 1)
+    )

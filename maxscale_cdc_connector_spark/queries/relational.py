@@ -6569,3 +6569,68 @@ def fn_binary_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(head9).alias("head_b64"),
         F.octet_length("text").cast("bigint").alias("n_bytes"),
     )
+
+
+@register(
+    "orders_dow_anova",
+    oracle="""
+WITH g AS (
+    SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS BIGINT) AS dow,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+),
+per_group AS (
+    SELECT dow, count(*) AS n, sum(cents) AS s1, sum(cents * cents) AS s2
+    FROM g GROUP BY dow
+),
+tot AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+           CAST(sum(s1) AS BIGINT) AS s1_tot,
+           CAST(count(*) AS BIGINT) AS k
+    FROM per_group
+)
+SELECT p.dow,
+       CAST(p.n AS BIGINT) AS n_orders,
+       CAST(p.s1 // p.n AS BIGINT) AS mean_cents_floor,
+       CAST(floor(
+           ((CAST(p.s1 AS DOUBLE) / p.n - CAST(t.s1_tot AS DOUBLE) / t.n_tot)
+            * (CAST(p.s1 AS DOUBLE) / p.n - CAST(t.s1_tot AS DOUBLE) / t.n_tot))
+           / 10000.0) AS BIGINT) AS mean_dev_sq_e4
+FROM per_group p, tot t
+""",
+    doc="Day-of-week effect screen (the between-group leg of one-way "
+    "ANOVA): per-dow order counts, floor means in exact cents, and "
+    "each group mean's squared deviation from the grand mean — the "
+    "seasonality-of-spend question behind staffing and promo "
+    "calendars. Group moments are exact integer sums (order-"
+    "independent); the deviation enters floats only at the output "
+    "boundary through one deterministic expression per group over "
+    "7 rows. Numbering: Spark's dayofweek is 1=Sunday..7 while "
+    "DuckDB's is 0-based, so the oracle adds 1 — calendar arithmetic "
+    "is otherwise exact on both engines.",
+)
+def orders_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir).select(
+        F.dayofweek(F.to_date("o_orderdate")).cast("bigint").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_group = o.groupBy("dow").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    tot = per_group.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("s1").cast("bigint").alias("s1_tot"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    dev = (
+        F.col("s1").cast("double") / F.col("n")
+        - F.col("s1_tot").cast("double") / F.col("n_tot")
+    )
+    return per_group.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.expr("s1 DIV n").cast("bigint").alias("mean_cents_floor"),
+        F.floor(dev * dev / 10000.0).cast("bigint").alias("mean_dev_sq_e4"),
+    )

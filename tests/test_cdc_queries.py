@@ -8,6 +8,7 @@ CDC_QUERIES = [
     "cdc_merge_into_upsert",
     "cdc_incremental_var",
     "cdc_dead_letter",
+    "cdc_txn_manifest",
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
     "cdc_scd2_temporal_join",

@@ -147,6 +147,7 @@ RELATIONAL = [
     "geo_grid_neighbor_join",
     "fn_higher_order_pack",
     "fn_binary_encodings",
+    "orders_dow_anova",
 ]
 
 
