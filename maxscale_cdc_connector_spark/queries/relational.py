@@ -6634,3 +6634,150 @@ def orders_dow_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("s1 DIV n").cast("bigint").alias("mean_cents_floor"),
         F.floor(dev * dev / 10000.0).cast("bigint").alias("mean_dev_sq_e4"),
     )
+
+
+@register(
+    "orders_seasonal_index",
+    oracle="""
+WITH monthly AS (
+    SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders GROUP BY 1
+),
+ma AS (
+    SELECT mon, cents,
+           sum(cents) OVER (ORDER BY mon ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+               AS win_sum,
+           count(*) OVER (ORDER BY mon ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+               AS win_n
+    FROM monthly
+)
+SELECT mon,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(win_sum // win_n AS BIGINT) AS ma3_floor_cents,
+       CAST(cents * 10000 // (win_sum // win_n) AS BIGINT) AS seasonal_index_bp
+FROM ma WHERE win_n = 3
+""",
+    doc="Ratio-to-moving-average seasonal index: monthly revenue over its "
+    "centered 3-month moving average, in exact basis points — the "
+    "classical-decomposition seasonal factor (a Jan index of 11000 bp "
+    "means January runs 10% hot). All integer: exact cents sums, floor "
+    "MA, integer cross-division. The window runs over the ~80-row "
+    "monthly aggregate (model-state sized — the corpus collapsed "
+    "first), edge months without a full window are excluded rather "
+    "than padded, the honest convention.",
+)
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    monthly = o.groupBy(
+        F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("mon")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    w = W.orderBy("mon").rowsBetween(-1, 1)
+    ma = monthly.select(
+        "mon", "cents",
+        F.sum("cents").over(w).alias("win_sum"),
+        F.count("*").over(w).alias("win_n"),
+    )
+    return ma.where(F.col("win_n") == 3).select(
+        "mon",
+        F.col("cents").cast("bigint").alias("revenue_cents"),
+        F.expr("win_sum DIV win_n").cast("bigint").alias("ma3_floor_cents"),
+        F.expr("cents * 10000 DIV (win_sum DIV win_n)")
+        .cast("bigint")
+        .alias("seasonal_index_bp"),
+    )
+
+
+@register(
+    "lineitem_revenue_waterfall",
+    oracle="""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS gross_cents,
+       CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS discount_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                     AS BIGINT)) AS BIGINT) AS tax_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            - sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            + sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                       AS BIGINT)) AS BIGINT) AS net_cents
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    doc="Revenue waterfall per return flag: gross -> minus discounts -> "
+    "plus tax -> net charged, the P&L bridge a finance review reads. "
+    "Each component rounds to cents ONCE per row (the same "
+    "rounding-point both engines apply to identical IEEE products) "
+    "then sums exactly, so the bridge reconciles to the cent by "
+    "construction — summing floats and rounding at the end would not. "
+    "One map-side-combinable aggregate over three groups.",
+)
+def lineitem_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    gross = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint")
+    tax = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax") * 100
+    ).cast("bigint")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(gross).alias("g"),
+        F.sum(disc).alias("d"),
+        F.sum(tax).alias("x"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_lines",
+        F.col("g").cast("bigint").alias("gross_cents"),
+        F.col("d").cast("bigint").alias("discount_cents"),
+        F.col("x").cast("bigint").alias("tax_cents"),
+        (F.col("g") - F.col("d") + F.col("x")).cast("bigint").alias("net_cents"),
+    )
+
+
+@register(
+    "events_new_vs_returning",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT e.user_id,
+           CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) AS day,
+           f.first_day
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY 1, 2, 3
+)
+SELECT day,
+       CAST(count(*) FILTER (WHERE day = first_day) AS BIGINT) AS new_users,
+       CAST(count(*) FILTER (WHERE day > first_day) AS BIGINT)
+           AS returning_users
+FROM daily GROUP BY day
+""",
+    doc="New vs returning daily actives — the growth-accounting split "
+    "every DAU dashboard needs (raw DAU hides whether growth is "
+    "acquisition or retention). Plan: first-seen day per user (one "
+    "user-keyed aggregate), distinct user-days (same key — the "
+    "exchange is reused), then the flag is a row-local comparison and "
+    "the final rollup is |days| rows. Epoch-day integer bucketing "
+    "keeps both engines identical.",
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    day = F.expr("ts_us DIV 86400000000").cast("bigint")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    daily = (
+        e.select("user_id", day.alias("day"))
+        .distinct()
+        .join(firsts, "user_id")
+    )
+    return daily.groupBy("day").agg(
+        F.count_if(F.col("day") == F.col("first_day")).cast("bigint").alias("new_users"),
+        F.count_if(F.col("day") > F.col("first_day"))
+        .cast("bigint")
+        .alias("returning_users"),
+    )

@@ -148,6 +148,9 @@ RELATIONAL = [
     "fn_higher_order_pack",
     "fn_binary_encodings",
     "orders_dow_anova",
+    "orders_seasonal_index",
+    "lineitem_revenue_waterfall",
+    "events_new_vs_returning",
 ]
 
 
