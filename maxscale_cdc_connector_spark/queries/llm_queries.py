@@ -3120,3 +3120,81 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("pmi_micro"),
         )
     )
+
+
+@register(
+    "simsearch_filtered_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT e.vec_id, e.label, {_dot_sql('e.embedding', 'q.qe')} AS sim
+    FROM embeddings e, q
+    WHERE e.label = q.ql AND e.vec_id <> 0
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label, round(sim, 5) AS sim
+FROM scored ORDER BY sim DESC, vec_id LIMIT 20
+""",
+    doc="FILTERED vector search — top-20 among vectors sharing the query's "
+    "label — the vector-database feature (metadata predicate + ANN) "
+    "that decides real retrieval quality. The filter applies BEFORE "
+    "scoring (pre-filtering): the label predicate prunes the scan, so "
+    "cost tracks the filtered population and recall is exact by "
+    "construction — post-filtering a top-k list underfills it whenever "
+    "the predicate is selective, the classic filtered-ANN bug. Same "
+    "broadcast-query + TakeOrderedAndProject shape as the unfiltered "
+    "top-k; at scale the label predicate pushes into the parquet scan.",
+)
+def simsearch_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.vectors import dot
+
+    emb = t(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("label") == F.col("ql"))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(dot("embedding", "qe"), 5).alias("sim"),
+        )
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(20)
+
+
+@register(
+    "dedup_exact_vectors",
+    oracle="""
+SELECT min(vec_id) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(label) AS BIGINT) AS min_label,
+       CAST(max(label) AS BIGINT) AS max_label
+FROM embeddings
+GROUP BY embedding
+HAVING count(*) > 1
+""",
+    doc="Exact-duplicate VECTOR collapse: group directly on the embedding "
+    "array value (bit-identical float32 components — re-encoded or "
+    "re-ingested copies, the cheapest dedup before any cosine work). "
+    "Grouping on the array avoids every formatting/serialization trap "
+    "(a string-join of floats differs across engines); the output "
+    "carries only scalars so the harness canonicalizes it. Shuffle "
+    "carries (array, id) pairs collapsed map-side; label min/max "
+    "expose conflicting labels among byte-identical vectors — a "
+    "labeling-pipeline bug detector for free.",
+)
+def dedup_exact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, "embeddings", sf_dir)
+    return (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("keep_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("label").cast("bigint").alias("min_label"),
+            F.max("label").cast("bigint").alias("max_label"),
+        )
+        .where(F.col("n_copies") > 1)
+        .drop("embedding")
+    )

@@ -37,6 +37,8 @@ ORACLE_CHECKED = [
     "multimodal_decode_features",
     "multimodal_frame_sample",
     "multimodal_resize_thumbs",
+    "simsearch_filtered_topk",
+    "dedup_exact_vectors",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
