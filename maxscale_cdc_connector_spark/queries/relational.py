@@ -6781,3 +6781,45 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("returning_users"),
     )
+
+
+@register(
+    "win_time_interval_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_90d_cents,
+       CAST(count(*) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_90d_orders
+FROM orders
+""",
+    doc="TIME-interval RANGE frame: trailing-90-day spend per customer — "
+    "the rolling-revenue feature real CRM scoring uses. RANGE over "
+    "event time differs from ROWS in exactly the ways that matter: "
+    "the frame is defined by the TIMESTAMP VALUE (gaps shrink the "
+    "window, bursts widen it) and same-timestamp ties are frame-"
+    "inclusive, which keeps the result deterministic without a "
+    "tiebreaker. Customer-keyed exchange; exact integer cents inside "
+    "the frame sum.",
+)
+def win_time_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    o.createOrReplaceTempView("v_orders_tif")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_90d_cents,
+               CAST(count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS trailing_90d_orders
+        FROM v_orders_tif
+        """
+    )

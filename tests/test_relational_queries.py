@@ -151,6 +151,7 @@ RELATIONAL = [
     "orders_seasonal_index",
     "lineitem_revenue_waterfall",
     "events_new_vs_returning",
+    "win_time_interval_frame",
 ]
 
 
