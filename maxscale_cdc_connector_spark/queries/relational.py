@@ -6823,3 +6823,106 @@ def win_time_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_orders_tif
         """
     )
+
+
+@register(
+    "events_activity_hhi",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n) AS n_tot, count(*) AS k FROM per_user)
+SELECT CAST(t.k AS BIGINT) AS n_users,
+       CAST(t.n_tot AS BIGINT) AS n_events,
+       CAST(sum(p.n * p.n) AS BIGINT) AS sum_sq,
+       CAST(sum(p.n * p.n) * 1000000 // (t.n_tot * t.n_tot) AS BIGINT)
+           AS hhi_ppm,
+       CAST(1000000 // t.k AS BIGINT) AS uniform_hhi_ppm
+FROM per_user p, tot t
+GROUP BY t.k, t.n_tot
+""",
+    doc="Herfindahl-Hirschman concentration of activity: HHI = "
+    "sum((n_u/N)^2), computed as the exact integer rational "
+    "sum(n^2)/N^2 in ppm — never materializing per-user float shares "
+    "(whose squares would each truncate). Read against the uniform "
+    "floor 1/k: HHI near the floor means broad engagement, HHI >> "
+    "floor means a handful of power users dominate — the one-number "
+    "platform-health gauge next to the Gini key. One user-keyed "
+    "aggregate plus a 2-scalar broadcast.",
+)
+def events_activity_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    tot = per_user.agg(
+        F.sum("n").alias("n_tot"), F.count("*").alias("k")
+    )
+    agg = per_user.crossJoin(F.broadcast(tot)).groupBy("k", "n_tot").agg(
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq")
+    )
+    return agg.select(
+        F.col("k").cast("bigint").alias("n_users"),
+        F.col("n_tot").cast("bigint").alias("n_events"),
+        F.col("sum_sq").cast("bigint").alias("sum_sq"),
+        F.expr("sum_sq * 1000000 DIV (n_tot * n_tot)")
+        .cast("bigint")
+        .alias("hhi_ppm"),
+        F.expr("1000000 DIV k").cast("bigint").alias("uniform_hhi_ppm"),
+    )
+
+
+@register(
+    "dq_primary_key_audit",
+    oracle="""
+SELECT 'orders' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_pk,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+FROM orders
+UNION ALL
+SELECT 'customer', count(*), count(DISTINCT c_custkey),
+       count(*) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'part', count(*), count(DISTINCT p_partkey),
+       count(*) - count(DISTINCT p_partkey) FROM part
+UNION ALL
+SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+       count(*) - count(DISTINCT s_suppkey) FROM supplier
+UNION ALL
+SELECT 'lineitem', count(*),
+       count(DISTINCT (l_orderkey, l_linenumber)),
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'events', count(*), count(DISTINCT event_id),
+       count(*) - count(DISTINCT event_id) FROM events
+""",
+    doc="Primary-key uniqueness audit across every core table in one "
+    "result — the first data-quality gate any warehouse load runs "
+    "(n_dup_rows > 0 on a PK means upstream re-delivery or a broken "
+    "merge; lineitem checks its COMPOSITE key). Each branch is one "
+    "scan with a distinct aggregate; Spark executes the branches "
+    "independently so the audit parallelizes across tables, and each "
+    "count-distinct is partial-aggregated before its shuffle.",
+)
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(table: str, *pk: str) -> DataFrame:
+        d = t(spark, table, sf_dir)
+        key = F.struct(*[F.col(c) for c in pk]) if len(pk) > 1 else F.col(pk[0])
+        return d.agg(
+            F.lit(table).alias("table_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(key).cast("bigint").alias("n_distinct_pk"),
+            (F.count("*") - F.countDistinct(key)).cast("bigint").alias("n_dup_rows"),
+        )
+
+    parts = [
+        audit("orders", "o_orderkey"),
+        audit("customer", "c_custkey"),
+        audit("part", "p_partkey"),
+        audit("supplier", "s_suppkey"),
+        audit("lineitem", "l_orderkey", "l_linenumber"),
+        audit("events", "event_id"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

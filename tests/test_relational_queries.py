@@ -152,6 +152,8 @@ RELATIONAL = [
     "lineitem_revenue_waterfall",
     "events_new_vs_returning",
     "win_time_interval_frame",
+    "events_activity_hhi",
+    "dq_primary_key_audit",
 ]
 
 
