@@ -3198,3 +3198,54 @@ def dedup_exact_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_copies") > 1)
         .drop("embedding")
     )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # zlib has no DuckDB analog; invariants pinned in pytest
+    # (bounds, monotonicity on repetitive text, determinism).
+    doc="Compression-ratio quality signal: deflate(text)/len(text) per "
+    "document, rolled up per source — the entropy proxy production "
+    "curation stacks use (MassiveText/RefinedWeb lineage: highly "
+    "compressible usually means templated/repetitive boilerplate, "
+    "incompressible means noise; natural prose sits in a band). zlib "
+    "runs level-9 inside an Arrow-batched pandas UDF (per-batch "
+    "dispatch, not per-row Python), emitting exact integer byte "
+    "counts; the rollup is map-side-combinable integer sums and the "
+    "ratio is computed once per source at the boundary in exact ppm.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    def _deflate(texts):
+        import zlib
+
+        return texts.map(lambda s: len(zlib.compress(s.encode("utf-8"), 9)))
+
+    # explicit form: the module runs under `from __future__ import
+    # annotations`, so pd.Series hints on a nested def cannot be
+    # resolved from module globals by the eval-type inferrer.
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    deflate_len = pandas_udf(_deflate, "long", PandasUDFType.SCALAR)
+
+    d = t(spark, "documents", sf_dir).select("source", "text", "n_chars")
+    scored = d.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("raw_len"),
+        deflate_len("text").alias("comp_len"),
+    )
+    g = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("raw_len").cast("bigint").alias("raw_bytes"),
+        F.sum("comp_len").cast("bigint").alias("comp_bytes"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "raw_bytes",
+        "comp_bytes",
+        F.expr("comp_bytes * 1000000 DIV raw_bytes")
+        .cast("bigint")
+        .alias("ratio_ppm"),
+    )

@@ -591,3 +591,28 @@ def test_ancestor_closure_matches_known_tree(spark) -> None:
         (6, 3): 1, (6, 1): 2, (6, 0): 3,
     }
     assert got == want
+
+
+def test_compression_ratio_bounds_and_monotonicity(spark, sf_dir):
+    """Ratios sit in a sane band, are deterministic across runs, and a
+    pathologically repetitive text compresses far better than the
+    natural corpus."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    fn = REGISTRY["text_compression_ratio"].fn
+    rows1 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    rows2 = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert rows1 == rows2
+    assert rows1, "no sources"
+    for _, n_docs, raw, comp, ppm in rows1:
+        assert n_docs > 0 and raw > 0 and comp > 0
+        assert 0 < ppm < 2_000_000  # never > 2x expansion
+        assert ppm == comp * 1_000_000 // raw
+    # word-soup corpus compresses, but far less than pure repetition
+    rep = len(zlib.compress(b"spam " * 2000, 9)) * 1_000_000 // 10_000
+    assert min(r[4] for r in rows1) > rep
