@@ -6926,3 +6926,66 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "events_dow_hour_chi2",
+    oracle="""
+WITH cells AS (
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hr,
+           count(*) AS obs
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT c.dow, c.hr, c.obs,
+           sum(c.obs) OVER (PARTITION BY c.dow) AS row_tot,
+           sum(c.obs) OVER (PARTITION BY c.hr) AS col_tot,
+           sum(c.obs) OVER () AS n
+    FROM cells c
+)
+SELECT dow, hr,
+       CAST(obs AS BIGINT) AS observed,
+       CAST(row_tot * col_tot // n AS BIGINT) AS expected_floor,
+       CAST(floor(
+           (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+           * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+           / (CAST(row_tot AS DOUBLE) * col_tot / n) * 1000) AS BIGINT)
+           AS chi2_cell_milli
+FROM margins
+""",
+    doc="Chi-square independence screen for the day-of-week x hour load "
+    "grid: per-cell observed counts, floor'd expected counts under "
+    "independence, and each cell's chi-square contribution in exact "
+    "milli-units — the statistical upgrade over eyeballing the "
+    "seasonality heatmap (cells with large contributions ARE the "
+    "anomalous load pockets). The margin windows run over the <=168-"
+    "cell aggregate (model-state sized; the corpus collapsed first), "
+    "and every float expression is a deterministic function of three "
+    "integers. Epoch-day arithmetic (day 0 = Thursday, +4 aligns "
+    "Sunday=0) matches both engines bit-for-bit.",
+)
+def events_dow_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    cells = e.groupBy(
+        F.expr("(ts_us DIV 86400000000 + 4) % 7").cast("bigint").alias("dow"),
+        F.expr("(ts_us % 86400000000) DIV 3600000000").cast("bigint").alias("hr"),
+    ).agg(F.count("*").alias("obs"))
+    wd = W.partitionBy("dow")
+    wh = W.partitionBy("hr")
+    wall = W.partitionBy()
+    m = cells.select(
+        "dow", "hr", "obs",
+        F.sum("obs").over(wd).alias("row_tot"),
+        F.sum("obs").over(wh).alias("col_tot"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    exp = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return m.select(
+        "dow", "hr",
+        F.col("obs").cast("bigint").alias("observed"),
+        F.expr("row_tot * col_tot DIV n").cast("bigint").alias("expected_floor"),
+        F.floor((F.col("obs") - exp) * (F.col("obs") - exp) / exp * 1000)
+        .cast("bigint")
+        .alias("chi2_cell_milli"),
+    )

@@ -893,3 +893,58 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pair", F.col("pair_count").cast("bigint").alias("pair_count"))
     )
     return pairs
+
+
+@register(
+    "pipeline_interleave_sources",
+    oracle="""
+WITH ranked AS (
+    SELECT doc_id, source,
+           row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+               AS rank_in_source,
+           dense_rank() OVER (ORDER BY source) - 1 AS source_idx
+    FROM documents
+),
+k AS (SELECT count(DISTINCT source) AS k FROM documents)
+SELECT doc_id, source,
+       CAST(rank_in_source AS BIGINT) AS rank_in_source,
+       CAST(rank_in_source * k.k + source_idx AS BIGINT) AS interleave_pos
+FROM ranked, k
+""",
+    doc="Round-robin dataset interleaving: a deterministic global "
+    "training-order position that cycles across sources (pos = "
+    "within-source-rank * k + source-index) — the tf.data/torchdata "
+    "interleave that prevents a source-sorted corpus from feeding the "
+    "model one domain at a time (ordering bias is a real training "
+    "pathology). NO global sort materializes: the position is computed "
+    "from a per-source rank (source-keyed window) plus a broadcast "
+    "scalar, and any consumer needing physical order range-partitions "
+    "on the position — the same machinery as pipeline_shard_shuffle. "
+    "All-integer, exact.",
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir).select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    # dense_rank over sources = rank of the source among the (tiny)
+    # distinct source set — computed as a broadcast join, not a global
+    # window over the corpus.
+    sources = (
+        d.select("source").distinct()
+    )
+    src_idx = sources.select(
+        "source",
+        (F.row_number().over(Window.orderBy("source")) - 1).alias("source_idx"),
+    )
+    k = sources.count()
+    ranked = d.withColumn("rank_in_source", F.row_number().over(w) - 1)
+    return (
+        ranked.join(F.broadcast(src_idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
+            (F.col("rank_in_source") * k + F.col("source_idx"))
+            .cast("bigint")
+            .alias("interleave_pos"),
+        )
+    )

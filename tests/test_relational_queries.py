@@ -154,6 +154,7 @@ RELATIONAL = [
     "win_time_interval_frame",
     "events_activity_hhi",
     "dq_primary_key_audit",
+    "events_dow_hour_chi2",
 ]
 
 

@@ -29,6 +29,7 @@ ORACLE_CHECKED = [
     "pipeline_weighted_sample",
     "pipeline_assign_contiguous_ids",
     "text_bpe_pair_counts",
+    "pipeline_interleave_sources",
 ]
 
 
