@@ -3249,3 +3249,83 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ratio_ppm"),
     )
+
+
+@register(
+    "multimodal_training_pairs",
+    oracle="""
+WITH m AS (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq,
+           len(list_filter(string_split(text, ' '),
+                x -> x IN ('the', 'a', 'of', 'to', 'and', 'is', 'in'))) AS stop_hits,
+           sha256(text) AS payload_sha256,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS caption_md5
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, payload_sha256, caption_md5, n_bytes,
+           CAST(floor(400.0 * least(n_words, 200) / 200)
+              + floor(300.0 * n_uniq / n_words)
+              + floor(300.0 * least(stop_hits * 10, n_words) / n_words)
+              AS BIGINT) AS quality_milli
+    FROM m
+),
+canonical AS (
+    SELECT payload_sha256, min(doc_id) AS keep_doc FROM scored
+    GROUP BY payload_sha256
+)
+SELECT s.doc_id, s.payload_sha256, s.caption_md5,
+       CAST(s.n_bytes AS BIGINT) AS n_bytes,
+       s.quality_milli,
+       (s.doc_id = c.keep_doc AND s.quality_milli >= 500) AS keep
+FROM scored s JOIN canonical c ON c.payload_sha256 = s.payload_sha256
+""",
+    doc="Multimodal training-pair assembly — the terminal composition of "
+    "the media pipeline: (payload content-address, caption digest, "
+    "caption quality) per pair, with the keep decision = canonical "
+    "copy (min doc per sha256 — content-addressed dedup) AND caption "
+    "quality >= 500 milli — exactly how CLIP-style datasets gate "
+    "(image, text) pairs before contrastive training. Every input is "
+    "an already-verified building block (manifest digests, integer "
+    "quality heuristics, exact-bytes dedup), composed in one pass: a "
+    "row-local scoring projection, one digest-keyed aggregate, one "
+    "keyed join back.",
+)
+def multimodal_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.text_fns import stopword_hits, words
+
+    d = t(spark, "documents", sf_dir)
+    man = build_manifest(d).select("doc_id", "payload_sha256", "n_bytes")
+    n_words = F.size(words("text")).cast("long")
+    n_uniq = F.size(F.array_distinct(words("text"))).cast("long")
+    stop_hits = stopword_hits("text", "en")
+    quality = (
+        F.floor(F.lit(400.0) * F.least(n_words, F.lit(200)) / 200)
+        + F.floor(F.lit(300.0) * n_uniq / n_words)
+        + F.floor(F.lit(300.0) * F.least(stop_hits * 10, n_words) / n_words)
+    ).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("caption_md5"),
+        quality.alias("quality_milli"),
+    ).join(man, "doc_id")
+    canonical = scored.groupBy("payload_sha256").agg(
+        F.min("doc_id").alias("keep_doc")
+    )
+    return (
+        scored.join(canonical, "payload_sha256")
+        .select(
+            "doc_id",
+            "payload_sha256",
+            "caption_md5",
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            "quality_milli",
+            (
+                (F.col("doc_id") == F.col("keep_doc"))
+                & (F.col("quality_milli") >= 500)
+            ).alias("keep"),
+        )
+    )

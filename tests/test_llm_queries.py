@@ -39,6 +39,7 @@ ORACLE_CHECKED = [
     "multimodal_resize_thumbs",
     "simsearch_filtered_topk",
     "dedup_exact_vectors",
+    "multimodal_training_pairs",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
