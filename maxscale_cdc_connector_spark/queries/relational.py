@@ -6989,3 +6989,59 @@ def events_dow_hour_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("chi2_cell_milli"),
     )
+
+
+@register(
+    "customer_yoy_growth",
+    oracle="""
+WITH yearly AS (
+    SELECT o_custkey,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN (1999, 2000)
+    GROUP BY 1, 2
+),
+pivoted AS (
+    SELECT o_custkey,
+           sum(CASE WHEN yr = 1999 THEN cents ELSE 0 END) AS prev_cents,
+           sum(CASE WHEN yr = 2000 THEN cents ELSE 0 END) AS curr_cents
+    FROM yearly GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(prev_cents AS BIGINT) AS prev_cents,
+       CAST(curr_cents AS BIGINT) AS curr_cents,
+       CAST((curr_cents - prev_cents) * 10000 // prev_cents AS BIGINT)
+           AS growth_bp
+FROM pivoted
+WHERE prev_cents > 0 AND curr_cents > 0
+""",
+    doc="Year-over-year customer spend growth in exact basis points — the "
+    "account-growth ranking behind expansion/churn playbooks. The "
+    "year split uses a conditional-sum pivot inside ONE customer-keyed "
+    "aggregate (a self-join of two yearly frames would shuffle orders "
+    "twice); growth is an integer cross-division, and customers "
+    "missing either year are excluded rather than fabricated as "
+    "infinite growth — the honest cohort convention.",
+)
+def customer_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pivoted = (
+        o.where(yr.isin(1999, 2000))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1999, cents).otherwise(0)).alias("prev_cents"),
+            F.sum(F.when(yr == 2000, cents).otherwise(0)).alias("curr_cents"),
+        )
+        .where((F.col("prev_cents") > 0) & (F.col("curr_cents") > 0))
+    )
+    return pivoted.select(
+        "o_custkey",
+        F.col("prev_cents").cast("bigint").alias("prev_cents"),
+        F.col("curr_cents").cast("bigint").alias("curr_cents"),
+        F.expr("(curr_cents - prev_cents) * 10000 DIV prev_cents")
+        .cast("bigint")
+        .alias("growth_bp"),
+    )

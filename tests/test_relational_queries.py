@@ -155,6 +155,7 @@ RELATIONAL = [
     "events_activity_hhi",
     "dq_primary_key_audit",
     "events_dow_hour_chi2",
+    "customer_yoy_growth",
 ]
 
 
