@@ -69,6 +69,8 @@ HEADLINE = [
     ("q38_pipeline_temperature_resample", "pipeline_temperature_resample"),
     ("q39_events_linear_attribution", "events_linear_attribution"),
     ("q40_text_bpe_pair_counts", "text_bpe_pair_counts"),
+    ("q41_timeseries_pattern_match", "timeseries_pattern_match"),
+    ("q42_geo_grid_neighbor_join", "geo_grid_neighbor_join"),
 ]
 
 

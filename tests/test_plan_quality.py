@@ -471,3 +471,40 @@ def test_geo_grid_join_is_keyed_never_cartesian(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "geo_grid_neighbor_join")
     assert not s.has("CartesianProduct"), s.nodes
     assert not s.has("BroadcastNestedLoopJoin"), s.nodes
+
+
+def test_timeseries_similarity_is_broadcast_plus_take_ordered(spark, sf_dir) -> None:
+    """The 14-day profile similarity must broadcast the 1-row query
+    profile and rank through TakeOrderedAndProject — no corpus-wide
+    sort, no shuffled join."""
+    s = _summary(spark, sf_dir, "timeseries_user_similarity_topk")
+    assert s.has("TakeOrderedAndProject"), s.nodes
+    assert s.has("BroadcastExchange"), s.nodes
+    assert not s.has("SortMergeJoin"), s.nodes
+
+
+def test_pattern_match_single_user_window_chain(spark, sf_dir) -> None:
+    """Dense calendar, lead() windows, and the per-user argmax rank all
+    key on user_id — the shifted values must come from window functions,
+    not a self-join of the series against itself."""
+    s = _summary(spark, sf_dir, "timeseries_pattern_match")
+    assert s.count("Window") >= 1, s.nodes
+    assert not s.has("CartesianProduct"), s.nodes
+
+
+def test_kaplan_meier_no_corpus_sized_window(spark, sf_dir) -> None:
+    """The survival fold runs over the collected distinct-day array; the
+    only windows in the plan operate on the day-table subtree (post-
+    aggregation), and the corpus-sized work is keyed aggregates."""
+    s = _summary(spark, sf_dir, "orders_kaplan_meier_ship_lag")
+    assert not s.has("CartesianProduct") or s.has("BroadcastNestedLoopJoin"), s.nodes
+    assert s.count("HashAggregate") >= 2, s.nodes
+
+
+def test_interleave_no_global_window_over_corpus(spark, sf_dir) -> None:
+    """The interleave position must come from a SOURCE-partitioned rank
+    plus a broadcast source-index — the only unpartitioned window runs
+    over the distinct-source frame (|sources| rows), never the corpus."""
+    s = _summary(spark, sf_dir, "pipeline_interleave_sources")
+    assert s.has("BroadcastExchange") or s.has("BroadcastHashJoin"), s.nodes
+    assert not s.has("CartesianProduct"), s.nodes
