@@ -3329,3 +3329,73 @@ def multimodal_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+@register(
+    "text_word_burstiness",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+counts AS (SELECT word, count(*) AS n FROM w GROUP BY word),
+top50 AS (SELECT word FROM counts ORDER BY n DESC, word LIMIT 50),
+per_doc AS (
+    SELECT word, doc_id, count(*) AS c FROM w
+    WHERE word IN (SELECT word FROM top50)
+    GROUP BY word, doc_id
+),
+n_docs AS (SELECT count(*) AS d FROM documents),
+moments AS (
+    SELECT word,
+           sum(c) AS s1,
+           sum(c * c) AS s2,
+           count(*) AS docs_with
+    FROM per_doc GROUP BY word
+)
+SELECT m.word,
+       CAST(m.s1 AS BIGINT) AS total_count,
+       CAST(m.docs_with AS BIGINT) AS docs_with,
+       CAST((n.d * m.s2 - m.s1 * m.s1) * 1000 // (m.s1 * n.d) AS BIGINT)
+           AS dispersion_milli
+FROM moments m, n_docs n
+""",
+    doc="Word burstiness via the index of dispersion (variance-to-mean "
+    "over per-document counts, zero-inflated across ALL docs): "
+    "function words scatter evenly (dispersion near 1), topical words "
+    "burst (appear many times in few docs, dispersion >> 1) — the "
+    "corpus statistic behind tf-idf's df intuition and Church-Gale "
+    "burstiness. The ratio ((D*s2 - s1^2)/(s1*D)) is an exact integer "
+    "rational in milli-units — per-word moments are order-independent "
+    "integer sums, absent docs contribute exactly zero to both. "
+    "Bounded to the top-50 vocabulary; per-word work ~ posting-list "
+    "length.",
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, "documents", sf_dir)
+    w = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    top50 = (
+        w.groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+        .select("word")
+    )
+    per_doc = (
+        w.join(F.broadcast(top50), "word")
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    n_docs = d.agg(F.count("*").alias("d"))
+    moments = per_doc.groupBy("word").agg(
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.count("*").alias("docs_with"),
+    )
+    return moments.crossJoin(F.broadcast(n_docs)).select(
+        "word",
+        F.col("s1").cast("bigint").alias("total_count"),
+        F.col("docs_with").cast("bigint").alias("docs_with"),
+        F.expr("(d * s2 - s1 * s1) * 1000 DIV (s1 * d)")
+        .cast("bigint")
+        .alias("dispersion_milli"),
+    )

@@ -7045,3 +7045,59 @@ def customer_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("growth_bp"),
     )
+
+
+@register(
+    "events_naive_forecast_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           count(*) AS n
+    FROM events GROUP BY 1
+),
+paired AS (
+    SELECT a.day, a.n AS actual, b.n AS predicted
+    FROM daily a JOIN daily b ON b.day = a.day - 7
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(abs(actual - predicted)) AS BIGINT) AS abs_err_sum,
+       CAST(sum(abs(actual - predicted)) * 1000 // count(*) AS BIGINT)
+           AS mae_milli,
+       CAST(sum(abs(actual - predicted)) * 1000000 // sum(actual) AS BIGINT)
+           AS wape_ppm,
+       CAST(count(*) FILTER (WHERE predicted > actual) AS BIGINT)
+           AS n_over_predicted
+FROM paired
+""",
+    doc="Backtest of the seasonal-naive forecast (predict day t with day "
+    "t-7) on daily event volume — the baseline every real forecasting "
+    "model must beat, and the benchmark MAE/WAPE a capacity-planning "
+    "team tracks. The self-join pairs each day with its lag-7 "
+    "counterpart over the tiny daily aggregate; errors are exact "
+    "integer counts so MAE (milli-units) and WAPE (ppm) are exact "
+    "rationals — no float error metric to drift. One corpus-sized "
+    "aggregate; everything after is day-table sized.",
+)
+def events_naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    daily = e.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day")
+    ).agg(F.count("*").alias("n"))
+    b = daily.select((F.col("day") + 7).alias("day"), F.col("n").alias("predicted"))
+    paired = daily.join(b, "day").select(
+        "day", F.col("n").alias("actual"), "predicted"
+    )
+    err = F.abs(F.col("actual") - F.col("predicted"))
+    return paired.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(err).cast("bigint").alias("abs_err_sum"),
+        F.expr("sum(abs(actual - predicted)) * 1000 DIV count(*)")
+        .cast("bigint")
+        .alias("mae_milli"),
+        F.expr("sum(abs(actual - predicted)) * 1000000 DIV sum(actual)")
+        .cast("bigint")
+        .alias("wape_ppm"),
+        F.count_if(F.col("predicted") > F.col("actual"))
+        .cast("bigint")
+        .alias("n_over_predicted"),
+    )

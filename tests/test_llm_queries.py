@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "simsearch_filtered_topk",
     "dedup_exact_vectors",
     "multimodal_training_pairs",
+    "text_word_burstiness",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",

@@ -156,6 +156,7 @@ RELATIONAL = [
     "dq_primary_key_audit",
     "events_dow_hour_chi2",
     "customer_yoy_growth",
+    "events_naive_forecast_backtest",
 ]
 
 
