@@ -7101,3 +7101,74 @@ def events_naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("n_over_predicted"),
     )
+
+
+@register(
+    "customer_decile_migration",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey,
+           CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders
+    WHERE year(CAST(o_orderdate AS DATE)) IN (1999, 2000)
+    GROUP BY 1, 2
+),
+tiled AS (
+    SELECT o_custkey, yr,
+           ntile(5) OVER (PARTITION BY yr ORDER BY cents DESC, o_custkey)
+               AS quintile
+    FROM spend
+),
+mig AS (
+    SELECT a.o_custkey,
+           a.quintile AS from_q, b.quintile AS to_q
+    FROM tiled a JOIN tiled b
+      ON b.o_custkey = a.o_custkey AND a.yr = 1999 AND b.yr = 2000
+)
+SELECT CAST(from_q AS BIGINT) AS from_quintile,
+       CAST(to_q AS BIGINT) AS to_quintile,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM mig GROUP BY from_q, to_q
+""",
+    doc="Customer value-quintile migration matrix (1999 -> 2000): the "
+    "cohort-dynamics table behind churn/upgrade playbooks (diagonal = "
+    "stable, below = upgraders, top-row exits show churn). Quintiles "
+    "come from the distributed exact ntile "
+    "(operators/ranking.exact_ntile) run per year — bit-identical to "
+    "the single-reducer window the oracle uses, but range-partitioned "
+    "with only a #partitions-row offset step, so the ranking survives "
+    "100 TB of orders. The migration join keys on custkey; the matrix "
+    "is <= 25 rows.",
+)
+def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from maxscale_cdc_connector_spark.operators.ranking import exact_ntile
+
+    o = t(spark, "orders", sf_dir)
+    yr = F.year(F.to_date("o_orderdate"))
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    spend = (
+        o.where(yr.isin(1999, 2000))
+        .groupBy("o_custkey", yr.cast("bigint").alias("yr"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+
+    def tile_year(y: int, out: str) -> DataFrame:
+        part = spend.where(F.col("yr") == y)
+        tiled = exact_ntile(
+            part, [F.desc("cents"), F.asc("o_custkey")], 5
+        )
+        return tiled.select("o_custkey", F.col("tile").alias(out))
+
+    a = tile_year(1999, "from_quintile")
+    b = tile_year(2000, "to_quintile")
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("from_quintile", "to_quintile")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .select(
+            F.col("from_quintile").cast("bigint").alias("from_quintile"),
+            F.col("to_quintile").cast("bigint").alias("to_quintile"),
+            "n_customers",
+        )
+    )

@@ -157,6 +157,7 @@ RELATIONAL = [
     "events_dow_hour_chi2",
     "customer_yoy_growth",
     "events_naive_forecast_backtest",
+    "customer_decile_migration",
 ]
 
 
