@@ -830,3 +830,102 @@ def stream_session_ttl_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return out
+
+
+@register(
+    "stream_late_data_drop",
+    oracle="""
+WITH k AS (SELECT c_custkey AS key FROM customer),
+on_time AS (
+    SELECT 100 + key % 20 AS ts_s FROM k
+    UNION ALL
+    SELECT 200 + key % 20 FROM k
+    UNION ALL
+    SELECT 300 + key % 20 FROM k
+),
+finalized AS (
+    SELECT CAST(ts_s // 60 * 60 AS BIGINT) AS window_start,
+           count(*) AS n_events
+    FROM on_time GROUP BY 1
+)
+SELECT window_start, CAST(n_events AS BIGINT) AS n_events
+FROM finalized
+WHERE window_start + 60 <= (SELECT 300 + max(key % 20) - 10 FROM k)
+""",
+    doc="Watermark LATE-DATA DROP and append-mode finalization, pinned "
+    "end-to-end through a real 3-batch replay: wave 1 (t~100s) and "
+    "wave 2 (t~200s) arrive on time; batch 3 carries BOTH a late "
+    "straggler (t=50s — behind the watermark, silently dropped, its "
+    "window already finalized) AND fresh t~300s traffic. The oracle "
+    "is the tumbling count over ONLY the on-time events, restricted "
+    "to windows the final watermark (max event time - 10s) has "
+    "closed — so the hash simultaneously proves (a) the late row "
+    "contributed to NO window, (b) closed windows emitted exactly "
+    "once, and (c) the still-open t~300 window was withheld, which "
+    "is append-mode's contract (emit only finalized results). These "
+    "are the three behaviors that decide correctness of any "
+    "streaming aggregation at 100 TB.",
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+    import uuid
+
+    keys = [
+        int(r["c_custkey"])
+        for r in t(spark, "customer", sf_dir).select("c_custkey").collect()
+    ]
+    base = os.path.join(tempfile.gettempdir(), f"latedrop-{uuid.uuid4().hex[:12]}")
+    os.makedirs(base)
+
+    def write(idx: int, rows: list[dict]) -> None:
+        p = os.path.join(base, f"part-{idx:03d}.jsonl")
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (1_700_000_000 + idx * 100,) * 2)
+
+    write(0, [{"key": k, "ts_s": 100 + k % 20} for k in keys])
+    write(1, [{"key": k, "ts_s": 200 + k % 20} for k in keys])
+    write(
+        2,
+        [{"key": k, "ts_s": 50} for k in keys if k % 10 == 0]
+        + [{"key": k, "ts_s": 300 + k % 20} for k in keys],
+    )
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("key bigint, ts_s bigint")
+        .json(base)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+        .withWatermark("ts", "10 seconds")
+    )
+    agg = stream.groupBy(F.window("ts", "60 seconds").alias("win")).agg(
+        F.count("*").alias("n_events")
+    )
+    name = f"late_drop_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    import shutil
+
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("late-drop replay did not finish in 300s")
+        out = (
+            spark.table(name)
+            .select(
+                F.unix_timestamp("win.start").cast("bigint").alias("window_start"),
+                F.col("n_events").cast("bigint").alias("n_events"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return out

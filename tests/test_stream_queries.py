@@ -20,6 +20,7 @@ ORACLE_CHECKED = [
     "stream_dedup_within_watermark",
     "stream_session_ttl_finalize",
     "stream_replay_count",
+    "stream_late_data_drop",
 ]
 
 
