@@ -1157,3 +1157,72 @@ def cdc_txn_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_events") > 1)
     )
+
+
+@register(
+    "cdc_multi_source_reconcile",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+replica AS (
+    SELECT 1 AS domain, 3100 AS server_id,
+           CAST(15000000 + c_custkey AS BIGINT) AS sequence,
+           1 AS event_number,
+           CAST(1650000000 + c_custkey AS BIGINT) AS event_ts,
+           'update_after' AS event_type,
+           c_custkey, c_name, c_nationkey, c_acctbal + 500.0 AS c_acctbal,
+           'FURNITURE' AS c_mktsegment
+    FROM customer WHERE c_custkey % 5 = 0
+),
+unioned AS (
+    SELECT * FROM cdc_events UNION ALL SELECT * FROM replica
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY c_custkey
+        ORDER BY event_ts DESC, domain DESC, sequence DESC, event_number DESC
+    ) AS rn
+    FROM unioned
+)
+SELECT c_custkey, CAST(domain AS BIGINT) AS src_domain,
+       c_acctbal, c_mktsegment
+FROM ranked WHERE rn = 1 AND event_type <> 'delete'
+""",
+    doc="Multi-source CDC reconciliation: two change feeds for the same "
+    "table (primary domain 0 + a replica/second pipeline as domain 1) "
+    "unioned and resolved per key by LAST-WRITER-WINS on (event_ts, "
+    "domain, sequence, event_number) — the conflict rule active-active "
+    "replication and dual-pipeline migrations need, where neither "
+    "source's GTID sequence totally orders the other's. One hash "
+    "aggregate (max_by over the 4-part ordering struct) with map-side "
+    "partials — shuffle ~ |keys| across BOTH feeds, and src_domain "
+    "rides along so the output shows which source won each key.",
+)
+def cdc_multi_source_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    replica = c.filter(F.col("c_custkey") % 5 == 0).select(
+        F.lit(1).alias("domain"),
+        F.lit(3100).alias("server_id"),
+        (F.lit(15_000_000) + F.col("c_custkey")).cast("bigint").alias("sequence"),
+        F.lit(1).alias("event_number"),
+        (F.lit(1_650_000_000) + F.col("c_custkey")).cast("bigint").alias("event_ts"),
+        F.lit("update_after").alias("event_type"),
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 500.0).alias("c_acctbal"),
+        F.lit("FURNITURE").alias("c_mktsegment"),
+    )
+    unioned = events.unionByName(replica)
+    ord_key = F.struct("event_ts", "domain", "sequence", "event_number")
+    resolved = unioned.groupBy("c_custkey").agg(
+        F.max_by(
+            F.struct("domain", "event_type", "c_acctbal", "c_mktsegment"), ord_key
+        ).alias("w")
+    )
+    return resolved.where(F.col("w.event_type") != "delete").select(
+        "c_custkey",
+        F.col("w.domain").cast("bigint").alias("src_domain"),
+        F.col("w.c_acctbal").alias("c_acctbal"),
+        F.col("w.c_mktsegment").alias("c_mktsegment"),
+    )

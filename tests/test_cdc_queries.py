@@ -9,6 +9,7 @@ CDC_QUERIES = [
     "cdc_incremental_var",
     "cdc_dead_letter",
     "cdc_txn_manifest",
+    "cdc_multi_source_reconcile",
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
     "cdc_scd2_temporal_join",
