@@ -7172,3 +7172,156 @@ def customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
     )
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part),
+tri AS (
+    SELECT p_name,
+           list_distinct(list_transform(
+               generate_series(1, length(p_name) - 2),
+               i -> substr(p_name, i, 3))) AS tg
+    FROM names WHERE length(p_name) >= 3
+),
+sizes AS (SELECT p_name, len(tg) AS sz FROM tri),
+posting AS (SELECT p_name, unnest(tg) AS g FROM tri),
+common AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b, count(*) AS n_common
+    FROM posting a JOIN posting b ON a.g = b.g AND a.p_name < b.p_name
+    GROUP BY a.p_name, b.p_name
+)
+SELECT name_a, name_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common * 1000 // (sa.sz + sb.sz - n_common) AS BIGINT)
+           AS jaccard_milli
+FROM common
+JOIN sizes sa ON sa.p_name = name_a
+JOIN sizes sb ON sb.p_name = name_b
+WHERE n_common * 10 >= 4 * (sa.sz + sb.sz - n_common)
+""",
+    doc="Fuzzy string matching on short names via CHARACTER-trigram "
+    "Jaccard — the entity-resolution primitive for catalog/vendor "
+    "name reconciliation ('cold widget' ~ 'gold widget'), a different "
+    "regime from document shingling (sets of ~10 trigrams, not "
+    "hundreds of word 5-grams). Candidates come from the trigram "
+    "inverted index over the DISTINCT name set (tiny vs the table — "
+    "dedup names before matching, always), the >=0.4 threshold is an "
+    "exact integer cross-multiplication, and the score ships in exact "
+    "milli-units.",
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, "part", sf_dir).select("p_name").distinct().where(
+        F.length("p_name") >= 3
+    )
+    tg = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length("p_name") - 2),
+            lambda i: F.col("p_name").substr(i, F.lit(3)),
+        )
+    )
+    tri = p.select("p_name", tg.alias("tg"))
+    sizes = tri.select("p_name", F.size("tg").alias("sz"))
+    posting = tri.select("p_name", F.explode("tg").alias("g"))
+    a = posting.select(F.col("p_name").alias("name_a"), "g")
+    b = posting.select(F.col("p_name").alias("name_b"), "g")
+    common = (
+        a.join(b, "g")
+        .where(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("p_name").alias("name_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("p_name").alias("name_b"), F.col("sz").alias("sz_b"))
+    un = F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    return (
+        common.join(sa, "name_a")
+        .join(sb, "name_b")
+        .where(F.col("n_common") * 10 >= 4 * un)
+        .select(
+            "name_a",
+            "name_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr("n_common * 1000 DIV (sz_a + sz_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_milli"),
+        )
+    )
+
+
+@register(
+    "events_rule_engine_flags",
+    oracle="""
+WITH flagged AS (
+    SELECT event_id, user_id,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS r_error,
+           CASE WHEN value > 900 THEN 1 ELSE 0 END AS r_high_value,
+           CASE WHEN event_type = 'purchase' AND value < 1 THEN 1 ELSE 0 END
+               AS r_zero_purchase,
+           CASE WHEN (epoch_us(ts) % 86400000000) // 3600000000 < 6 THEN 1
+                ELSE 0 END AS r_night
+    FROM events
+),
+hits AS (
+    SELECT 'error_event' AS rule, sum(r_error) AS n_hits,
+           min(CASE WHEN r_error = 1 THEN event_id END) AS first_event,
+           count(DISTINCT CASE WHEN r_error = 1 THEN user_id END) AS n_users
+    FROM flagged
+    UNION ALL
+    SELECT 'high_value', sum(r_high_value),
+           min(CASE WHEN r_high_value = 1 THEN event_id END),
+           count(DISTINCT CASE WHEN r_high_value = 1 THEN user_id END)
+    FROM flagged
+    UNION ALL
+    SELECT 'zero_purchase', sum(r_zero_purchase),
+           min(CASE WHEN r_zero_purchase = 1 THEN event_id END),
+           count(DISTINCT CASE WHEN r_zero_purchase = 1 THEN user_id END)
+    FROM flagged
+    UNION ALL
+    SELECT 'night_activity', sum(r_night),
+           min(CASE WHEN r_night = 1 THEN event_id END),
+           count(DISTINCT CASE WHEN r_night = 1 THEN user_id END)
+    FROM flagged
+)
+SELECT rule, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(first_event AS BIGINT) AS first_event,
+       CAST(n_users AS BIGINT) AS n_users
+FROM hits WHERE n_hits > 0
+""",
+    doc="Declarative rules engine over the event stream: N boolean rules "
+    "evaluated row-local in ONE scan (each rule a codegen'd CASE "
+    "column), then per-rule hit count, first offending event, and "
+    "distinct affected users — the fraud/ops alerting triage table. "
+    "Spark evaluates all rules and all four per-rule aggregates in a "
+    "single pass over the fact (conditional aggregation), where a "
+    "rule-per-query design would scan N times; adding a rule is one "
+    "more column, not another job.",
+)
+def events_rule_engine_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    rules = {
+        "error_event": F.col("event_type") == "error",
+        "high_value": F.col("value") > 900,
+        "zero_purchase": (F.col("event_type") == "purchase") & (F.col("value") < 1),
+        "night_activity": F.expr("(ts_us % 86400000000) DIV 3600000000") < 6,
+    }
+    aggs = []
+    for name, cond in rules.items():
+        aggs.append(
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.sum(cond.cast("long")).cast("bigint").alias("n_hits"),
+                F.min(F.when(cond, F.col("event_id"))).cast("bigint").alias(
+                    "first_event"
+                ),
+                F.countDistinct(F.when(cond, F.col("user_id")))
+                .cast("bigint")
+                .alias("n_users"),
+            ).alias(name)
+        )
+    one = e.agg(*aggs)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(n) for n in rules])).alias("r")
+    ).select("r.rule", "r.n_hits", "r.first_event", "r.n_users")
+    return stacked.where(F.col("n_hits") > 0)

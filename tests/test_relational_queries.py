@@ -158,6 +158,8 @@ RELATIONAL = [
     "customer_yoy_growth",
     "events_naive_forecast_backtest",
     "customer_decile_migration",
+    "fuzzy_match_part_names",
+    "events_rule_engine_flags",
 ]
 
 
