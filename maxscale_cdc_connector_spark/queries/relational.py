@@ -7325,3 +7325,115 @@ def events_rule_engine_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.col(n) for n in rules])).alias("r")
     ).select("r.rule", "r.n_hits", "r.first_event", "r.n_users")
     return stacked.where(F.col("n_hits") > 0)
+
+
+@register(
+    "events_transition_matrix_order2",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type, 1) OVER w AS prev1,
+           lag(event_type, 2) OVER w AS prev2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+counts AS (
+    SELECT prev2, prev1, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev2 IS NOT NULL
+    GROUP BY prev2, prev1, event_type
+),
+ctx AS (
+    SELECT prev2, prev1, sum(n) AS ctx_n FROM counts GROUP BY prev2, prev1
+)
+SELECT c.prev2, c.prev1, c.next_type,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(c.n * 1000000 // x.ctx_n AS BIGINT) AS prob_ppm
+FROM counts c JOIN ctx x ON x.prev2 = c.prev2 AND x.prev1 = c.prev1
+WHERE c.n >= 5
+""",
+    doc="Second-order Markov transitions: P(next | prev2, prev1) — the "
+    "upgrade over the first-order matrix that captures context like "
+    "'error AFTER error predicts abandonment' which one-step memory "
+    "cannot. Two lag() calls over ONE user-keyed window (same single-"
+    "exchange shape as the first-order key), a 125-cell-bounded "
+    "context aggregate, and exact-ppm conditional probabilities from "
+    "integer cross-division. State space grows as |types|^order — the "
+    "doc notes order-3+ wants the bounded event-type alphabet this "
+    "schema has.",
+)
+def events_transition_matrix_order2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_timestamp(t(spark, "events", sf_dir))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+    ).where(F.col("prev2").isNotNull())
+    counts = seq.groupBy("prev2", "prev1", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    ctx = counts.groupBy(
+        F.col("prev2").alias("c2"), F.col("prev1").alias("c1")
+    ).agg(F.sum("n").alias("ctx_n"))
+    return (
+        counts.join(
+            ctx,
+            (F.col("prev2") == F.col("c2")) & (F.col("prev1") == F.col("c1")),
+        )
+        .where(F.col("n") >= 5)
+        .select(
+            "prev2", "prev1", "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("n * 1000000 DIV ctx_n").cast("bigint").alias("prob_ppm"),
+        )
+    )
+
+
+@register(
+    "part_supplier_concentration",
+    oracle="""
+WITH vol AS (
+    SELECT l_partkey, l_suppkey, count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+per_part AS (
+    SELECT l_partkey,
+           sum(n_lines) AS total_lines,
+           max(n_lines) AS top_lines,
+           count(*) AS n_suppliers
+    FROM vol GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(total_lines AS BIGINT) AS total_lines,
+       CAST(top_lines * 1000000 // total_lines AS BIGINT) AS top_share_ppm,
+       (n_suppliers = 1 OR top_lines * 10 > 8 * total_lines) AS single_source_risk
+FROM per_part
+""",
+    doc="Supply-chain concentration: per part, the top supplier's share "
+    "of line volume and a single-source-risk flag (sole supplier OR "
+    "top share > 80% by integer cross-multiplication) — the "
+    "procurement-risk screen run before contract renewals. Two "
+    "stacked hash aggregates on the same partkey-rooted key "
+    "(the second reuses the first's partitioning); exact-ppm shares.",
+)
+def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(F.count("*").alias("n_lines"))
+    per_part = vol.groupBy("l_partkey").agg(
+        F.sum("n_lines").alias("total_lines"),
+        F.max("n_lines").alias("top_lines"),
+        F.count("*").alias("n_suppliers"),
+    )
+    return per_part.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+        F.col("total_lines").cast("bigint").alias("total_lines"),
+        F.expr("top_lines * 1000000 DIV total_lines")
+        .cast("bigint")
+        .alias("top_share_ppm"),
+        (
+            (F.col("n_suppliers") == 1)
+            | (F.col("top_lines") * 10 > 8 * F.col("total_lines"))
+        ).alias("single_source_risk"),
+    )

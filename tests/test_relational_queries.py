@@ -160,6 +160,8 @@ RELATIONAL = [
     "customer_decile_migration",
     "fuzzy_match_part_names",
     "events_rule_engine_flags",
+    "events_transition_matrix_order2",
+    "part_supplier_concentration",
 ]
 
 
