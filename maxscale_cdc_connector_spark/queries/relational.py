@@ -7437,3 +7437,52 @@ def part_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("top_lines") * 10 > 8 * F.col("total_lines"))
         ).alias("single_source_risk"),
     )
+
+
+@register(
+    "dq_status_consistency",
+    oracle="""
+WITH mix AS (
+    SELECT l_orderkey,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS n_f,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS n_o
+    FROM lineitem GROUP BY l_orderkey
+),
+joined AS (
+    SELECT o.o_orderstatus,
+           CASE WHEN m.l_orderkey IS NULL THEN 'no_lines'
+                WHEN m.n_o = 0 THEN 'all_filled'
+                WHEN m.n_f = 0 THEN 'all_open'
+                ELSE 'mixed' END AS line_mix
+    FROM orders o LEFT JOIN mix m ON m.l_orderkey = o.o_orderkey
+)
+SELECT o_orderstatus, line_mix, CAST(count(*) AS BIGINT) AS n_orders
+FROM joined GROUP BY o_orderstatus, line_mix
+""",
+    doc="Cross-table status-consistency audit: the order-header status "
+    "against its lines' fulfillment mix (TPC-H semantics: F = all "
+    "lines filled, O = all open, P = mixed) as a full contingency "
+    "table — off-diagonal cells and no_lines orphans ARE the data-"
+    "quality findings, quantified rather than sampled. One key-"
+    "partitioned aggregate collapses lineitem to per-order counts "
+    "before the join, so the join input is |orders|-sized on both "
+    "sides; the final rollup is a dozen cells.",
+)
+def dq_status_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    li = t(spark, "lineitem", sf_dir)
+    mix = li.groupBy("l_orderkey").agg(
+        F.count_if(F.col("l_linestatus") == "F").alias("n_f"),
+        F.count_if(F.col("l_linestatus") == "O").alias("n_o"),
+    )
+    joined = o.join(mix, o["o_orderkey"] == mix["l_orderkey"], "left").select(
+        "o_orderstatus",
+        F.when(F.col("l_orderkey").isNull(), "no_lines")
+        .when(F.col("n_o") == 0, "all_filled")
+        .when(F.col("n_f") == 0, "all_open")
+        .otherwise("mixed")
+        .alias("line_mix"),
+    )
+    return joined.groupBy("o_orderstatus", "line_mix").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )

@@ -162,6 +162,7 @@ RELATIONAL = [
     "events_rule_engine_flags",
     "events_transition_matrix_order2",
     "part_supplier_concentration",
+    "dq_status_consistency",
 ]
 
 
