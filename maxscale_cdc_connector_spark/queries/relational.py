@@ -7486,3 +7486,177 @@ def dq_status_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderstatus", "line_mix").agg(
         F.count("*").cast("bigint").alias("n_orders")
     )
+
+
+@register(
+    "customer_discounted_ltv",
+    oracle="""
+WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+aged AS (
+    SELECT o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), hz.h) // 365
+                AS BIGINT) AS age_years
+    FROM orders, horizon hz
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS raw_cents,
+       CAST(sum(cents * (1048576 >> least(age_years, 20)) // 1048576)
+            AS BIGINT) AS discounted_cents
+FROM aged GROUP BY o_custkey
+""",
+    doc="Discounted lifetime value with a one-year half-life: each "
+    "order's cents weighted by 2^(-age_years), realized as an exact "
+    "INTEGER binary shift (1048576 >> age, over 2^20) — a float "
+    "pow(0.5, age) would be libm-dependent at the rounding boundary, "
+    "the same trap the temperature-resample key dodges with sqrt. "
+    "Recency-weighted LTV is the ranking that separates a lapsed big "
+    "spender from a growing account; the horizon is one broadcast "
+    "scalar and the rollup one customer-keyed aggregate.",
+)
+def customer_discounted_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    aged = o.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (F.datediff(F.col("h"), F.to_date("o_orderdate")) / F.lit(365))
+        .cast("bigint")
+        .alias("age_years"),
+    )
+    disc = F.expr(
+        "cents * shiftright(1048576, cast(least(age_years, 20) as int)) DIV 1048576"
+    )
+    return aged.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("raw_cents"),
+        F.sum(disc).cast("bigint").alias("discounted_cents"),
+    )
+
+
+@register(
+    "part_size_price_corr_by_type",
+    oracle="""
+WITH m AS (
+    SELECT p_type,
+           count(*) AS n,
+           sum(CAST(p_size AS BIGINT)) AS sx,
+           sum(CAST(p_size AS BIGINT) * p_size) AS sx2,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sy,
+           sum(CAST(round(p_retailprice * 100) AS BIGINT)
+               * CAST(round(p_retailprice * 100) AS BIGINT)) AS sy2,
+           sum(CAST(p_size AS BIGINT)
+               * CAST(round(p_retailprice * 100) AS BIGINT)) AS sxy
+    FROM part GROUP BY p_type
+)
+SELECT p_type,
+       CAST(n AS BIGINT) AS n_parts,
+       CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+       CAST(floor((n * sxy - sx * sy) * 1000
+            / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))) AS BIGINT)
+           AS pearson_milli
+FROM m WHERE n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+""",
+    doc="GROUPED Pearson correlation (size vs price per part type) from "
+    "exact integer moments — the per-segment version of the global "
+    "correlation matrix, answering 'does bigger cost more, and does "
+    "that relationship differ by product family?'. The covariance "
+    "numerator n*sxy - sx*sy stays exact 64-bit (order-independent); "
+    "sqrt enters once per group of six integers. One map-side-"
+    "combinable aggregate; degenerate (zero-variance) groups are "
+    "excluded by exact integer tests, never by float epsilon.",
+)
+def part_size_price_corr_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, "part", sf_dir).select(
+        "p_type",
+        F.col("p_size").cast("bigint").alias("x"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("y"),
+    )
+    m = p.groupBy("p_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")
+    return m.where((vx > 0) & (vy > 0)).select(
+        "p_type",
+        F.col("n").cast("bigint").alias("n_parts"),
+        cov.cast("bigint").alias("cov_num"),
+        F.floor(
+            cov * 1000 / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+        ).cast("bigint").alias("pearson_milli"),
+    )
+
+
+@register(
+    "customer_lifecycle_stages",
+    oracle="""
+WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+per_cust AS (
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           date_diff('day', max(CAST(o_orderdate AS DATE)), hz.h) AS recency_days,
+           date_diff('day', min(CAST(o_orderdate AS DATE)), hz.h) AS tenure_days
+    FROM orders, horizon hz GROUP BY o_custkey, hz.h
+),
+staged AS (
+    SELECT o_custkey, n_orders, recency_days,
+           CASE WHEN tenure_days <= 180 THEN 'new'
+                WHEN recency_days > 365 THEN 'churned'
+                WHEN recency_days > 180 THEN 'at_risk'
+                WHEN n_orders >= 20 THEN 'champion'
+                ELSE 'active' END AS stage
+    FROM per_cust
+)
+SELECT stage,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(n_orders) AS BIGINT) AS total_orders,
+       CAST(min(recency_days) AS BIGINT) AS min_recency,
+       CAST(max(recency_days) AS BIGINT) AS max_recency
+FROM staged GROUP BY stage
+""",
+    doc="Customer lifecycle staging (new / active / champion / at-risk / "
+    "churned) from recency and tenure — the segmentation a CRM drives "
+    "campaigns from, with rule order encoding business precedence "
+    "(churned beats champion: a lapsed whale needs win-back, not "
+    "rewards). Integer day arithmetic against one broadcast horizon; "
+    "one customer-keyed aggregate then a 5-row rollup.",
+)
+def customer_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, "orders", sf_dir)
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    per_cust = (
+        o.crossJoin(F.broadcast(horizon))
+        .groupBy("o_custkey", "h")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.datediff(F.first("h"), F.max(F.to_date("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.datediff(F.first("h"), F.min(F.to_date("o_orderdate"))).alias(
+                "tenure_days"
+            ),
+        )
+    )
+    stage = (
+        F.when(F.col("tenure_days") <= 180, "new")
+        .when(F.col("recency_days") > 365, "churned")
+        .when(F.col("recency_days") > 180, "at_risk")
+        .when(F.col("n_orders") >= 20, "champion")
+        .otherwise("active")
+    )
+    return per_cust.select(
+        "n_orders", "recency_days", stage.alias("stage")
+    ).groupBy("stage").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"),
+        F.min("recency_days").cast("bigint").alias("min_recency"),
+        F.max("recency_days").cast("bigint").alias("max_recency"),
+    )

@@ -163,6 +163,9 @@ RELATIONAL = [
     "events_transition_matrix_order2",
     "part_supplier_concentration",
     "dq_status_consistency",
+    "customer_discounted_ltv",
+    "part_size_price_corr_by_type",
+    "customer_lifecycle_stages",
 ]
 
 
