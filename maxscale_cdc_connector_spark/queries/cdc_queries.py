@@ -1226,3 +1226,54 @@ def cdc_multi_source_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.c_acctbal").alias("c_acctbal"),
         F.col("w.c_mktsegment").alias("c_mktsegment"),
     )
+
+
+@register(
+    "cdc_tombstone_gc",
+    oracle=f"""
+WITH {CDC_EVENTS_SQL},
+last_per_key AS (
+    SELECT c_custkey,
+           max(sequence) AS last_seq,
+           max_by(event_type, sequence * 10 + event_number) AS last_type,
+           max(event_ts) AS last_ts
+    FROM cdc_events GROUP BY c_custkey
+),
+horizon AS (SELECT max(event_ts) - 50000000 AS cutoff FROM cdc_events)
+SELECT l.c_custkey,
+       CAST(l.last_seq AS BIGINT) AS tombstone_seq,
+       CAST(l.last_ts AS BIGINT) AS deleted_at_ts,
+       (l.last_ts <= hz.cutoff) AS gc_eligible
+FROM last_per_key l, horizon hz
+WHERE l.last_type = 'delete'
+""",
+    doc="Tombstone garbage collection planning — the log-compaction "
+    "question every CDC retention job answers: which deleted keys' "
+    "tombstones can be PURGED (final event is a delete, older than "
+    "the retention horizon — here horizon = max event time minus a "
+    "fixed window, matching how compaction offsets trail the head). "
+    "Purging a tombstone too early resurrects the row on replay from "
+    "an older snapshot, so the eligibility flag rides with the "
+    "evidence (sequence, timestamp) rather than silently filtering. "
+    "One key-partitioned max_by aggregate + a broadcast scalar.",
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = synthetic_customer_events(spark, sf_dir)
+    last = events.groupBy("c_custkey").agg(
+        F.max("sequence").alias("tombstone_seq"),
+        F.max_by(
+            "event_type", F.col("sequence") * 10 + F.col("event_number")
+        ).alias("last_type"),
+        F.max("event_ts").alias("last_ts"),
+    )
+    horizon = events.agg((F.max("event_ts") - 50_000_000).alias("cutoff"))
+    return (
+        last.where(F.col("last_type") == "delete")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c_custkey",
+            F.col("tombstone_seq").cast("bigint").alias("tombstone_seq"),
+            F.col("last_ts").cast("bigint").alias("deleted_at_ts"),
+            (F.col("last_ts") <= F.col("cutoff")).alias("gc_eligible"),
+        )
+    )

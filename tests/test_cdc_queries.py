@@ -10,6 +10,7 @@ CDC_QUERIES = [
     "cdc_dead_letter",
     "cdc_txn_manifest",
     "cdc_multi_source_reconcile",
+    "cdc_tombstone_gc",
     "cdc_incremental_join_view",
     "cdc_backfill_chunks",
     "cdc_scd2_temporal_join",
