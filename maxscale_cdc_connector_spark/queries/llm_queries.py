@@ -3399,3 +3399,89 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dispersion_milli"),
     )
+
+
+@register(
+    "pipeline_eval_holdout_contamination_rate",
+    oracle="""
+WITH split AS (
+    SELECT doc_id, text,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 100 AS b
+    FROM documents
+),
+train AS (SELECT doc_id, text FROM split WHERE b < 80),
+test AS (SELECT doc_id, text FROM split WHERE b >= 90),
+tr_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM train),
+te_tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM test),
+tr_sh AS (
+    SELECT DISTINCT array_to_string(w[i:i+7], ' ') AS sh
+    FROM tr_tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i)
+    WHERE len(w) >= 8
+),
+te_sh AS (
+    SELECT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+    FROM te_tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i)
+    WHERE len(w) >= 8
+),
+te_hits AS (
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           count(*) FILTER (WHERE tr.sh IS NOT NULL) AS n_contaminated
+    FROM te_sh t LEFT JOIN tr_sh tr ON tr.sh = t.sh
+    GROUP BY t.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_test_docs,
+       CAST(count(*) FILTER (WHERE n_contaminated > 0) AS BIGINT)
+           AS n_docs_contaminated,
+       CAST(sum(n_contaminated) AS BIGINT) AS total_hits,
+       CAST(sum(n_contaminated) * 1000000 // sum(n_shingles) AS BIGINT)
+           AS hit_rate_ppm
+FROM te_hits
+""",
+    doc="Train->test contamination measurement on the engine's OWN "
+    "hash split: 8-gram overlap between the md5-bucketed train and "
+    "test partitions — the audit that validates a split before "
+    "benchmark numbers are trusted (pipeline_decontaminate REMOVES "
+    "contamination against an external eval set; this MEASURES "
+    "leakage inside the split itself). Test-side shingles stream "
+    "against the distinct train-shingle index via a left join "
+    "(anti-join shape, shuffle keyed on the shingle); per-doc and "
+    "corpus rates in exact ppm.",
+)
+def pipeline_eval_holdout_contamination_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from maxscale_cdc_connector_spark.functions.text_fns import word_shingles
+
+    d = t(spark, "documents", sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = d.select("doc_id", "text", bucket.alias("b"))
+    sh8 = F.explode(word_shingles("text", 8)).alias("sh")
+    tr_sh = (
+        split.where(F.col("b") < 80).select(sh8).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    te_sh = split.where(F.col("b") >= 90).select("doc_id", sh8)
+    te_hits = (
+        te_sh.join(tr_sh, "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return te_hits.agg(
+        F.count("*").cast("bigint").alias("n_test_docs"),
+        F.count_if(F.col("n_contaminated") > 0)
+        .cast("bigint")
+        .alias("n_docs_contaminated"),
+        F.sum("n_contaminated").cast("bigint").alias("total_hits"),
+        F.expr("sum(n_contaminated) * 1000000 DIV sum(n_shingles)")
+        .cast("bigint")
+        .alias("hit_rate_ppm"),
+    )

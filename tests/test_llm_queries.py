@@ -41,6 +41,7 @@ ORACLE_CHECKED = [
     "dedup_exact_vectors",
     "multimodal_training_pairs",
     "text_word_burstiness",
+    "pipeline_eval_holdout_contamination_rate",
     "pipeline_temperature_resample",
     "text_bigram_lm",
     "text_vocab_topk",
