@@ -7660,3 +7660,75 @@ def customer_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("recency_days").cast("bigint").alias("min_recency"),
         F.max("recency_days").cast("bigint").alias("max_recency"),
     )
+
+
+@register(
+    "dq_expectation_suite",
+    oracle="""
+SELECT 'l_discount_in_0_1' AS expectation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS BIGINT)
+           AS n_violations
+FROM lineitem
+UNION ALL
+SELECT 'l_tax_nonnegative', count(*),
+       count(*) FILTER (WHERE l_tax < 0) FROM lineitem
+UNION ALL
+SELECT 'l_quantity_positive', count(*),
+       count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem
+UNION ALL
+SELECT 'l_price_positive', count(*),
+       count(*) FILTER (WHERE l_extendedprice <= 0) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate_in_era', count(*),
+       count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01'
+                            OR l_shipdate >= TIMESTAMP '2010-01-01')
+FROM lineitem
+UNION ALL
+SELECT 'o_totalprice_positive', count(*),
+       count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+UNION ALL
+SELECT 'o_status_in_domain', count(*),
+       count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) FROM orders
+""",
+    doc="Declarative expectation suite (the Great-Expectations/dbt-test "
+    "pattern): range, domain, and era constraints evaluated as "
+    "conditional counts — ALL lineitem expectations share ONE scan "
+    "(conditional aggregation), the orders pair shares another; "
+    "violation counts rather than booleans, because 'how broken' "
+    "decides whether a 100 TB load is quarantined or patched. "
+    "Constraint predicates compile into the scan; at scale the "
+    "timestamp-era check prunes row groups via min/max stats.",
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    o = t(spark, "orders", sf_dir)
+
+    def suite(df: DataFrame, checks: dict) -> DataFrame:
+        aggs = [
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(cond.cast("long")).cast("bigint").alias("n_violations"),
+            ).alias(name)
+            for name, cond in checks.items()
+        ]
+        one = df.agg(*aggs)
+        return one.select(
+            F.explode(F.array(*[F.col(n) for n in checks])).alias("r")
+        ).select("r.expectation", "r.n_rows", "r.n_violations")
+
+    li_checks = {
+        "l_discount_in_0_1": (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        "l_tax_nonnegative": F.col("l_tax") < 0,
+        "l_quantity_positive": F.col("l_quantity") <= 0,
+        "l_price_positive": F.col("l_extendedprice") <= 0,
+        "l_shipdate_in_era": (
+            F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp")
+        ) | (F.col("l_shipdate") >= F.lit("2010-01-01").cast("timestamp")),
+    }
+    o_checks = {
+        "o_totalprice_positive": F.col("o_totalprice") <= 0,
+        "o_status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+    }
+    return suite(li, li_checks).unionByName(suite(o, o_checks))

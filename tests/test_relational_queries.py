@@ -166,6 +166,7 @@ RELATIONAL = [
     "customer_discounted_ltv",
     "part_size_price_corr_by_type",
     "customer_lifecycle_stages",
+    "dq_expectation_suite",
 ]
 
 
