@@ -7732,3 +7732,106 @@ def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
     }
     return suite(li, li_checks).unionByName(suite(o, o_checks))
+
+
+@register(
+    "lineitem_return_rate_by_brand",
+    oracle="""
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') AS BIGINT)
+           AS n_returned,
+       CAST(count(*) FILTER (WHERE l.l_returnflag = 'R') * 1000000
+            // count(*) AS BIGINT) AS return_ppm,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS returned_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+""",
+    doc="Return-rate analysis by brand: volume, returned count, exact-ppm "
+    "return rate, and returned value in exact cents — the quality "
+    "signal merchandising watches per vendor. The part dimension "
+    "broadcasts onto the fact scan (no fact shuffle for the join), "
+    "then one brand-keyed aggregate with conditional sums; at 100 TB "
+    "the only exchange carries |brands| partial rows per task.",
+)
+def lineitem_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    p = t(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ret = F.col("l_returnflag") == "R"
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.count_if(ret).cast("bigint").alias("n_returned"),
+            F.expr(
+                "count_if(l_returnflag = 'R') * 1000000 DIV count(*)"
+            ).cast("bigint").alias("return_ppm"),
+            F.sum(F.when(ret, cents).otherwise(0))
+            .cast("bigint")
+            .alias("returned_cents"),
+        )
+    )
+
+
+@register(
+    "events_audience_overlap",
+    oracle="""
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, count(*) AS n FROM du GROUP BY event_type),
+inter AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+    FROM du a JOIN du b
+      ON b.user_id = a.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST(i.n_both * 1000000 // (sa.n + sb.n - i.n_both) AS BIGINT)
+           AS jaccard_ppm
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+""",
+    doc="Audience-overlap matrix: for every pair of event types, the "
+    "exact Jaccard of their user sets — the segmentation question "
+    "('do purchasers also hit errors?') behind cross-sell and "
+    "journey-mapping decisions. The corpus collapses to distinct "
+    "(type, user) pairs FIRST (one aggregate, volume ~ users x "
+    "types), the pair join keys on user_id, and the |types|^2-bounded "
+    "matrix gets exact-ppm scores — the same set-similarity shape the "
+    "theta-sketch key approximates when exact distinct sets stop "
+    "fitting.",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, "events", sf_dir)
+    du = e.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr("n_both * 1000000 DIV (n_a + n_b - n_both)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -167,6 +167,8 @@ RELATIONAL = [
     "part_size_price_corr_by_type",
     "customer_lifecycle_stages",
     "dq_expectation_suite",
+    "lineitem_return_rate_by_brand",
+    "events_audience_overlap",
 ]
 
 
