@@ -7835,3 +7835,122 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+@register(
+    "events_activation_lag",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS first_day,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(epoch_us(ts) // 86400000000 AS BIGINT) END)
+               AS first_purchase_day
+    FROM events GROUP BY user_id
+),
+lagged AS (
+    SELECT user_id, first_purchase_day - first_day AS lag_days
+    FROM per_user WHERE first_purchase_day IS NOT NULL
+)
+SELECT lag_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM lagged GROUP BY lag_days
+""",
+    doc="Activation lag: days from a user's first event to their first "
+    "purchase, as an exact histogram — THE activation-funnel metric "
+    "(the day-0 spike vs the long tail decides onboarding "
+    "investment). Both firsts come from ONE user-keyed aggregate "
+    "(min + conditional min — not two scans joined); users who never "
+    "purchased are excluded by the NULL conditional, and integer "
+    "epoch-day arithmetic keeps both engines identical.",
+)
+def events_activation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    day = F.expr("ts_us DIV 86400000000").cast("bigint")
+    per_user = e.groupBy("user_id").agg(
+        F.min(day).alias("first_day"),
+        F.min(F.when(F.col("event_type") == "purchase", day)).alias(
+            "first_purchase_day"
+        ),
+    )
+    return (
+        per_user.where(F.col("first_purchase_day").isNotNull())
+        .select((F.col("first_purchase_day") - F.col("first_day")).alias("lag_days"))
+        .groupBy("lag_days")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+WITH sup_rev AS (
+    SELECT s.s_nationkey AS nationkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+),
+cust_rev AS (
+    SELECT c.c_nationkey AS nationkey,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+)
+SELECT n.n_name,
+       CAST(coalesce(s.cents, 0) AS BIGINT) AS supplied_cents,
+       CAST(coalesce(cr.cents, 0) AS BIGINT) AS consumed_cents,
+       CAST(coalesce(s.cents, 0) - coalesce(cr.cents, 0) AS BIGINT)
+           AS balance_cents
+FROM nation n
+LEFT JOIN sup_rev s ON s.nationkey = n.n_nationkey
+LEFT JOIN cust_rev cr ON cr.nationkey = n.n_nationkey
+""",
+    doc="Trade balance per nation: revenue supplied (as the supplier "
+    "side) minus revenue consumed (as the customer side), in exact "
+    "cents rounded once per line — the import/export view of the "
+    "TPC-H world that q7's shipping-pair query slices differently. "
+    "Both legs broadcast their dimensions onto the fact scan and "
+    "pre-aggregate to |nations| rows BEFORE the outer joins, so the "
+    "balance sheet assembles from 25-row frames.",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, "lineitem", sf_dir)
+    s = t(spark, "supplier", sf_dir).select("s_suppkey", "s_nationkey")
+    o = t(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    c = t(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = t(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    sup_rev = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.sum(cents).alias("supplied_cents"))
+    )
+    cust_rev = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.sum(cents).alias("consumed_cents"))
+    )
+    return (
+        n.join(F.broadcast(sup_rev), F.col("nk_s") == F.col("n_nationkey"), "left")
+        .join(F.broadcast(cust_rev), F.col("nk_c") == F.col("n_nationkey"), "left")
+        .select(
+            "n_name",
+            F.coalesce("supplied_cents", F.lit(0)).cast("bigint").alias(
+                "supplied_cents"
+            ),
+            F.coalesce("consumed_cents", F.lit(0)).cast("bigint").alias(
+                "consumed_cents"
+            ),
+            (
+                F.coalesce("supplied_cents", F.lit(0))
+                - F.coalesce("consumed_cents", F.lit(0))
+            ).cast("bigint").alias("balance_cents"),
+        )
+    )

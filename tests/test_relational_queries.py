@@ -169,6 +169,8 @@ RELATIONAL = [
     "dq_expectation_suite",
     "lineitem_return_rate_by_brand",
     "events_audience_overlap",
+    "events_activation_lag",
+    "nation_trade_balance",
 ]
 
 
