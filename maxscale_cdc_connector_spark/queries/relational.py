@@ -7954,3 +7954,61 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("balance_cents"),
         )
     )
+
+
+@register(
+    "events_daily_peak_hour",
+    oracle="""
+WITH hourly AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hr,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT day,
+           sum(n) AS day_total,
+           max(n) AS peak_n,
+           min(hr) FILTER (WHERE n = max_n) AS peak_hour
+    FROM (SELECT *, max(n) OVER (PARTITION BY day) AS max_n FROM hourly)
+    GROUP BY day
+)
+SELECT day, CAST(peak_hour AS BIGINT) AS peak_hour,
+       CAST(peak_n AS BIGINT) AS peak_n,
+       CAST(day_total AS BIGINT) AS day_total,
+       CAST(peak_n * 1000000 // day_total AS BIGINT) AS peak_share_ppm
+FROM daily
+""",
+    doc="Daily peak-hour detection: the hour carrying each day's maximum "
+    "load, its absolute count, and its share of the day in exact ppm "
+    "— the capacity-planning number that sizes burst headroom (a 20% "
+    "peak share says smooth load; 60% says provision for spikes). "
+    "Ties break to the EARLIEST hour by an exact integer rule (min "
+    "hr among max-count hours), never by shuffle order. The corpus "
+    "collapses to <=24 rows per day first; everything downstream is "
+    "day-table sized.",
+)
+def events_daily_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    hourly = e.groupBy(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"),
+        F.expr("(ts_us % 86400000000) DIV 3600000000").cast("bigint").alias("hr"),
+    ).agg(F.count("*").alias("n"))
+    daily = hourly.groupBy("day").agg(
+        F.sum("n").alias("day_total"),
+        F.max("n").alias("peak_n"),
+        # min_by with a (-n, hr) struct = among max counts, the earliest
+        # hour — the deterministic tiebreak the window form spells out.
+        F.min_by("hr", F.struct((-F.col("n")).alias("neg"), F.col("hr"))).alias(
+            "peak_hour"
+        ),
+    )
+    return daily.select(
+        "day",
+        F.col("peak_hour").cast("bigint").alias("peak_hour"),
+        F.col("peak_n").cast("bigint").alias("peak_n"),
+        F.col("day_total").cast("bigint").alias("day_total"),
+        F.expr("peak_n * 1000000 DIV day_total").cast("bigint").alias(
+            "peak_share_ppm"
+        ),
+    )

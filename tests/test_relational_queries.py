@@ -171,6 +171,7 @@ RELATIONAL = [
     "events_audience_overlap",
     "events_activation_lag",
     "nation_trade_balance",
+    "events_daily_peak_hour",
 ]
 
 
