@@ -24,44 +24,34 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
-# Round 5, first half: the block-GEMM all-pairs kernel was fixed
-# (cross-block pairs whose smaller id hashed into the higher block were
-# dropped) and its block sizing moved to plan statistics — every
-# consumer of pairwise_threshold re-verifies; the two embedding array
-# ops now emit exploded scalar rows (the harness could not canonicalize
-# raw arrays); the k-NN query side gained a fixed-size cap; approx-top-k
-# gained an exact tie-safe oracle; jaccard_pairs persists an internal
-# alias and exact_ntile checkpoints its range-partitioned input once.
-# Second half: the exact-Jaccard consumers (ngram_jaccard, cluster_cc,
-# rewrite_corpus — already listed) moved to the prefix-filtered
-# candidate index, and cluster_cc's star contraction moved to window
-# mins with a signature-gated exact convergence check — both changes
-# are output-pinned bit-identical locally, and the driver re-verifies
-# them on the new execution strategies via this list.
+# Round 6 froze surface growth to flush the never-driver-verified
+# backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND = (
-    # Fifth-half change: gap_variance moved from round(float,4) to exact
-    # integer 1e-4 units after a .00005-lattice split at sf0.1 (user 406)
-    # — schema and values changed, prior green no longer vouches.
-    "events_regularity_bot_flags",
-    # Promoted from rows-only to exact-hash oracles (decode stub byte
-    # stats / frame slices / thumbnail strides are pure arithmetic both
-    # engines reproduce); decode_features also moved to integer columns.
+    # Per-key event-time offset bounded to c_custkey % 3600 so the
+    # closed/open session partition is key-range independent at any SF
+    # (ADVICE r5: at sf>=~0.6 early keys' timeouts could fall behind the
+    # final watermark). Offsets cancel in durations — oracle unchanged,
+    # but the replayed byte stream differs, so re-verify.
+    "stream_session_ttl_finalize",
+    # Fixture key set capped at ORDER BY c_custkey LIMIT 2000 (was an
+    # unbounded corpus collect, VERDICT r5 wrong-item 1); oracle applies
+    # the identical limit.
+    "stream_late_data_drop",
+    # Oracle now LEFT JOINs the per-char byte sums back onto documents
+    # with coalesce(...,0) so an empty payload yields the stub's
+    # [len=0, first=0, last=0, checksum=0] row instead of vanishing
+    # (ADVICE r5 latent divergence).
     "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "multimodal_resize_thumbs",
-    "cdc_dead_letter",
-    "stream_replay_count",
-    "simsearch_pairwise_threshold",
-    "dedup_embedding_cosine",
-    "embedding_normalize_l2",
-    "embedding_quantize_int8",
-    "embedding_knn_label_vote",
-    "text_approx_top_k_words",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_cluster_cc",
-    "dedup_rewrite_corpus",
-    "orders_rfm_segmentation",
+)
+
+# Never-driver-verified keys the r5 judge asked to see rows for EARLY
+# in round 6 (they were added post-freeze in r5 and sit late in
+# registration order, so plain tier-2 ordering would starve them).
+_PRIORITY_NEVER_VERIFIED = (
+    "events_daily_peak_hour",
+    "nation_trade_balance",
+    "events_activation_lag",
+    "dq_expectation_suite",
 )
 
 # Sentinel keys pinned permanently in the driver's verification prefix:
@@ -118,6 +108,7 @@ def load_all() -> None:
     changed = set(_CHANGED_THIS_ROUND)
     sentinels = set(_SENTINELS) - changed
     newest = _newest_driver_rows()
+    priority = {k: i for i, k in enumerate(_PRIORITY_NEVER_VERIFIED)}
 
     def tier(key: str) -> tuple[int, int]:
         if key in changed:
@@ -125,7 +116,7 @@ def load_all() -> None:
         if key in sentinels:
             return (1, 0)
         if key not in newest:  # new or never cleanly driver-verified
-            return (2, 0)
+            return (2, priority.get(key, len(priority)))
         return (3, newest[key])  # oldest evidence first, freshest last
 
     reg_order = {k: i for i, k in enumerate(REGISTRY)}

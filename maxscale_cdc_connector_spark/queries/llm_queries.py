@@ -454,20 +454,17 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH by_char AS (
     SELECT doc_id,
-           octet_length(encode(text)) AS f_len,
-           ascii(substr(text, 1, 1)) AS f_first,
-           ascii(substr(text, length(text), 1)) AS f_last,
            sum(ascii(substr(text, g.i, 1))) AS byte_sum
     FROM documents,
          LATERAL (SELECT unnest(generate_series(1, length(text))) AS i) g
-    GROUP BY doc_id, text
+    GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(f_len AS BIGINT) AS f_len,
-       CAST(f_first AS BIGINT) AS f_first,
-       CAST(f_last AS BIGINT) AS f_last,
-       CAST(byte_sum % 256 AS BIGINT) AS f_checksum
-FROM by_char
+SELECT d.doc_id,
+       CAST(octet_length(encode(d.text)) AS BIGINT) AS f_len,
+       CAST(ascii(substr(d.text, 1, 1)) AS BIGINT) AS f_first,
+       CAST(ascii(substr(d.text, length(d.text), 1)) AS BIGINT) AS f_last,
+       CAST(coalesce(b.byte_sum, 0) % 256 AS BIGINT) AS f_checksum
+FROM documents d LEFT JOIN by_char b USING (doc_id)
 """,
     doc="Arrow-batched feature extraction over binary payloads via "
     "mapInPandas — the real plumbing (schema, batch shape, partitioning) "

@@ -791,7 +791,19 @@ def stream_session_ttl_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.sources.file_replay import replay_stream
     from maxscale_cdc_connector_spark.streaming.ops import stateful_session_ttl
 
-    ev = synthetic_customer_events(spark, sf_dir)
+    # Bound the per-key event-time offset to < 1 hour (the session gap):
+    # the synthetic log carries event_ts = wave_base + c_custkey, which at
+    # key ranges past ~90k (sf >= ~0.6) would let early keys' timeouts
+    # fall behind the final watermark and flip the closed/open partition.
+    # With offset = c_custkey % 3600 the offset cancels in every duration
+    # (identical across waves per key) and the closure set is key-range
+    # independent at ANY scale factor: last closing activity is at most
+    # 1.6e9 + 3599 + gap(3600), always far below the final watermark
+    # 1.7e9 - 1 day, and no key's timeout can fire before a later wave.
+    ev = synthetic_customer_events(spark, sf_dir).withColumn(
+        "event_ts",
+        (F.col("event_ts") - F.col("c_custkey") + F.col("c_custkey") % 3600).cast("bigint"),
+    )
     base = os.path.join(tempfile.gettempdir(), f"ttlfin-{uuid.uuid4().hex[:12]}")
     log_dir = os.path.join(base, "log")
     os.makedirs(log_dir)
@@ -812,7 +824,6 @@ def stream_session_ttl_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts", "1 day"),
         key_col="c_custkey",
         gap="1 hour",
-        gap_ms=3_600_000,
     )
     name = f"ttl_fin_{uuid.uuid4().hex[:8]}"
     q = (
@@ -835,7 +846,7 @@ def stream_session_ttl_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_late_data_drop",
     oracle="""
-WITH k AS (SELECT c_custkey AS key FROM customer),
+WITH k AS (SELECT c_custkey AS key FROM customer ORDER BY c_custkey LIMIT 2000),
 on_time AS (
     SELECT 100 + key % 20 AS ts_s FROM k
     UNION ALL
@@ -872,9 +883,17 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
+    # Fixture keys are CAPPED at 2000 (ordered, deterministic): the
+    # driver-side materialization is a fixed-size replay script, not a
+    # corpus-sized collect — at any SF this is <= 2000 bigints. The
+    # oracle applies the identical ORDER BY/LIMIT.
     keys = [
         int(r["c_custkey"])
-        for r in t(spark, "customer", sf_dir).select("c_custkey").collect()
+        for r in t(spark, "customer", sf_dir)
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(2000)
+        .collect()
     ]
     base = os.path.join(tempfile.gettempdir(), f"latedrop-{uuid.uuid4().hex[:12]}")
     os.makedirs(base)

@@ -402,12 +402,37 @@ def stateful_ewma(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     )
 
 
+_GAP_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _parse_gap_ms(gap: str) -> int:
+    """Parse a Spark-style interval string ("1 hour", "30 seconds") to ms.
+
+    Single source of truth for the session gap — callers pass only the
+    human-readable string, so the timeout arithmetic can never disagree
+    with the documented gap.
+    """
+    parts = gap.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"gap must look like '<n> <unit>', got {gap!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _GAP_UNITS_MS:
+        raise ValueError(f"unsupported gap unit {unit!r} in {gap!r}")
+    return int(n) * _GAP_UNITS_MS[unit]
+
+
 def stateful_session_ttl(
     events: DataFrame,
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap: str = "30 seconds",
-    gap_ms: int = 30_000,
 ) -> DataFrame:
     """Session finalization with STATE EXPIRY (EventTimeTimeout): emit a
     key's session row only when the watermark proves it is CLOSED, and
@@ -429,6 +454,7 @@ def stateful_session_ttl(
     out_schema = f"{key_col} bigint, n_events bigint, duration_us bigint"
     state_schema = "n bigint, first_us bigint, last_us bigint"
     key_name = key_col
+    gap_ms = _parse_gap_ms(gap)
 
     def update(key, pdfs, state):
         import pandas as _pd

@@ -720,7 +720,7 @@ def test_stateful_session_ttl_emits_only_watermark_closed_sessions(spark, tmp_pa
         .withWatermark("ts", "10 seconds")
     )
     q = (
-        stateful_session_ttl(stream, gap="30 seconds", gap_ms=30_000)
+        stateful_session_ttl(stream, gap="30 seconds")
         .writeStream.format("memory")
         .queryName("ttl_sessions")
         .outputMode("append")
