@@ -85,6 +85,25 @@ def _gtid_key(gtid: str | None) -> tuple[int, int, int]:
     return (int(d), int(s), int(q))
 
 
+def build_row(
+    record: dict[str, Any],
+    convs: list[tuple[str, Callable[[Any], Any]]],
+    null_missing: bool,
+) -> tuple:
+    """One wire record → one typed row tuple (shared by both readers).
+
+    Dense-row contract: a data record missing a schema key is a protocol
+    error (cdc_connector.cpp:297-308) unless ``null_missing`` (the
+    schema-change restart path) asked for NULL backfill.
+    """
+    if null_missing:
+        return tuple(conv(record.get(name)) for name, conv in convs)
+    try:
+        return tuple(conv(record[name]) for name, conv in convs)
+    except KeyError as exc:
+        raise CDCProtocolError(f"No value for key found: {exc.args[0]}") from None
+
+
 class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
     """Driver-side prefetching reader with GTID offsets."""
 
@@ -134,14 +153,7 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
         return client
 
     def _row(self, record: dict[str, Any]) -> tuple:
-        if self._null_missing:
-            return tuple(conv(record.get(name)) for name, conv in self._convs)
-        # Dense-row contract: a data record missing a schema key is a
-        # protocol error (cdc_connector.cpp:297-308).
-        try:
-            return tuple(conv(record[name]) for name, conv in self._convs)
-        except KeyError as exc:
-            raise CDCProtocolError(f"No value for key found: {exc.args[0]}") from None
+        return build_row(record, self._convs, self._null_missing)
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         gtid = start.get("gtid", "")
@@ -212,16 +224,43 @@ class MaxScaleCDCDataSource(DataSource):
         record = self.options.get("schemarecord")
         if record is not None:
             return schema_record_to_struct(record)
+        import json as _json
+
+        if "streams" in self.options:
+            # Partitioned mode: all streams share one schema (shards of
+            # one logical table); probe the first stream's leading
+            # schema record.
+            first = _json.loads(self.options["streams"])[0]
+            host = first.get("host", self.options.get("host", "127.0.0.1"))
+            port = int(first.get("port", self.options.get("port", 4001)))
+            table = first["table"]
+        else:
+            host = self.options.get("host", "127.0.0.1")
+            port = int(self.options.get("port", 4001))
+            table = self.options["table"]
         with CDCClient(
-            host=self.options.get("host", "127.0.0.1"),
-            port=int(self.options.get("port", 4001)),
+            host=host,
+            port=port,
             user=self.options.get("user", ""),
             password=self.options.get("password", ""),
-            table=self.options["table"],
+            table=table,
             timeout=float(self.options.get("pollseconds", DEFAULT_POLL_SECONDS)) + 5.0,
         ) as client:
             assert client.schema_record is not None
             return schema_record_to_struct(client.schema_record)
+
+    def streamReader(self, schema: T.StructType):
+        """Partition-parallel reader (executor-side sockets), selected by
+        the ``streams`` option; without it, raising NotImplemented makes
+        Spark fall back to :meth:`simpleStreamReader` (the single-stream
+        default matching the reference's session model)."""
+        if "streams" in self.options:
+            from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
+                CDCPartitionedStreamReader,
+            )
+
+            return CDCPartitionedStreamReader(schema, dict(self.options))
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema: T.StructType) -> CDCSimpleStreamReader:
         return CDCSimpleStreamReader(schema, dict(self.options))

@@ -104,6 +104,7 @@ class CDCClient:
         self.timeout = timeout
         self._sock: socket.socket | None = None
         self._buf = bytearray()
+        self._pos = 0  # consumed prefix of _buf (compacted lazily)
         self.schema_record: dict[str, Any] | None = None
         self._streaming = False  # handshake done, data may flow
 
@@ -196,15 +197,23 @@ class CDCClient:
 
     def _read_line(self, allow_timeout: bool) -> bytes | None:
         """One ``\\n``-delimited line; ``None`` on idle timeout (when
-        allowed). Disconnection raises ``ConnectionError``."""
+        allowed). Disconnection raises ``ConnectionError``.
+
+        The consumed prefix is tracked by offset and compacted lazily
+        (``del`` from the front per line is O(buffer) — quadratic per
+        received chunk when the socket outruns the parser, which a
+        loopback or datacenter link does)."""
         assert self._sock is not None, "not connected"
         while True:
-            nl = self._buf.find(b"\n")
+            nl = self._buf.find(b"\n", self._pos)
             if nl >= 0:
-                line = bytes(self._buf[:nl])
-                del self._buf[: nl + 1]
+                line = bytes(self._buf[self._pos : nl])
+                self._pos = nl + 1
+                if self._pos >= 1 << 20:  # drop ≥1 MiB of consumed prefix
+                    del self._buf[: self._pos]
+                    self._pos = 0
                 return line
-            if len(self._buf) > MAX_LINE_BYTES:
+            if len(self._buf) - self._pos > MAX_LINE_BYTES:
                 raise CDCProtocolError("CDC event line exceeds 16 MiB bound")
             try:
                 chunk = self._sock.recv(64 * 1024)
@@ -225,9 +234,10 @@ class CDCClient:
         (the reference works around exactly this, cdc_connector.cpp:
         494-504 is_error() on the raw chunk): surface the buffered
         partial line as the error instead of a generic timeout."""
-        return not self._streaming and self._buf.startswith(b"ERR")
+        return not self._streaming and self._buf.startswith(b"ERR", self._pos)
 
     def _drain_buf(self) -> bytes:
-        line = bytes(self._buf)
+        line = bytes(self._buf[self._pos :])
         self._buf.clear()
+        self._pos = 0
         return line

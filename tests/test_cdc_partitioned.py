@@ -1,0 +1,236 @@
+"""Partition-parallel CDC reader tests (sources/cdc_partitioned.py).
+
+Pins the scale path VERDICT r5 asked for: executor-side sockets (one
+per configured stream), GTID+event_number cursor offsets, frontier-file
+progress reporting, transaction-split-safe batch caps, and
+checkpoint-resume — all against the fake MaxScale server speaking the
+reference protocol (cdc_connector.h:62-69 resume semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
+from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
+    CDCPartitionedStreamReader,
+    CDCStreamPartition,
+)
+from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+from tests.fake_maxscale import TEST_SCHEMA_RECORD, FakeMaxScale, make_event
+
+SCHEMA = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+
+def _reader(tmp_path, servers: list[FakeMaxScale], **extra: str) -> CDCPartitionedStreamReader:
+    options = {
+        "host": "127.0.0.1",
+        "user": servers[0].user,
+        "password": servers[0].password,
+        "streams": json.dumps(
+            [{"table": s.table, "port": s.port} for s in servers]
+        ),
+        "frontierdir": str(tmp_path / "frontier"),
+        "pollseconds": "0.3",
+    }
+    options.update(extra)
+    return CDCPartitionedStreamReader(SCHEMA, options)
+
+
+def _drain(reader: CDCPartitionedStreamReader, start: dict) -> tuple[list[tuple], dict]:
+    """One planned micro-batch: latestOffset → partitions → read all."""
+    end = reader.latestOffset()
+    rows: list[tuple] = []
+    for part in reader.partitions(start, end):
+        rows.extend(reader.read(part))
+    return rows, end
+
+
+def test_offsets_and_two_stream_partitions(tmp_path) -> None:
+    ev1 = [make_event(s) for s in (1, 2)]
+    ev2 = [make_event(s) for s in (101, 102, 103)]
+    with (
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev1, table="test.s1") as s1,
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev2, table="test.s2") as s2,
+    ):
+        reader = _reader(tmp_path, [s1, s2])
+        start = reader.initialOffset()
+        assert set(start["streams"]) == {"test.s1", "test.s2"}
+        end = reader.latestOffset()
+        parts = reader.partitions(start, end)
+        assert len(parts) == 2  # one executor socket per stream
+        by_table = {p.config["table"]: list(reader.read(p)) for p in parts}
+        assert len(by_table["test.s1"]) == 2
+        assert len(by_table["test.s2"]) == 3
+        # Completed reads reported their frontier for the next fold.
+        nxt = reader.latestOffset()
+        assert nxt["streams"]["test.s1"] == {"gtid": "0-3000-2", "evn": 1}
+        assert nxt["streams"]["test.s2"] == {"gtid": "0-3000-103", "evn": 1}
+        # Same-epoch planning is an empty batch.
+        assert reader.partitions(end, end) == []
+
+
+def test_batch_cap_splits_transaction_without_loss_or_dup(tmp_path) -> None:
+    # seq 2 is a two-event transaction (update_before/update_after); a
+    # cap of 2 lands the batch boundary between its events. The cursor
+    # carries event_number, so the next batch resumes mid-transaction.
+    events = [
+        make_event(1),
+        make_event(2, event_type="update_before", event_number=1),
+        make_event(2, event_type="update_after", event_number=2),
+        make_event(3),
+    ]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events, table="test.s1") as srv:
+        reader = _reader(tmp_path, [srv], maxrecordsperbatch="2")
+        rows1, end1 = _drain(reader, reader.initialOffset())
+        assert [(r[2], r[3]) for r in rows1] == [(1, 1), (2, 1)]  # (sequence, evn)
+        rows2, end2 = _drain(reader, end1)
+        assert [(r[2], r[3]) for r in rows2] == [(2, 2), (3, 1)]
+        rows3, _ = _drain(reader, end2)
+        assert rows3 == []  # nothing re-delivered once drained
+
+
+def test_resume_replays_from_configured_gtid_inclusive(tmp_path) -> None:
+    events = [make_event(s) for s in (1, 2, 3)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events, table="test.s1") as srv:
+        reader = _reader(tmp_path, [srv], gtid="0-3000-2")
+        rows, _ = _drain(reader, reader.initialOffset())
+        # Inclusive replay of the requested GTID (cdc_connector.h:62-69).
+        assert [r[2] for r in rows] == [2, 3]
+
+
+def test_lost_frontier_falls_back_to_checkpointed_start(tmp_path) -> None:
+    events = [make_event(s) for s in (1, 2, 3)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events, table="test.s1") as srv:
+        reader = _reader(tmp_path, [srv])
+        rows1, _ = _drain(reader, reader.initialOffset())
+        assert len(rows1) == 3
+        # The next planned offset folds the frontier in — this is what
+        # the checkpoint WAL would hold as the committed position.
+        committed = reader.latestOffset()
+        assert committed["streams"]["test.s1"] == {"gtid": "0-3000-3", "evn": 1}
+        # Simulate a wiped frontier dir (e.g. moved checkpoint host).
+        for f in os.listdir(tmp_path / "frontier"):
+            os.unlink(tmp_path / "frontier" / f)
+        # The committed offset (start) now outranks the folded frontier:
+        # resume replays from the checkpoint — at-least-once, no gap, and
+        # the delivered cursor (evn) drops the already-delivered tail.
+        end2 = reader.latestOffset()
+        parts = reader.partitions(committed, end2)
+        (part,) = parts
+        assert (part.gtid, part.evn) == ("0-3000-3", 1)
+        assert list(reader.read(part)) == []
+
+
+def test_streaming_two_shards_end_to_end(spark, tmp_path) -> None:
+    ev1 = [make_event(s, name=f"a{s}") for s in range(1, 16)]
+    ev2 = [make_event(s, name=f"b{s}") for s in range(101, 116)]
+    with (
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev1, table="test.s1") as s1,
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev2, table="test.s2") as s2,
+    ):
+        spark.dataSource.register(MaxScaleCDCDataSource)
+        df = (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("user", s1.user)
+            .option("password", s1.password)
+            .option(
+                "streams",
+                json.dumps([
+                    {"table": s1.table, "port": s1.port},
+                    {"table": s2.table, "port": s2.port},
+                ]),
+            )
+            .option("frontierDir", str(tmp_path / "frontier"))
+            .option("schemaRecord", json.dumps(TEST_SCHEMA_RECORD))
+            .option("pollseconds", "0.3")
+            .load()
+        )
+        assert df.schema == SCHEMA
+        query = (
+            df.writeStream.format("memory")
+            .queryName("cdc_part_e2e")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("SELECT count(*) c FROM cdc_part_e2e").first()["c"] >= 30:
+                    break
+                time.sleep(0.5)
+            out = spark.sql(
+                "SELECT sequence, name FROM cdc_part_e2e ORDER BY sequence"
+            ).collect()
+            assert len(out) == 30  # both shards, nothing lost or doubled
+            assert {r["name"] for r in out[:15]} == {f"a{s}" for s in range(1, 16)}
+            assert {r["name"] for r in out[15:]} == {f"b{s}" for s in range(101, 116)}
+        finally:
+            query.stop()
+
+
+def test_streaming_checkpoint_resume_across_queries(spark, tmp_path) -> None:
+    ev1 = [make_event(s, name=f"a{s}") for s in range(1, 6)]
+    ev2 = [make_event(s, name=f"b{s}") for s in range(101, 106)]
+    with (
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev1, table="test.s1") as s1,
+        FakeMaxScale(TEST_SCHEMA_RECORD, ev2, table="test.s2") as s2,
+    ):
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def load():
+            return (
+                spark.readStream.format("maxscale_cdc")
+                .option("host", "127.0.0.1")
+                .option("user", s1.user)
+                .option("password", s1.password)
+                .option(
+                    "streams",
+                    json.dumps([
+                        {"table": s1.table, "port": s1.port},
+                        {"table": s2.table, "port": s2.port},
+                    ]),
+                )
+                .option("frontierDir", str(tmp_path / "frontier"))
+                .option("schemaRecord", json.dumps(TEST_SCHEMA_RECORD))
+                .option("pollseconds", "0.3")
+                .load()
+            )
+
+        def run(sink: list[str], want: set[str]) -> None:
+            def collect_batch(batch, _bid):
+                sink.extend(r["name"] for r in batch.select("name").collect())
+
+            q = (
+                load()
+                .writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+            try:
+                deadline = time.time() + 90
+                while time.time() < deadline and not want <= set(sink):
+                    time.sleep(0.3)
+                # Let the delivering batch commit so the stop is clean and
+                # the next incarnation resumes past it.
+                time.sleep(1.5)
+            finally:
+                q.stop()
+
+        first: list[str] = []
+        run(first, {f"a{s}" for s in range(1, 6)} | {f"b{s}" for s in range(101, 106)})
+        assert set(first) == {f"a{s}" for s in range(1, 6)} | {
+            f"b{s}" for s in range(101, 106)
+        }
+        s1.push_event(make_event(6, name="a6"))
+        s2.push_event(make_event(106, name="b106"))
+        second: list[str] = []
+        run(second, {"a6", "b106"})
+        # Only the new events — the checkpointed cursor skipped
+        # everything the first query delivered.
+        assert set(second) == {"a6", "b106"}
