@@ -194,3 +194,125 @@ def run_supervised(
             else:
                 time.sleep(min(backoff, max_backoff))
                 backoff = min(backoff * 2, max_backoff)
+
+
+class _SupervisedStream:
+    """Book-keeping for one table's stream under :func:`run_supervised_multi`."""
+
+    def __init__(self, name: str, options: dict[str, str], attach_sink, initial_backoff: float):
+        self.name = name
+        self.opts = dict(options)
+        self.attach_sink = attach_sink
+        self.backoff = initial_backoff
+        self.restarts = 0
+        self.query = None
+        self.restart_at: float | None = None  # backoff wait, when query is None
+        self.done = False  # terminated cleanly
+
+    def start(self, spark: SparkSession) -> None:
+        df = spark.readStream.format("maxscale_cdc").options(**self.opts).load()
+        self.query = self.attach_sink(df)
+        self.restart_at = None
+
+
+def run_supervised_multi(
+    spark: SparkSession,
+    tables: dict[str, dict[str, str]],
+    attach_sinks: dict[str, Callable[[DataFrame], "object"]],
+    *,
+    max_restarts: int = 5,
+    initial_backoff: float = 0.5,
+    max_backoff: float = 30.0,
+    stop_when: Callable[[], bool] | None = None,
+    timeout: float = 120.0,
+    poll_seconds: float = 0.25,
+) -> dict[str, int]:
+    """Supervise N tables' CDC streams into N sinks with ONE call.
+
+    The reference's consumer model is one session per table
+    (cdc_connector.h:62-69), so its caller hand-rolls a thread-and-loop
+    per table (examples/main.cpp:27-44). This is that loop done once for
+    a whole database: ``tables`` maps a stream name to its reader
+    options, ``attach_sinks`` maps the same name to its sink attachment
+    (each MUST set its own ``checkpointLocation``, e.g. one snapshot
+    store per table). All queries run concurrently on the shared
+    SparkSession; one monitor polls them and applies
+    :func:`run_supervised`'s per-failure policy INDEPENDENTLY per
+    stream — a schema change on one table re-infers and restarts only
+    that table; a dead server backs off only that table's stream (the
+    backoff is non-blocking: other streams keep being monitored while
+    one waits). A non-restartable failure on any stream stops all of
+    them and re-raises.
+
+    Returns ``{name: restarts}`` once ``stop_when`` fires or every
+    stream has terminated cleanly.
+    """
+    if set(tables) != set(attach_sinks):
+        raise ValueError(
+            f"tables and attach_sinks must share keys: {set(tables) ^ set(attach_sinks)}"
+        )
+    streams = [
+        _SupervisedStream(name, opts, attach_sinks[name], initial_backoff)
+        for name, opts in tables.items()
+    ]
+    for s in streams:
+        s.start(spark)
+    deadline = time.time() + timeout
+
+    def stop_all() -> None:
+        for s in streams:
+            if s.query is not None and s.query.isActive:
+                s.query.stop()
+        for s in streams:
+            if s.query is not None:
+                try:
+                    s.query.awaitTermination(30)
+                except Exception:  # noqa: BLE001 — already stopping
+                    pass
+
+    while True:
+        if stop_when is not None and stop_when():
+            stop_all()
+            return {s.name: s.restarts for s in streams}
+        if time.time() > deadline:
+            stop_all()
+            raise TimeoutError(
+                f"streams did not satisfy stop_when within {timeout}s "
+                f"({ {s.name: s.restarts for s in streams} })"
+            )
+        if all(s.done for s in streams):
+            return {s.name: s.restarts for s in streams}
+        for s in streams:
+            if s.done:
+                continue
+            if s.query is None:  # waiting out a backoff window
+                if s.restart_at is not None and time.time() >= s.restart_at:
+                    s.start(spark)
+                continue
+            if s.query.isActive:
+                continue
+            exc = s.query.exception()
+            if exc is None:
+                s.done = True  # clean termination
+                continue
+            schema_change = is_schema_change_failure(exc)
+            if not schema_change and not is_connection_failure(exc):
+                stop_all()
+                raise exc
+            if s.restarts >= max_restarts:
+                stop_all()
+                raise RuntimeError(
+                    f"stream {s.name!r} still failing after {max_restarts} restarts"
+                ) from exc
+            s.restarts += 1
+            if schema_change:
+                s.opts.pop("schemaRecord", None)
+                s.opts.pop("schemarecord", None)
+                s.opts["nullMissingColumns"] = "true"
+                s.backoff = initial_backoff  # new incarnation, fresh budget
+                s.start(spark)
+            else:
+                s.query = None
+                s.restart_at = time.time() + min(s.backoff, max_backoff)
+                s.backoff = min(s.backoff * 2, max_backoff)
+        time.sleep(poll_seconds)

@@ -530,6 +530,111 @@ def test_run_supervised_auto_reconnects_after_crash(spark, tmp_path) -> None:
     assert min(s for s in seen if s > 10) == 11
 
 
+def test_run_supervised_multi_recovers_one_of_two_tables(spark, tmp_path) -> None:
+    """One call supervises two tables' streams into two snapshot stores
+    (the reference's caller hand-rolls this loop per table,
+    examples/main.cpp:27-44). Killing one table's server must back off
+    and recover ONLY that stream — the other keeps delivering — and both
+    final snapshots must be exact."""
+    import json as _json
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised_multi
+
+    a_first = [make_event(s, name=f"a{s}") for s in range(1, 11)]
+    b_first = [make_event(s, name=f"b{s}") for s in range(1, 11)]
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    lock = threading.Lock()
+    snaps: dict[str, dict[int, str]] = {"t1": {}, "t2": {}}
+
+    def make_attach(name: str):
+        def attach(df):
+            def collect_batch(batch, _bid):
+                rows = batch.select("id", "name").collect()
+                with lock:
+                    for r in rows:  # inserts only: id is the key
+                        snaps[name][r["id"]] = r["name"]
+
+            return (
+                df.writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        return attach
+
+    def opts(port: int, table: str) -> dict[str, str]:
+        return {
+            "host": "127.0.0.1",
+            "port": str(port),
+            "user": "cdcuser",
+            "password": "cdcpw",
+            "table": table,
+            "pollseconds": "0.3",
+            "schemaRecord": _json.dumps(TEST_SCHEMA_RECORD),
+        }
+
+    srv1 = FakeMaxScale(TEST_SCHEMA_RECORD, a_first, table="test.t1")
+    srv1.__enter__()
+    srv2 = FakeMaxScale(TEST_SCHEMA_RECORD, b_first, table="test.t2")
+    srv2.__enter__()
+    port2 = srv2.port
+
+    done = threading.Event()
+    result: dict = {}
+
+    def supervise():
+        try:
+            result["restarts"] = run_supervised_multi(
+                spark,
+                {"t1": opts(srv1.port, "test.t1"), "t2": opts(port2, "test.t2")},
+                {"t1": make_attach("t1"), "t2": make_attach("t2")},
+                max_restarts=10,
+                initial_backoff=0.3,
+                stop_when=done.is_set,
+                timeout=150.0,
+            )
+        except Exception as exc:
+            result["error"] = exc
+
+    t = threading.Thread(target=supervise, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not (
+            len(snaps["t1"]) >= 10 and len(snaps["t2"]) >= 10
+        ):
+            time.sleep(0.3)
+        assert len(snaps["t1"]) == 10 and len(snaps["t2"]) == 10
+
+        srv2.stop()  # abrupt death of ONE table's server
+        time.sleep(1.0)
+        # The healthy table keeps delivering while t2 backs off.
+        for s in range(11, 16):
+            srv1.push_event(make_event(s, name=f"a{s}"))
+        b_all = b_first + [make_event(s, name=f"b{s}") for s in range(11, 21)]
+        with FakeMaxScale(TEST_SCHEMA_RECORD, b_all, table="test.t2", port=port2):
+            deadline = time.time() + 90
+            while time.time() < deadline and not (
+                len(snaps["t1"]) >= 15 and len(snaps["t2"]) >= 20
+            ):
+                time.sleep(0.3)
+            done.set()
+            t.join(60)
+    finally:
+        done.set()
+        srv1.stop()
+
+    assert "error" not in result, result.get("error")
+    restarts = result.get("restarts", {})
+    assert restarts.get("t2", 0) >= 1, "t2 was never reconnected"
+    assert restarts.get("t1", 0) == 0, "healthy stream restarted needlessly"
+    assert snaps["t1"] == {s: f"a{s}" for s in range(1, 16)}
+    assert snaps["t2"] == {s: f"b{s}" for s in range(1, 21)}
+
+
 def test_datasource_schema_infer_connection_refused() -> None:
     """schema() inference against a dead server surfaces a clean error,
     not a hang (the reference's connect() error-string path,
