@@ -37,6 +37,11 @@ _CHANGED_THIS_ROUND = (
     # unbounded corpus collect, VERDICT r5 wrong-item 1); oracle applies
     # the identical limit.
     "stream_late_data_drop",
+    # Promoted from rows-only to an exact-hash oracle: the greedy
+    # first-fit fold is deterministic by construction (md5 bucket +
+    # doc_id order), replayed in DuckDB as a per-bucket recursive CTE;
+    # fill_ratio became exact integer fill_bp (schema changed).
+    "pipeline_pack_sequences",
     # Oracle now LEFT JOINs the per-char byte sums back onto documents
     # with coalesce(...,0) so an empty payload yields the stub's
     # [len=0, first=0, last=0, checksum=0] row instead of vanishing

@@ -871,15 +871,69 @@ def pipeline_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pipeline_pack_sequences",
-    oracle=None,
+    oracle="""
+WITH RECURSIVE tok AS (
+    SELECT CAST(CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                AS INTEGER) % 64 AS INTEGER) AS bucket,
+           doc_id,
+           CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+ordered AS (
+    SELECT bucket, doc_id, n_tokens,
+           row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+    FROM tok
+),
+-- The greedy first-fit state machine, one row per step per bucket.
+-- State AFTER a row = (cur_seq, cur_used); pre-state of row 1 = (0, 0).
+fold AS (
+    SELECT bucket, rn, n_tokens,
+           CAST(0 AS INTEGER) AS pack_seq,
+           n_tokens > 512 AS truncated,
+           CASE WHEN n_tokens > 512 THEN 1 ELSE 0 END AS cur_seq,
+           CASE WHEN n_tokens > 512 THEN 0 ELSE n_tokens END AS cur_used
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.bucket, o.rn, o.n_tokens,
+           CAST(CASE
+             WHEN o.n_tokens > 512 THEN
+                  CASE WHEN f.cur_used > 0 THEN f.cur_seq + 1 ELSE f.cur_seq END
+             WHEN f.cur_used + o.n_tokens > 512 THEN f.cur_seq + 1
+             ELSE f.cur_seq END AS INTEGER) AS pack_seq,
+           o.n_tokens > 512 AS truncated,
+           CASE
+             WHEN o.n_tokens > 512 THEN
+                  (CASE WHEN f.cur_used > 0 THEN f.cur_seq + 1 ELSE f.cur_seq END) + 1
+             WHEN f.cur_used + o.n_tokens > 512 THEN f.cur_seq + 1
+             ELSE f.cur_seq END AS cur_seq,
+           CASE
+             WHEN o.n_tokens > 512 THEN 0
+             WHEN f.cur_used + o.n_tokens > 512 THEN o.n_tokens
+             ELSE f.cur_used + o.n_tokens END AS cur_used
+    FROM fold f JOIN ordered o ON o.bucket = f.bucket AND o.rn = f.rn + 1
+)
+SELECT bucket, pack_seq,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(sum(n_tokens) * 10000 // 512 AS BIGINT) AS fill_bp,
+       bool_or(truncated) AS has_truncated
+FROM fold
+GROUP BY bucket, pack_seq
+ORDER BY bucket, pack_seq
+""",
     doc="Sequence packing (pretraining batch prep): greedy first-fit of "
     "documents into 512-token training sequences inside deterministic "
     "md5 buckets (applyInPandas per bucket — one shuffle, linear per-"
     "bucket Python, reproducible on any cluster size). Emits the per-pack "
-    "manifest: doc count, token fill, fill ratio, truncation flag. "
-    "Stateful packing is not SQL-expressible, so the driver check is "
-    "rows-only; invariants (every doc packed exactly once, no pack over "
-    "budget, partitioning-independence) are pinned in pytest.",
+    "manifest: doc count, token fill, fill basis points, truncation flag. "
+    "Packing is deterministic by construction (md5 bucket + doc_id order), "
+    "so the stateful fold IS SQL-expressible: the oracle replays the exact "
+    "state machine as a per-bucket recursive CTE (promoted from rows-only, "
+    "VERDICT r5 item 6). Fill is exact integer basis points — "
+    "floor(tokens*1e4/512) — so the hash cannot split on float tie-"
+    "rounding. Invariants (every doc packed exactly once, no pack over "
+    "budget, partitioning-independence) stay pinned in pytest.",
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.packing import pack_sequences
@@ -891,7 +945,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("pack_tokens"),
-            F.round(F.sum("n_tokens") / F.lit(512.0), 4).alias("fill_ratio"),
+            F.expr("CAST((sum(n_tokens) * 10000) DIV 512 AS BIGINT)").alias("fill_bp"),
             F.max(F.col("truncated").cast("int")).cast("boolean").alias("has_truncated"),
         )
         .orderBy("bucket", "pack_seq")
