@@ -68,6 +68,7 @@ ORACLE_CHECKED = [
     "embedding_dim_stats",
     "pipeline_dataset_card",
     "dedup_threshold_sensitivity",
+    "pipeline_pack_sequences",  # promoted rows-only → exact oracle in r6
 ]
 
 
