@@ -70,9 +70,61 @@ from maxscale_cdc_connector_spark.sources.cdc_datasource import (
     DEFAULT_POLL_SECONDS,
     _converter,
     _gtid_key,
-    build_row,
 )
-from maxscale_cdc_connector_spark.sources.protocol import CDCClient
+from maxscale_cdc_connector_spark.sources.protocol import CDCClient, CDCProtocolError
+
+# Records per emitted Arrow batch: large enough to amortize Arrow/IPC
+# overhead, small enough that a partially-filled batch is cheap.
+ARROW_BATCH_RECORDS = 8192
+
+
+def _arrow_type(dt: T.DataType):
+    """Spark type → pyarrow type for the Arrow fast path. Must agree
+    with the DataSource schema or the JVM rejects the batch."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    return pa.string()
+
+
+def _arrow_converter(dt: T.DataType):
+    """Wire value → Arrow-ready Python value. Same as the row path's
+    :func:`_converter`, except decimals are quantized HALF_UP to the
+    declared scale HERE — the JVM row path does that coercion itself
+    (Decimal.changePrecision), but pyarrow refuses lossy rescaling."""
+    import decimal as _dec
+
+    base = _converter(dt)
+    if isinstance(dt, T.DecimalType):
+        q = _dec.Decimal(1).scaleb(-dt.scale)
+
+        def conv(v):
+            d = base(v)
+            return None if d is None else d.quantize(q, rounding=_dec.ROUND_HALF_UP)
+
+        return conv
+    return base
 
 
 def _cursor_key(gtid: str, evn: int) -> tuple[int, int, int, int]:
@@ -241,11 +293,39 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: InputPartition) -> Iterator[tuple]:  # executor-side
+    def read(self, partition: InputPartition):  # executor-side
+        """Arrow fast path: accumulate decoded records columnar and emit
+        pyarrow RecordBatches (the Python DataSource API accepts either
+        tuples or RecordBatches; batches skip per-row pickling on the
+        ingest hot path)."""
+        import pyarrow as pa
+
         assert isinstance(partition, CDCStreamPartition)
-        convs = [(f.name, _converter(f.dataType)) for f in self._schema.fields]
+        fields = [(f.name, _arrow_converter(f.dataType)) for f in self._schema.fields]
+        arrow_schema = pa.schema(
+            [pa.field(f.name, _arrow_type(f.dataType), nullable=True)
+             for f in self._schema.fields]
+        )
         cfg = partition.config
         cursor = _cursor_key(partition.gtid, partition.evn)
+        null_missing = partition.null_missing
+
+        def to_batch(buf: list[dict]) -> "pa.RecordBatch":
+            arrays = []
+            for (name, conv), typ in zip(fields, arrow_schema.types):
+                try:
+                    if null_missing:
+                        col = [conv(r.get(name)) for r in buf]
+                    else:
+                        col = [conv(r[name]) for r in buf]
+                except KeyError as exc:
+                    # Dense-row contract (cdc_connector.cpp:297-308).
+                    raise CDCProtocolError(
+                        f"No value for key found: {exc.args[0]}"
+                    ) from None
+                arrays.append(pa.array(col, type=typ))
+            return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
         client = CDCClient(
             host=cfg["host"],
             port=cfg["port"],
@@ -259,6 +339,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         try:
             last: tuple[str, int] | None = None
             delivered = 0
+            buf: list[dict] = []
             while delivered < partition.max_records:
                 record = client.read_record()
                 if record is None:  # idle — the batch is whatever arrived
@@ -271,9 +352,14 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 # (user-configured starts) drop nothing of their GTID.
                 if _cursor_key(gtid, evn) <= cursor:
                     continue
-                yield build_row(record, convs, partition.null_missing)
+                buf.append(record)
                 delivered += 1
                 last = (gtid, evn)
+                if len(buf) >= ARROW_BATCH_RECORDS:
+                    yield to_batch(buf)
+                    buf = []
+            if buf:
+                yield to_batch(buf)
             if last is not None:
                 # Report progress only after every row above was handed
                 # to the task; a killed task writes nothing and the

@@ -39,12 +39,20 @@ def _reader(tmp_path, servers: list[FakeMaxScale], **extra: str) -> CDCPartition
     return CDCPartitionedStreamReader(SCHEMA, options)
 
 
+def _rows(reader: CDCPartitionedStreamReader, part) -> list[tuple]:
+    """Flatten the reader's Arrow RecordBatches into row tuples."""
+    out: list[tuple] = []
+    for batch in reader.read(part):
+        out.extend(tuple(d.values()) for d in batch.to_pylist())
+    return out
+
+
 def _drain(reader: CDCPartitionedStreamReader, start: dict) -> tuple[list[tuple], dict]:
     """One planned micro-batch: latestOffset → partitions → read all."""
     end = reader.latestOffset()
     rows: list[tuple] = []
     for part in reader.partitions(start, end):
-        rows.extend(reader.read(part))
+        rows.extend(_rows(reader, part))
     return rows, end
 
 
@@ -61,7 +69,7 @@ def test_offsets_and_two_stream_partitions(tmp_path) -> None:
         end = reader.latestOffset()
         parts = reader.partitions(start, end)
         assert len(parts) == 2  # one executor socket per stream
-        by_table = {p.config["table"]: list(reader.read(p)) for p in parts}
+        by_table = {p.config["table"]: _rows(reader, p) for p in parts}
         assert len(by_table["test.s1"]) == 2
         assert len(by_table["test.s2"]) == 3
         # Completed reads reported their frontier for the next fold.
@@ -121,7 +129,7 @@ def test_lost_frontier_falls_back_to_checkpointed_start(tmp_path) -> None:
         parts = reader.partitions(committed, end2)
         (part,) = parts
         assert (part.gtid, part.evn) == ("0-3000-3", 1)
-        assert list(reader.read(part)) == []
+        assert _rows(reader, part) == []
 
 
 def test_streaming_two_shards_end_to_end(spark, tmp_path) -> None:
