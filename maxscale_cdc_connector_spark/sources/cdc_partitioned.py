@@ -71,7 +71,12 @@ from maxscale_cdc_connector_spark.sources.cdc_datasource import (
     _converter,
     _gtid_key,
 )
-from maxscale_cdc_connector_spark.sources.protocol import CDCClient, CDCProtocolError
+from maxscale_cdc_connector_spark.sources.protocol import (
+    CDCClient,
+    CDCProtocolError,
+    SchemaChangedError,
+)
+from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
 
 # Records per emitted Arrow batch: large enough to amortize Arrow/IPC
 # overhead, small enough that a partially-filled batch is cheap.
@@ -337,6 +342,21 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         )
         client.connect()
         try:
+            # The simple reader holds ONE long-lived connection, so an
+            # ALTER surfaces as a mid-stream schema record
+            # (protocol.read_record → SchemaChangedError). This reader
+            # reconnects per micro-batch, so after an ALTER the server
+            # serves the NEW schema as the LEADING record
+            # (cdc_connector.cpp:214 — avrorouter always announces the
+            # current version): detect the change by comparing it to the
+            # query's fixed schema, or the stream would silently keep
+            # emitting stale columns.
+            if client.schema_record is not None:
+                live = schema_record_to_struct(client.schema_record)
+                if [(f.name, f.dataType) for f in live.fields] != [
+                    (f.name, f.dataType) for f in self._schema.fields
+                ]:
+                    raise SchemaChangedError(client.schema_record)
             last: tuple[str, int] | None = None
             delivered = 0
             buf: list[dict] = []

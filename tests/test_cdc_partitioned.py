@@ -242,3 +242,91 @@ def test_streaming_checkpoint_resume_across_queries(spark, tmp_path) -> None:
         # Only the new events — the checkpointed cursor skipped
         # everything the first query delivered.
         assert set(second) == {"a6", "b106"}
+
+
+def test_partitioned_schema_change_restart(spark, tmp_path) -> None:
+    """A mid-stream ALTER must survive the executor boundary: the
+    SchemaChangedError is raised inside an executor task (not on the
+    driver like the simple reader's prefetch), and its marker text must
+    still reach the StreamingQueryException so run_with_schema_restarts
+    re-infers the widened schema and resumes from the checkpoint."""
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import (
+        run_with_schema_restarts,
+    )
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 10}
+    ]
+    first = [make_event(s, name=f"pre{s}") for s in range(1, 6)]
+    rows: list[dict] = []
+
+    def seqs() -> set[int]:
+        return {r["sequence"] for r in list(rows)}
+
+    with FakeMaxScale(TEST_SCHEMA_RECORD, first, table="test.s1") as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def attach_sink(df):
+            def collect_batch(batch, _bid):
+                rows.extend(r.asDict() for r in batch.collect())
+
+            return (
+                df.writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        def stop_when() -> bool:
+            snapshot = list(rows)
+            return set(range(1, 11)) <= {r["sequence"] for r in snapshot} and any(
+                r.get("extra") == "post10" for r in snapshot
+            )
+
+        result: dict = {}
+
+        def run() -> None:
+            result["restarts"] = run_with_schema_restarts(
+                spark,
+                {
+                    "host": "127.0.0.1",
+                    "user": srv.user,
+                    "password": srv.password,
+                    "streams": json.dumps([{"table": srv.table, "port": srv.port}]),
+                    "frontierDir": str(tmp_path / "frontier"),
+                    "pollseconds": "0.3",
+                },
+                attach_sink,
+                stop_when=stop_when,
+                timeout=90.0,
+            )
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        deadline = time.time() + 45
+        while time.time() < deadline and not set(range(1, 6)) <= seqs():
+            time.sleep(0.2)
+        assert set(range(1, 6)) <= seqs(), "pre-ALTER rows never arrived"
+
+        srv.push_schema_change(new_schema)
+        for s in range(6, 11):
+            ev = make_event(s, name=f"post{s}")
+            ev["extra"] = f"post{s}"
+            srv.push_event(ev)
+
+        t.join(timeout=90)
+        assert not t.is_alive(), "wrapper did not stop"
+
+    assert result["restarts"] == 1
+    assert set(range(1, 11)) <= seqs()  # no loss across the ALTER
+    post = {r["sequence"]: r for r in rows if r.get("extra") is not None}
+    assert {s: post[s]["extra"] for s in range(6, 11)} == {
+        s: f"post{s}" for s in range(6, 11)
+    }
+    # Replayed pre-ALTER rows under the widened schema are NULL-filled.
+    for r in rows:
+        if "extra" in r and r["sequence"] < 6:
+            assert r["extra"] is None
