@@ -299,11 +299,20 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: InputPartition):  # executor-side
-        """Arrow fast path: accumulate decoded records columnar and emit
-        pyarrow RecordBatches (the Python DataSource API accepts either
-        tuples or RecordBatches; batches skip per-row pickling on the
-        ingest hot path)."""
+        """Columnar ingest: frame raw newline-JSON off the socket
+        (no per-record parse), batch-decode with ``pyarrow.json``
+        (~30× ``json.loads``), cursor-filter and type-finalize with
+        Arrow compute, and emit RecordBatches — the Python DataSource
+        API accepts RecordBatch iterators, so rows are never pickled.
+        Any batch pyarrow cannot decode (malformed line, type surprise)
+        falls back to a per-record path with IDENTICAL error semantics
+        (``CDCProtocolError`` on malformed/missing, dense-row contract
+        per cdc_connector.cpp:297-308)."""
+        import json as _json
+
         import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.json as pj
 
         assert isinstance(partition, CDCStreamPartition)
         fields = [(f.name, _arrow_converter(f.dataType)) for f in self._schema.fields]
@@ -311,6 +320,29 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             [pa.field(f.name, _arrow_type(f.dataType), nullable=True)
              for f in self._schema.fields]
         )
+        # Wire-parse schema: types pa.json parses natively stay as-is;
+        # string-carried types (decimal/date/timestamp/binary on the
+        # JSON wire) parse as strings and are finalized per column.
+        tricky = (T.DecimalType, T.DateType, T.TimestampType, T.BinaryType)
+        wire_schema = pa.schema(
+            [
+                pa.field(
+                    f.name,
+                    pa.string() if isinstance(f.dataType, tricky) else _arrow_type(f.dataType),
+                    nullable=True,
+                )
+                for f in self._schema.fields
+            ]
+        )
+        parse_opts = pj.ParseOptions(
+            explicit_schema=wire_schema, unexpected_field_behavior="ignore"
+        )
+        field_names = [f.name for f in self._schema.fields]
+        envelope = ("domain", "server_id", "sequence", "event_number")
+        # The columnar path needs the envelope for cursor/frontier math;
+        # a schema without it (not a real avrorouter stream) uses the
+        # per-record path wholesale.
+        fast_ok = all(name in field_names for name in envelope)
         cfg = partition.config
         cursor = _cursor_key(partition.gtid, partition.evn)
         null_missing = partition.null_missing
@@ -330,6 +362,106 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     ) from None
                 arrays.append(pa.array(col, type=typ))
             return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+        def parse_line(ln: bytes) -> dict:
+            try:
+                return _json.loads(ln)
+            except _json.JSONDecodeError as exc:
+                raise CDCProtocolError(
+                    f"malformed CDC event line: {ln[:200]!r}"
+                ) from exc
+
+        def check_schema_lines(lines: list[bytes]) -> None:
+            # Cheap substring pre-filter; only candidates pay a parse.
+            from maxscale_cdc_connector_spark.sources.protocol import is_schema_record
+
+            for ln in lines:
+                if b'"fields"' in ln:
+                    obj = parse_line(ln)
+                    if is_schema_record(obj):
+                        raise SchemaChangedError(obj)
+
+        def finalize_column(col: "pa.ChunkedArray", dt: T.DataType, typ) -> "pa.Array":
+            col = col.combine_chunks()
+            if isinstance(dt, T.DecimalType):
+                conv = _arrow_converter(dt)
+                return pa.array([conv(v) for v in col.to_pylist()], type=typ)
+            if isinstance(dt, (T.DateType, T.TimestampType, T.BinaryType)):
+                return pc.cast(col, typ)
+            return col
+
+        def fast_decode(lines: list[bytes]):
+            """lines → (RecordBatch in the query schema, last (gtid, evn))
+            or None to signal per-record fallback."""
+            import io
+
+            try:
+                tbl = pj.read_json(io.BytesIO(b"\n".join(lines) + b"\n"), parse_options=parse_opts)
+            except pa.ArrowInvalid:
+                return None
+            if not null_missing:
+                # Dense-row contract: pa.json nulls both true JSON nulls
+                # and MISSING keys; only rows containing some null pay a
+                # per-record recheck to tell them apart.
+                null_mask = None
+                for i in range(tbl.num_columns):
+                    if tbl.column(i).null_count:
+                        m = pc.is_null(tbl.column(i))
+                        null_mask = m if null_mask is None else pc.or_(null_mask, m)
+                if null_mask is not None:
+                    for ridx in pc.indices_nonzero(null_mask).to_pylist():
+                        rec = parse_line(lines[ridx])
+                        for name in field_names:
+                            if name not in rec:
+                                raise CDCProtocolError(
+                                    f"No value for key found: {name}"
+                                )
+            d, s = tbl.column("domain"), tbl.column("server_id")
+            q, e = tbl.column("sequence"), tbl.column("event_number")
+            if cursor > (-1, -1, -1, -1):
+                cd, cs, cq, ce = cursor
+                eq_d = pc.equal(d, cd)
+                eq_ds = pc.and_(eq_d, pc.equal(s, cs))
+                eq_dsq = pc.and_(eq_ds, pc.equal(q, cq))
+                mask = pc.greater(d, cd)
+                mask = pc.or_(mask, pc.and_(eq_d, pc.greater(s, cs)))
+                mask = pc.or_(mask, pc.and_(eq_ds, pc.greater(q, cq)))
+                mask = pc.or_(mask, pc.and_(eq_dsq, pc.greater(e, ce)))
+                tbl = tbl.filter(mask)
+            if tbl.num_rows == 0:
+                return pa.RecordBatch.from_arrays(
+                    [pa.array([], type=t) for t in arrow_schema.types],
+                    schema=arrow_schema,
+                ), None
+            arrays = [
+                finalize_column(tbl.column(f.name), f.dataType, typ)
+                for f, typ in zip(self._schema.fields, arrow_schema.types)
+            ]
+            batch = pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+            tail = tbl.slice(tbl.num_rows - 1)
+            lr = {
+                name: tail.column(name)[0].as_py()
+                for name in envelope
+            }
+            new_last = (
+                f"{lr['domain']}-{lr['server_id']}-{lr['sequence']}",
+                int(lr["event_number"]),
+            )
+            return batch, new_last
+
+        def slow_decode(lines: list[bytes]):
+            """Per-record fallback with the original semantics."""
+            buf: list[dict] = []
+            new_last = None
+            for ln in lines:
+                record = parse_line(ln)
+                gtid = f"{record['domain']}-{record['server_id']}-{record['sequence']}"
+                evn = int(record.get("event_number", 1))
+                if _cursor_key(gtid, evn) <= cursor:
+                    continue
+                buf.append(record)
+                new_last = (gtid, evn)
+            return to_batch(buf), new_last
 
         client = CDCClient(
             host=cfg["host"],
@@ -359,27 +491,62 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     raise SchemaChangedError(client.schema_record)
             last: tuple[str, int] | None = None
             delivered = 0
-            buf: list[dict] = []
-            while delivered < partition.max_records:
-                record = client.read_record()
-                if record is None:  # idle — the batch is whatever arrived
-                    break
-                gtid = f"{record['domain']}-{record['server_id']}-{record['sequence']}"
-                evn = int(record.get("event_number", 1))
+            if fast_ok:
                 # The server replays the requested GTID's events
-                # inclusively (cdc_connector.h:62-69); drop what the
-                # previous batch already delivered. evn == -1 cursors
-                # (user-configured starts) drop nothing of their GTID.
-                if _cursor_key(gtid, evn) <= cursor:
-                    continue
-                buf.append(record)
-                delivered += 1
-                last = (gtid, evn)
-                if len(buf) >= ARROW_BATCH_RECORDS:
+                # inclusively (cdc_connector.h:62-69); the cursor filter
+                # inside the decoders drops what the previous batch
+                # already delivered (evn == -1 cursors — user-configured
+                # starts — drop nothing of their GTID).
+                while delivered < partition.max_records:
+                    remaining = partition.max_records - delivered
+                    lines = client.read_raw_lines(min(ARROW_BATCH_RECORDS, remaining))
+                    if lines is None:  # idle — the batch is what arrived
+                        break
+                    check_schema_lines(lines)
+                    try:
+                        decoded = fast_decode(lines)
+                    except pa.ArrowInvalid:
+                        decoded = None  # e.g. an uncastable date string
+                    if decoded is None:  # pyarrow refused; exact fallback
+                        decoded = slow_decode(lines)
+                    batch, new_last = decoded
+                    if batch.num_rows > remaining:
+                        # Hard cap (framing reads whole receive chunks):
+                        # truncate; the undelivered tail is NOT lost —
+                        # the frontier stops at the last delivered row
+                        # and the next micro-batch's inclusive GTID
+                        # replay + cursor skip picks up exactly there.
+                        batch = batch.slice(0, remaining)
+                        new_last = (
+                            "{}-{}-{}".format(
+                                batch.column("domain")[remaining - 1].as_py(),
+                                batch.column("server_id")[remaining - 1].as_py(),
+                                batch.column("sequence")[remaining - 1].as_py(),
+                            ),
+                            int(batch.column("event_number")[remaining - 1].as_py()),
+                        )
+                    if batch.num_rows:
+                        yield batch
+                        delivered += batch.num_rows
+                        last = new_last
+            else:
+                buf: list[dict] = []
+                while delivered < partition.max_records:
+                    record = client.read_record()
+                    if record is None:
+                        break
+                    gtid = f"{record['domain']}-{record['server_id']}-{record['sequence']}"
+                    evn = int(record.get("event_number", 1))
+                    if _cursor_key(gtid, evn) <= cursor:
+                        continue
+                    buf.append(record)
+                    delivered += 1
+                    last = (gtid, evn)
+                    if len(buf) >= ARROW_BATCH_RECORDS:
+                        yield to_batch(buf)
+                        buf = []
+                if buf:
                     yield to_batch(buf)
-                    buf = []
-            if buf:
-                yield to_batch(buf)
             if last is not None:
                 # Report progress only after every row above was handed
                 # to the task; a killed task writes nothing and the

@@ -167,6 +167,43 @@ class CDCClient:
             raise SchemaChangedError(obj)
         return obj
 
+    def read_raw_lines(self, max_lines: int) -> list[bytes] | None:
+        """Up to ``max_lines`` complete newline-delimited event lines,
+        UNPARSED; ``None`` on idle timeout with nothing complete
+        buffered. Framing only — the partitioned reader batch-decodes
+        the lines columnar (pyarrow.json is ~30× json.loads), so the
+        per-record Python loop leaves the ingest hot path. All complete
+        lines already buffered are returned in one split, so the cap is
+        approximate (±one receive chunk) — any batch boundary is safe,
+        the (gtid, event_number) cursor makes caps transaction-split
+        tolerant. Disconnection with complete lines in hand returns
+        them first; the NEXT call raises ``ConnectionError``.
+        """
+        assert self._sock is not None, "not connected"
+        lines: list[bytes] = []
+        while len(lines) < max_lines:
+            last_nl = self._buf.rfind(b"\n", self._pos)
+            if last_nl >= self._pos:
+                region = bytes(self._buf[self._pos : last_nl])
+                self._pos = last_nl + 1
+                if self._pos >= 1 << 20:
+                    del self._buf[: self._pos]
+                    self._pos = 0
+                lines.extend(ln for ln in region.split(b"\n") if ln)
+                continue
+            if len(self._buf) - self._pos > MAX_LINE_BYTES:
+                raise CDCProtocolError("CDC event line exceeds 16 MiB bound")
+            try:
+                chunk = self._sock.recv(1 << 20)
+            except (TimeoutError, socket.timeout):
+                return lines or None
+            if not chunk:
+                if lines:
+                    return lines
+                raise ConnectionError("CDC server closed the connection")
+            self._buf.extend(chunk)
+        return lines
+
     # -- wire helpers -------------------------------------------------------
 
     def _send(self, payload: bytes) -> None:

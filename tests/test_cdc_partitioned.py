@@ -330,3 +330,93 @@ def test_partitioned_schema_change_restart(spark, tmp_path) -> None:
     for r in rows:
         if "extra" in r and r["sequence"] < 6:
             assert r["extra"] is None
+
+
+# ---------------------------------------------------------------------------
+# Columnar fast-path semantics: the pyarrow.json batch decode must keep
+# the EXACT error contract of the per-record path.
+# ---------------------------------------------------------------------------
+
+
+def _blob_server(lines: list[bytes]):
+    from bench import _BlobCDCServer
+
+    schema_line = (json.dumps(TEST_SCHEMA_RECORD) + "\n").encode()
+    return _BlobCDCServer(schema_line, b"".join(ln + b"\n" for ln in lines), "u", "p")
+
+
+def _blob_reader(tmp_path, port: int, **extra: str) -> CDCPartitionedStreamReader:
+    options = {
+        "host": "127.0.0.1",
+        "user": "u",
+        "password": "p",
+        "streams": json.dumps([{"table": "test.t1", "port": port}]),
+        "frontierdir": str(tmp_path / "frontier"),
+        "pollseconds": "0.3",
+    }
+    options.update(extra)
+    return CDCPartitionedStreamReader(SCHEMA, options)
+
+
+def _wire(seq: int, **over) -> bytes:
+    rec = make_event(seq)
+    rec.update(over)
+    for k in [k for k, v in over.items() if v is _DROP]:
+        del rec[k]
+    return json.dumps(rec).encode()
+
+
+_DROP = object()
+
+
+def test_fast_path_malformed_line_raises_protocol_error(tmp_path) -> None:
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _blob_server([_wire(1), b'{"broken', _wire(2)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port)
+        with pytest.raises(CDCProtocolError, match="malformed CDC event line"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()
+
+
+def test_fast_path_missing_key_enforces_dense_contract(tmp_path) -> None:
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _blob_server([_wire(1), _wire(2, name=_DROP)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port)
+        with pytest.raises(CDCProtocolError, match="No value for key found: name"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()
+
+
+def test_fast_path_true_null_is_none_not_error(tmp_path) -> None:
+    srv = _blob_server([_wire(1, name=None), _wire(2)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port)
+        rows, _ = _drain(reader, reader.initialOffset())
+        assert len(rows) == 2
+        assert rows[0][7] is None  # name column: JSON null → SQL NULL
+        assert rows[1][7] == "row"
+    finally:
+        srv.stop()
+
+
+def test_fast_path_null_missing_backfills_after_restart(tmp_path) -> None:
+    # The schema-change restart incarnation runs with nullMissingColumns:
+    # a replayed pre-ALTER record lacking a column must NULL-fill.
+    srv = _blob_server([_wire(1, name=_DROP)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port, nullmissingcolumns="true")
+        rows, _ = _drain(reader, reader.initialOffset())
+        assert len(rows) == 1
+        assert rows[0][7] is None
+    finally:
+        srv.stop()
