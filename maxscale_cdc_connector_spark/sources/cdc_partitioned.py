@@ -50,6 +50,29 @@ GTID, cdc_connector.cpp:199-206):
 Delivery is at-least-once end to end (task retries replay their whole
 partition range); downstream envelope dedup — the standard pattern for
 this source (streaming/ops.py) — restores exactly-once.
+
+**Replayed batches are NOT byte-identical to the original attempt.** An
+offset here is an epoch tick plus resume cursors — the data volume of a
+batch is discovered at ``read()`` time (the CDC server has no "latest
+position" RPC to bound against, cdc_connector.cpp:199-206), and ``read``
+streams until the record cap or idle. A micro-batch replayed after a
+driver failure or task retry therefore resumes from the same cursor but
+may deliver a SUPERSET of the original rows (whatever more has arrived
+by then). Sinks that rely on Spark's batch-replay determinism for
+exactly-once (e.g. the foreachBatch-with-batchId-skip idiom) will
+observe duplicates; use the envelope-dedup / ``foreachBatch`` upsert
+pattern in ``streaming/ops.py`` instead, which is keyed on
+``(gtid, event_number)`` and immune to replay supersets.
+
+**Trigger-interval floor for many-stream deployments:** every
+micro-batch re-dials, re-authenticates, and re-reads the leading schema
+record once per stream (that per-batch reconnect is also how ALTER is
+detected — the avrorouter announces the current schema as the leading
+record on connect). The handshake is ~3 RTTs + a SHA1; with hundreds of
+streams and sub-second triggers it dominates the batch. Rule of thumb:
+keep ``trigger(processingTime=...)`` ≥ 5 s once you pass ~64 streams, or
+size batches via ``maxRecordsPerBatch`` so each trigger moves ≥ ~100k
+events per stream.
 """
 
 from __future__ import annotations
@@ -78,9 +101,13 @@ from maxscale_cdc_connector_spark.sources.protocol import (
 )
 from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
 
-# Records per emitted Arrow batch: large enough to amortize Arrow/IPC
-# overhead, small enough that a partially-filled batch is cheap.
-ARROW_BATCH_RECORDS = 8192
+# Records per emitted Arrow batch: large enough to amortize the fixed
+# per-batch costs (pyarrow.json reader setup, schema prefilter, Arrow IPC
+# to the JVM), small enough that a partially-filled batch is cheap.
+# Raised 8192 → 65536 in r7: profiling the 600k-event ingest bench showed
+# per-batch fixed cost dominating fast_decode; 65536 × ~120 B wire rows is
+# still only ~8 MiB per batch.
+ARROW_BATCH_RECORDS = 65536
 
 
 def _arrow_type(dt: T.DataType):
@@ -238,6 +265,20 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
     # -- offsets ------------------------------------------------------------
 
     def initialOffset(self) -> dict:
+        # Spark invokes this ONLY for a fresh checkpoint, so any frontier
+        # files already under frontierDir are definitionally stale —
+        # left behind by a previous incarnation whose checkpoint was
+        # deleted (deleting a checkpoint does not delete the separately
+        # configured frontierDir). latestOffset folds whatever frontier
+        # it finds, so a stale file would make the FIRST batch resume
+        # past the configured gtid and silently skip data. Clear this
+        # reader's stream frontiers here; no executor can be writing
+        # concurrently (no batch has been planned yet).
+        for sid in self._streams:
+            try:
+                os.unlink(_frontier_path(self._frontier_dir, sid))
+            except FileNotFoundError:
+                pass
         return {
             "epoch": 0,
             "streams": {
@@ -314,7 +355,24 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.json as pj
 
+        _t_read0 = time.perf_counter()
+        _prof = None
+        if os.environ.get("MAXSCALE_CDC_READ_TIMING"):
+            import cProfile as _cProfile
+
+            _prof = _cProfile.Profile()
+            _prof.enable()
         assert isinstance(partition, CDCStreamPartition)
+        # PySpark workers export OMP_NUM_THREADS=1 (task cpus), which
+        # Arrow reads at init — pa.cpu_count() == 1 serializes the
+        # pyarrow.json block parser and makes fast_decode ~5× slower
+        # (measured 86 ms vs 18 ms per 65k-line block). Ingest partitions
+        # are socket+parse bound, so give Arrow a small pool; option
+        # ``arrowCpus`` (default 4) bounds the oversubscription the same
+        # way codegen SIMD lanes do not count against task cpus.
+        arrow_cpus = int(self._options.get("arrowcpus", "4"))
+        if pa.cpu_count() < arrow_cpus:
+            pa.set_cpu_count(arrow_cpus)
         fields = [(f.name, _arrow_converter(f.dataType)) for f in self._schema.fields]
         arrow_schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType), nullable=True)
@@ -371,11 +429,16 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     f"malformed CDC event line: {ln[:200]!r}"
                 ) from exc
 
-        def check_schema_lines(lines: list[bytes]) -> None:
-            # Cheap substring pre-filter; only candidates pay a parse.
+        def check_schema_block(block: bytes) -> None:
+            # One memchr-speed substring scan over the WHOLE block (the
+            # per-line Python loop this replaces was ~8% of ingest CPU);
+            # only a block containing the marker pays the line split,
+            # and only candidate lines pay a parse.
             from maxscale_cdc_connector_spark.sources.protocol import is_schema_record
 
-            for ln in lines:
+            if b'"fields"' not in block:
+                return
+            for ln in block.split(b"\n"):
                 if b'"fields"' in ln:
                     obj = parse_line(ln)
                     if is_schema_record(obj):
@@ -384,21 +447,46 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         def finalize_column(col: "pa.ChunkedArray", dt: T.DataType, typ) -> "pa.Array":
             col = col.combine_chunks()
             if isinstance(dt, T.DecimalType):
-                conv = _arrow_converter(dt)
-                return pa.array([conv(v) for v in col.to_pylist()], type=typ)
+                # Arrow's string→decimal128 cast is exact when every
+                # value already fits the declared scale (the avrorouter
+                # emits DECIMAL(p,s) at its declared scale) — vectorized,
+                # no per-value Python. Values needing a rescale make the
+                # cast throw; only then pay the per-value HALF_UP
+                # quantize that matches the JVM's Decimal.changePrecision.
+                try:
+                    return pc.cast(col, typ)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                    conv = _arrow_converter(dt)
+                    return pa.array([conv(v) for v in col.to_pylist()], type=typ)
             if isinstance(dt, (T.DateType, T.TimestampType, T.BinaryType)):
                 return pc.cast(col, typ)
             return col
 
-        def fast_decode(lines: list[bytes]):
-            """lines → (RecordBatch in the query schema, last (gtid, evn))
-            or None to signal per-record fallback."""
+        def check_envelope_nonnull(tbl: "pa.Table") -> None:
+            # Dense-envelope contract for BOTH decode paths (fast and
+            # slow agree, incl. null-backfill incarnations where
+            # nullMissingColumns=true relaxes only TABLE columns): the
+            # avrorouter stamps domain/server_id/sequence/event_number
+            # on every event, so a null here is a malformed stream, not
+            # data. Without this check the cursor filter would silently
+            # drop null-envelope rows (null comparisons filter false)
+            # while the per-record path kept them.
+            for name in envelope:
+                if tbl.column(name).null_count:
+                    raise CDCProtocolError(
+                        f"No value for key found: {name}"
+                    )
+
+        def fast_decode(block: bytes):
+            """block of newline-JSON → (RecordBatch in the query schema,
+            last (gtid, evn)) or None to signal per-record fallback."""
             import io
 
             try:
-                tbl = pj.read_json(io.BytesIO(b"\n".join(lines) + b"\n"), parse_options=parse_opts)
+                tbl = pj.read_json(io.BytesIO(block), parse_options=parse_opts)
             except pa.ArrowInvalid:
                 return None
+            check_envelope_nonnull(tbl)
             if not null_missing:
                 # Dense-row contract: pa.json nulls both true JSON nulls
                 # and MISSING keys; only rows containing some null pay a
@@ -409,6 +497,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                         m = pc.is_null(tbl.column(i))
                         null_mask = m if null_mask is None else pc.or_(null_mask, m)
                 if null_mask is not None:
+                    lines = block.split(b"\n")  # rare path pays the split
                     for ridx in pc.indices_nonzero(null_mask).to_pylist():
                         rec = parse_line(lines[ridx])
                         for name in field_names:
@@ -449,14 +538,26 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             )
             return batch, new_last
 
-        def slow_decode(lines: list[bytes]):
-            """Per-record fallback with the original semantics."""
+        def slow_decode(block: bytes):
+            """Per-record fallback — IDENTICAL semantics to fast_decode,
+            including the dense-envelope contract (a null or missing
+            envelope field raises, never default-and-keep, so a batch
+            decodes the same whichever path it takes)."""
             buf: list[dict] = []
             new_last = None
-            for ln in lines:
+            for ln in block.split(b"\n"):
                 record = parse_line(ln)
-                gtid = f"{record['domain']}-{record['server_id']}-{record['sequence']}"
-                evn = int(record.get("event_number", 1))
+                try:
+                    d, s, q = record["domain"], record["server_id"], record["sequence"]
+                    if d is None or s is None or q is None:
+                        raise KeyError("domain/server_id/sequence")
+                    evn = int(record["event_number"])
+                except (KeyError, TypeError) as exc:
+                    name = exc.args[0] if isinstance(exc, KeyError) else "event_number"
+                    raise CDCProtocolError(
+                        f"No value for key found: {name}"
+                    ) from None
+                gtid = f"{d}-{s}-{q}"
                 if _cursor_key(gtid, evn) <= cursor:
                     continue
                 buf.append(record)
@@ -499,16 +600,17 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 # starts — drop nothing of their GTID).
                 while delivered < partition.max_records:
                     remaining = partition.max_records - delivered
-                    lines = client.read_raw_lines(min(ARROW_BATCH_RECORDS, remaining))
-                    if lines is None:  # idle — the batch is what arrived
+                    blk = client.read_raw_block(min(ARROW_BATCH_RECORDS, remaining))
+                    if blk is None:  # idle — the batch is what arrived
                         break
-                    check_schema_lines(lines)
+                    block, _n_lines = blk
+                    check_schema_block(block)
                     try:
-                        decoded = fast_decode(lines)
+                        decoded = fast_decode(block)
                     except pa.ArrowInvalid:
                         decoded = None  # e.g. an uncastable date string
                     if decoded is None:  # pyarrow refused; exact fallback
-                        decoded = slow_decode(lines)
+                        decoded = slow_decode(block)
                     batch, new_last = decoded
                     if batch.num_rows > remaining:
                         # Hard cap (framing reads whole receive chunks):
@@ -552,6 +654,17 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 # to the task; a killed task writes nothing and the
                 # range simply replays.
                 _write_frontier(partition.frontier_path, *last)
+            if os.environ.get("MAXSCALE_CDC_READ_TIMING"):
+                with open(os.environ["MAXSCALE_CDC_READ_TIMING"], "a") as _fh:
+                    _fh.write(
+                        f"{cfg['table']} rows={delivered} "
+                        f"dt={time.perf_counter() - _t_read0:.3f}\n"
+                    )
+                import pstats as _pstats
+                if _prof is not None:
+                    _prof.disable()
+                    with open(os.environ["MAXSCALE_CDC_READ_TIMING"] + ".prof", "w") as _fh:
+                        _pstats.Stats(_prof, stream=_fh).sort_stats("tottime").print_stats(30)
         finally:
             client.close()
 

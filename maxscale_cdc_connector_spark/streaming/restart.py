@@ -270,6 +270,35 @@ def run_supervised_multi(
                 except Exception:  # noqa: BLE001 — already stopping
                     pass
 
+    def safe_start(s: _SupervisedStream) -> None:
+        """(Re)start one stream WITHOUT letting a start-time connection
+        failure escape the monitor loop.
+
+        ``start()`` itself can touch the CDC server: after a
+        schema-change restart ``schemaRecord`` is popped, so ``load()``
+        re-probes the server for schema — against a still-down server
+        that raises ``ConnectionRefusedError`` synchronously (not inside
+        the query). That is just another transport loss: consume a
+        restart and back off this table only, keeping the documented
+        guarantee that a dead server affects only its own stream. Any
+        non-transport start failure stops every stream and re-raises.
+        """
+        try:
+            s.start(spark)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if not is_connection_failure(exc):
+                stop_all()
+                raise
+            if s.restarts >= max_restarts:
+                stop_all()
+                raise RuntimeError(
+                    f"stream {s.name!r} still failing after {max_restarts} restarts"
+                ) from exc
+            s.restarts += 1
+            s.query = None
+            s.restart_at = time.time() + min(s.backoff, max_backoff)
+            s.backoff = min(s.backoff * 2, max_backoff)
+
     while True:
         if stop_when is not None and stop_when():
             stop_all()
@@ -287,7 +316,7 @@ def run_supervised_multi(
                 continue
             if s.query is None:  # waiting out a backoff window
                 if s.restart_at is not None and time.time() >= s.restart_at:
-                    s.start(spark)
+                    safe_start(s)
                 continue
             if s.query.isActive:
                 continue
@@ -310,7 +339,7 @@ def run_supervised_multi(
                 s.opts.pop("schemarecord", None)
                 s.opts["nullMissingColumns"] = "true"
                 s.backoff = initial_backoff  # new incarnation, fresh budget
-                s.start(spark)
+                safe_start(s)
             else:
                 s.query = None
                 s.restart_at = time.time() + min(s.backoff, max_backoff)

@@ -420,3 +420,55 @@ def test_fast_path_null_missing_backfills_after_restart(tmp_path) -> None:
         assert rows[0][7] is None
     finally:
         srv.stop()
+
+
+def test_initial_offset_clears_stale_frontier(tmp_path) -> None:
+    # Deleting a checkpoint does NOT delete a separately-configured
+    # frontierDir. initialOffset() is invoked only for a fresh
+    # checkpoint, where any surviving frontier file is definitionally
+    # stale — folding it would resume the first batch PAST the
+    # configured gtid and silently skip data (ADVICE r6).
+    events = [make_event(s) for s in (1, 2, 3)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events, table="test.s1") as srv:
+        fdir = tmp_path / "frontier"
+        fdir.mkdir()
+        stale = fdir / "test.s1.frontier.json"
+        stale.write_text(json.dumps({"gtid": "0-3000-3", "evn": 1}))
+        reader = _reader(tmp_path, [srv])
+        start = reader.initialOffset()
+        assert not stale.exists(), "stale frontier must be cleared"
+        rows, _ = _drain(reader, start)
+        assert [r[2] for r in rows] == [1, 2, 3]  # nothing skipped
+
+
+def test_null_envelope_raises_even_with_null_missing(tmp_path) -> None:
+    # nullMissingColumns relaxes TABLE columns only: the avrorouter
+    # stamps domain/server_id/sequence/event_number on every event, so a
+    # null envelope value is a malformed stream. Without this check the
+    # fast path's cursor filter silently dropped such rows while the
+    # per-record path kept them (ADVICE r6) — now both raise.
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _blob_server([_wire(1), _wire(2, event_number=None)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port, nullmissingcolumns="true")
+        with pytest.raises(CDCProtocolError, match="event_number"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()
+
+
+def test_missing_envelope_raises_even_with_null_missing(tmp_path) -> None:
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _blob_server([_wire(1), _wire(2, sequence=_DROP)])
+    try:
+        reader = _blob_reader(tmp_path, srv.port, nullmissingcolumns="true")
+        with pytest.raises(CDCProtocolError, match="sequence"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()

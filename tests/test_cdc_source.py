@@ -840,3 +840,93 @@ def test_snapshot_sink_schema_evolution_across_restart(spark, tmp_path) -> None:
     for i in range(1, 6):
         assert rows[i]["extra"] is None, f"key {i} should be NULL-backfilled"
         assert rows[i]["name"] == f"pre{i}"
+
+
+def test_run_supervised_multi_start_probe_failure_backs_off(spark, tmp_path) -> None:
+    """With ``schemaRecord`` unpinned, (re)starting a stream PROBES the
+    CDC server for schema inside ``load()`` — so a restart against a
+    still-down server raises ``ConnectionRefusedError`` synchronously,
+    outside any streaming query. That must consume a backoff round for
+    that table (the documented per-table isolation), not escape the
+    monitor loop (ADVICE r6), and the stream must still recover once the
+    server returns at the same address."""
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised_multi
+
+    first = [make_event(s, name=f"a{s}") for s in range(1, 6)]
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    lock = threading.Lock()
+    snap: dict[int, str] = {}
+
+    def attach(df):
+        def collect_batch(batch, _bid):
+            rows = batch.select("id", "name").collect()
+            with lock:
+                for r in rows:
+                    snap[r["id"]] = r["name"]
+
+        return (
+            df.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt-t1"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, first, table="test.t1")
+    srv.__enter__()
+    port = srv.port
+    # NOTE: no schemaRecord — every start() re-probes the server.
+    options = {
+        "host": "127.0.0.1",
+        "port": str(port),
+        "user": "cdcuser",
+        "password": "cdcpw",
+        "table": "test.t1",
+        "pollseconds": "0.3",
+    }
+
+    done = threading.Event()
+    result: dict = {}
+
+    def supervise():
+        try:
+            result["restarts"] = run_supervised_multi(
+                spark,
+                {"t1": options},
+                {"t1": attach},
+                max_restarts=10,
+                initial_backoff=0.3,
+                stop_when=done.is_set,
+                timeout=150.0,
+            )
+        except Exception as exc:  # noqa: BLE001 — recorded for the assert
+            result["error"] = exc
+
+    t = threading.Thread(target=supervise, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(snap) < 5:
+            time.sleep(0.3)
+        assert len(snap) == 5
+
+        srv.stop()  # server dies; restart attempts now probe a dead port
+        time.sleep(2.5)  # several backoff rounds' worth of probe failures
+        all_events = first + [make_event(s, name=f"a{s}") for s in range(6, 11)]
+        with FakeMaxScale(TEST_SCHEMA_RECORD, all_events, table="test.t1", port=port):
+            deadline = time.time() + 90
+            while time.time() < deadline and len(snap) < 10:
+                time.sleep(0.3)
+            done.set()
+            t.join(60)
+    finally:
+        done.set()
+        srv.stop()
+
+    assert "error" not in result, f"probe failure escaped the monitor: {result.get('error')}"
+    # At least one restart consumed by the in-query failure and one by a
+    # start-time probe failure during the 2.5 s dead window.
+    assert result.get("restarts", {}).get("t1", 0) >= 2
+    assert snap == {s: f"a{s}" for s in range(1, 11)}
