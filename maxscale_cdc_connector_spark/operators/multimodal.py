@@ -140,6 +140,14 @@ def frame_sample(manifest: DataFrame, n_frames: int = 4) -> DataFrame:
     return manifest.mapInPandas(sample, FRAME_SCHEMA)
 
 
+def has_image_decoder() -> bool:
+    """True when a real image library (PIL) is importable — the
+    capability gate for the ``*_real`` operators below."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
 def decode_image(payload: bytes):  # pragma: no cover - stub by design
     """Decode an image payload. Requires a real decoder library.
 
@@ -194,6 +202,54 @@ def resize_thumbnails(manifest: DataFrame, target: int = THUMB_TARGET) -> DataFr
                 return payload
             step = len(payload) / target
             return bytes(payload[int(i * step)] for i in range(target))
+
+        for pdf in batches:
+            thumbs = [thumb(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb": thumbs,
+                    "thumb_bytes": [len(b) for b in thumbs],
+                    "thumb_sha256": [hashlib.sha256(b).hexdigest() for b in thumbs],
+                }
+            )
+
+    return manifest.mapInPandas(resize, THUMB_SCHEMA)
+
+
+def resize_thumbnails_real(manifest: DataFrame, target_px: int = 64) -> DataFrame:
+    """REAL image thumbnailing behind the same interface and output
+    schema as :func:`resize_thumbnails`: PIL decode → RGB convert →
+    ``target_px`` square resize → PNG re-encode, Arrow-batched through
+    ``mapInPandas`` exactly like the stub (one output row per payload,
+    peak memory one batch of thumbnails).
+
+    Optional-dependency path (VERDICT r6 item 6): selected explicitly by
+    callers that know their payloads are real images AND PIL is
+    installed; raises ``NotImplementedError`` at PLAN time (driver-side,
+    before any job runs) when PIL is absent, so a cluster missing the
+    library fails fast instead of on task 1. The deterministic stub
+    remains the default everywhere the oracle-pinned queries run.
+    """
+    if not has_image_decoder():
+        raise NotImplementedError(
+            "resize_thumbnails_real requires PIL; use resize_thumbnails "
+            "(deterministic byte-stub) where no image library is installed"
+        )
+
+    # Self-contained closure (by-value pickling — see decode_features).
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+
+        from PIL import Image
+
+        def thumb(payload: bytes) -> bytes:
+            im = Image.open(io.BytesIO(payload))
+            im = im.convert("RGB").resize((target_px, target_px))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            return buf.getvalue()
 
         for pdf in batches:
             thumbs = [thumb(bytes(p)) for p in pdf["payload"]]

@@ -38,6 +38,8 @@ ORACLE_CHECKED = [
     "multimodal_frame_sample",
     "multimodal_resize_thumbs",
     "simsearch_filtered_topk",
+    "simsearch_ivf_topk",
+    "graph_pagerank_parts",
     "dedup_exact_vectors",
     "multimodal_training_pairs",
     "text_word_burstiness",
@@ -620,3 +622,49 @@ def test_compression_ratio_bounds_and_monotonicity(spark, sf_dir):
     # word-soup corpus compresses, but far less than pure repetition
     rep = len(zlib.compress(b"spam " * 2000, 9)) * 1_000_000 // 10_000
     assert min(r[4] for r in rows1) > rep
+
+
+def test_resize_thumbnails_real_path_or_gate(spark):
+    """Exercises whichever path the environment provides (VERDICT r6
+    item 6): with PIL installed, the real decode→resize→PNG path must
+    produce one thumbnail row per payload at the declared schema; with
+    PIL absent, the gate must refuse at PLAN time (driver-side
+    NotImplementedError, before any job runs) while the stub path keeps
+    the same per-payload row contract on the identical manifest."""
+    from maxscale_cdc_connector_spark.operators.multimodal import (
+        THUMB_SCHEMA,
+        has_image_decoder,
+        resize_thumbnails,
+        resize_thumbnails_real,
+    )
+
+    if has_image_decoder():
+        import io
+
+        from PIL import Image
+
+        payloads = []
+        for i in range(3):
+            im = Image.new("RGB", (8 + i, 6 + i), color=(i * 10, 0, 0))
+            buf = io.BytesIO()
+            im.save(buf, format="PNG")
+            payloads.append(buf.getvalue())
+        manifest = spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id LONG, payload BINARY",
+        )
+        out = resize_thumbnails_real(manifest, target_px=16).collect()
+        assert len(out) == 3
+        for r in out:
+            thumb = Image.open(io.BytesIO(bytes(r.thumb)))
+            assert thumb.size == (16, 16)
+            assert r.thumb_bytes == len(bytes(r.thumb))
+    else:
+        manifest = spark.createDataFrame(
+            [(0, bytearray(b"\x89PNG-not-really"))], "doc_id LONG, payload BINARY"
+        )
+        with pytest.raises(NotImplementedError, match="PIL"):
+            resize_thumbnails_real(manifest)
+        # Stub path honors the same one-row-per-payload contract.
+        assert resize_thumbnails(manifest).count() == 1
+        assert resize_thumbnails(manifest).schema == THUMB_SCHEMA

@@ -129,6 +129,7 @@ RELATIONAL = [
     "tpch_q2_min_cost_supplier",
     "tpch_q11_important_stock",
     "layout_compaction_bins",
+    "layout_file_metadata_audit",
     "events_daily_locf_fill",
     "events_linear_attribution",
     "dq_benford_first_digit",
