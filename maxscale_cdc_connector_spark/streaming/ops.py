@@ -14,7 +14,12 @@ Scale notes:
   forever on an unbounded CDC stream).
 * `dedup_exact` keys state on the envelope identity; with a watermark on
   the event timestamp, expired keys are evicted — mandatory under
-  at-least-once GTID replay.
+  at-least-once GTID replay. This (or the foreachBatch keyed upsert in
+  `snapshot_sink`) is also the exactly-once recovery for the
+  partition-parallel reader, whose REPLAYED micro-batches may deliver a
+  SUPERSET of the original attempt (offsets are epoch ticks — see the
+  replay-semantics section of sources/cdc_partitioned.py); batchId-skip
+  idioms that assume per-batch determinism are NOT safe on that source.
 * `snapshot_sink` maintains the queryable current-state table via
   foreachBatch compaction: per batch, dedup → per-key latest → merge
   with the previous snapshot → atomic swap. On a real cluster the state
