@@ -271,3 +271,65 @@ def test_merge_upsert_equals_replay_for_any_split(spark, events, data) -> None:
     else:
         got = {r["k"]: r["v"] for r in base.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Wire framing: read_raw_block must be chunking-invariant (r7 — the block
+# framing replaced the per-line list API on the partitioned-ingest hot path).
+# ---------------------------------------------------------------------------
+
+
+class _ScriptedSocket:
+    """recv() plays back a fixed byte stream in scripted chunk sizes,
+    then raises socket.timeout (the protocol's legal idle state)."""
+
+    def __init__(self, stream: bytes, cuts: list[int]) -> None:
+        self._chunks: list[bytes] = []
+        pos = 0
+        for c in sorted(set(cuts)):
+            if 0 < c < len(stream):
+                self._chunks.append(stream[pos:c])
+                pos = c
+        self._chunks.append(stream[pos:])
+        self._chunks = [c for c in self._chunks if c]
+
+    def recv(self, _n: int) -> bytes:
+        import socket as _socket
+
+        if not self._chunks:
+            raise _socket.timeout()
+        return self._chunks.pop(0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lines=st.lists(
+        st.binary(min_size=1, max_size=40).filter(lambda b: b"\n" not in b),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(st.integers(min_value=1, max_value=1200), max_size=12),
+    cap=st.integers(min_value=1, max_value=8),
+)
+def test_read_raw_block_is_chunking_invariant(lines, cuts, cap) -> None:
+    """However the TCP stream is cut into recv() chunks and whatever the
+    per-call line cap, read_raw_block must reassemble EXACTLY the sent
+    lines, report exact line counts, and end with a clean idle None."""
+    from maxscale_cdc_connector_spark.sources.protocol import CDCClient
+
+    stream = b"".join(ln + b"\n" for ln in lines)
+    client = CDCClient("h", 1, "u", "p", "db.t")
+    client._sock = _ScriptedSocket(stream, cuts)  # type: ignore[assignment]
+    client._streaming = True
+
+    got: list[bytes] = []
+    while True:
+        blk = client.read_raw_block(cap)
+        if blk is None:
+            break
+        block, n = blk
+        part = block.split(b"\n")
+        assert len(part) == n, "reported line count must match the block"
+        assert all(p for p in part), "no empty lines may be emitted"
+        got.extend(part)
+    assert got == lines
