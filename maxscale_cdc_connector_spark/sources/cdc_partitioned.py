@@ -598,39 +598,87 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 # inside the decoders drops what the previous batch
                 # already delivered (evn == -1 cursors — user-configured
                 # starts — drop nothing of their GTID).
-                while delivered < partition.max_records:
-                    remaining = partition.max_records - delivered
-                    blk = client.read_raw_block(min(ARROW_BATCH_RECORDS, remaining))
-                    if blk is None:  # idle — the batch is what arrived
-                        break
-                    block, _n_lines = blk
-                    check_schema_block(block)
+                #
+                # Framing runs on a PREFETCH thread so socket recv
+                # overlaps Arrow decode + IPC-to-JVM (both release the
+                # GIL for their heavy parts). The thread does framing
+                # ONLY — all decode, schema-change detection, and error
+                # classification stay on this (consumer) side, so
+                # semantics are identical to the inline loop. A block
+                # fetched but never consumed (cap reached first) is
+                # simply discarded work: the frontier stops at the last
+                # DELIVERED row and the next batch's inclusive GTID
+                # replay + cursor skip picks up exactly there.
+                import queue as _queue
+                import threading as _threading
+
+                fetched: _queue.Queue = _queue.Queue(maxsize=4)
+                stop_fetch = _threading.Event()
+
+                def _prefetch() -> None:
                     try:
-                        decoded = fast_decode(block)
-                    except pa.ArrowInvalid:
-                        decoded = None  # e.g. an uncastable date string
-                    if decoded is None:  # pyarrow refused; exact fallback
-                        decoded = slow_decode(block)
-                    batch, new_last = decoded
-                    if batch.num_rows > remaining:
-                        # Hard cap (framing reads whole receive chunks):
-                        # truncate; the undelivered tail is NOT lost —
-                        # the frontier stops at the last delivered row
-                        # and the next micro-batch's inclusive GTID
-                        # replay + cursor skip picks up exactly there.
-                        batch = batch.slice(0, remaining)
-                        new_last = (
-                            "{}-{}-{}".format(
-                                batch.column("domain")[remaining - 1].as_py(),
-                                batch.column("server_id")[remaining - 1].as_py(),
-                                batch.column("sequence")[remaining - 1].as_py(),
-                            ),
-                            int(batch.column("event_number")[remaining - 1].as_py()),
-                        )
-                    if batch.num_rows:
-                        yield batch
-                        delivered += batch.num_rows
-                        last = new_last
+                        while not stop_fetch.is_set():
+                            b = client.read_raw_block(ARROW_BATCH_RECORDS)
+                            fetched.put(b)  # None = idle → consumer ends
+                            if b is None:
+                                return
+                    except BaseException as exc:  # noqa: BLE001 — re-raised by consumer
+                        fetched.put(exc)
+
+                def _consume_fast():
+                    nonlocal delivered, last
+                    while delivered < partition.max_records:
+                        remaining = partition.max_records - delivered
+                        blk = fetched.get()
+                        if isinstance(blk, BaseException):
+                            raise blk
+                        if blk is None:  # idle — the batch is what arrived
+                            break
+                        block, _n_lines = blk
+                        check_schema_block(block)
+                        try:
+                            decoded = fast_decode(block)
+                        except pa.ArrowInvalid:
+                            decoded = None  # e.g. an uncastable date string
+                        if decoded is None:  # pyarrow refused; exact fallback
+                            decoded = slow_decode(block)
+                        batch, new_last = decoded
+                        if batch.num_rows > remaining:
+                            # Hard cap (framing reads whole receive
+                            # chunks): truncate; the undelivered tail is
+                            # NOT lost — the frontier stops at the last
+                            # delivered row and the next micro-batch's
+                            # inclusive GTID replay + cursor skip picks
+                            # up exactly there.
+                            batch = batch.slice(0, remaining)
+                            new_last = (
+                                "{}-{}-{}".format(
+                                    batch.column("domain")[remaining - 1].as_py(),
+                                    batch.column("server_id")[remaining - 1].as_py(),
+                                    batch.column("sequence")[remaining - 1].as_py(),
+                                ),
+                                int(batch.column("event_number")[remaining - 1].as_py()),
+                            )
+                        if batch.num_rows:
+                            yield batch
+                            delivered += batch.num_rows
+                            last = new_last
+
+                fetcher = _threading.Thread(target=_prefetch, daemon=True)
+                fetcher.start()
+                try:
+                    yield from _consume_fast()
+                finally:
+                    # Unblock a fetcher stuck on a full queue, then let
+                    # the outer finally's client.close() break any recv
+                    # it is blocked in; the thread is daemonized so a
+                    # straggler can never hold the task open.
+                    stop_fetch.set()
+                    while True:
+                        try:
+                            fetched.get_nowait()
+                        except _queue.Empty:
+                            break
             else:
                 buf: list[dict] = []
                 while delivered < partition.max_records:
