@@ -1,0 +1,118 @@
+"""Re-run the SURVEY ×10 scale-stress protocol for named registry keys.
+
+Usage: python scripts/stress_x10.py key [key ...]
+
+Protocol (SURVEY §10): build id-shifted ×10 unions of the sf0.1 tables a
+key reads, then time the key at sf0.1 and at ×10 (min of 2 passes each,
+local[32], 48g driver heap — the iterative graph keys spill past the 1g
+default). A healthy distributed plan lands ≤ ~3× on input-bound keys;
+larger ratios need an explanation (output-bound growth, by-spec
+quadratic arithmetic) recorded in the SURVEY stress table.
+
+Only the tables a key actually scans are cloned (pass --tables to
+override the default `lineitem,embeddings,documents,events,orders,
+customer` clone set for speed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Tables cloned by default, with the id column shifted per replica so
+# joins/groupBys see 10× distinct keys, not 10 copies of one key space.
+SHIFT_COLS = {
+    "lineitem": ("l_orderkey", 100_000_000),
+    "orders": ("o_orderkey", 100_000_000),
+    "customer": ("c_custkey", 10_000_000),
+    "events": ("event_id", 1_000_000_000),
+    "documents": ("doc_id", 10_000_000),
+    "embeddings": ("vec_id", 10_000_000),
+}
+# Small dims copied as-is (shifting nation keys would break FK joins).
+COPY_TABLES = ("region", "nation", "supplier", "part")
+
+
+def build_x10(spark, sf_dir: str, tables: list[str]) -> str:
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="stress_x10_")
+    for t in tables:
+        src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in SHIFT_COLS:
+            col, stride = SHIFT_COLS[t]
+            u = None
+            for i in range(10):
+                s = src.withColumn(col, F.col(col) + F.lit(i * stride))
+                u = s if u is None else u.unionByName(s)
+            u.write.parquet(f"{out}/{t}.parquet")
+        else:
+            src.write.parquet(f"{out}/{t}.parquet")
+    for t in COPY_TABLES:
+        if t not in tables:
+            p = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(p):
+                spark.read.parquet(p).write.parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="+")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--tables",
+        default="lineitem,orders,customer,events,documents,embeddings",
+        help="comma-separated tables to clone ×10 (rest copied as-is)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    x10 = build_x10(spark, args.sf_dir, args.tables.split(","))
+
+    def best_of_2(key: str, sf_dir: str) -> tuple[float, int]:
+        best, rows = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = len(REGISTRY[key].fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, rows
+
+    try:
+        for key in args.keys:
+            b1, n1 = best_of_2(key, args.sf_dir)
+            b10, n10 = best_of_2(key, x10)
+            print(
+                f"{key}: sf0.1 {b1:.2f}s ({n1} rows) | x10 {b10:.2f}s "
+                f"({n10} rows) | ratio {b10 / b1:.1f}x",
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(x10, ignore_errors=True)
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
