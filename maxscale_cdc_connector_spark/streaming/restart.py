@@ -160,8 +160,31 @@ def run_supervised(
     opts = dict(options)
     deadline = time.time() + timeout
     while True:
-        df = spark.readStream.format("maxscale_cdc").options(**opts).load()
-        query = attach_sink(df)
+        try:
+            df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+            query = attach_sink(df)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            # load() probes the server for schema when schemaRecord is
+            # not pinned (guaranteed after a schema-change restart pops
+            # it), so a still-down server fails HERE, synchronously —
+            # that is just another transport loss: consume a restart and
+            # back off, same policy as an in-query connection failure
+            # (mirrors run_supervised_multi's safe_start).
+            if not is_connection_failure(exc):
+                raise
+            if restarts >= max_restarts:
+                raise RuntimeError(
+                    f"stream still failing after {max_restarts} restarts"
+                ) from exc
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"stream did not satisfy stop_when within {timeout}s "
+                    f"({restarts} restarts)"
+                ) from exc
+            restarts += 1
+            time.sleep(min(backoff, max_backoff))
+            backoff = min(backoff * 2, max_backoff)
+            continue
         try:
             while query.isActive:
                 if stop_when is not None and stop_when():

@@ -930,3 +930,88 @@ def test_run_supervised_multi_start_probe_failure_backs_off(spark, tmp_path) -> 
     # start-time probe failure during the 2.5 s dead window.
     assert result.get("restarts", {}).get("t1", 0) >= 2
     assert snap == {s: f"a{s}" for s in range(1, 11)}
+
+
+def test_run_supervised_start_probe_failure_backs_off(spark, tmp_path) -> None:
+    """Single-table mirror of the multi-table start-guard test: with
+    schemaRecord unpinned, a restart against a still-down server fails
+    synchronously in load()'s schema probe; run_supervised must treat
+    that as another backoff round (same policy as an in-query transport
+    loss) and recover once the server returns."""
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    first = [make_event(s, name=f"a{s}") for s in range(1, 6)]
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    lock = threading.Lock()
+    snap: dict[int, str] = {}
+
+    def attach(df):
+        def collect_batch(batch, _bid):
+            rows = batch.select("id", "name").collect()
+            with lock:
+                for r in rows:
+                    snap[r["id"]] = r["name"]
+
+        return (
+            df.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, first, table="test.t1")
+    srv.__enter__()
+    port = srv.port
+    options = {
+        "host": "127.0.0.1",
+        "port": str(port),
+        "user": "cdcuser",
+        "password": "cdcpw",
+        "table": "test.t1",
+        "pollseconds": "0.3",
+    }  # no schemaRecord — every (re)start probes the server
+
+    done = threading.Event()
+    result: dict = {}
+
+    def supervise():
+        try:
+            result["restarts"] = run_supervised(
+                spark,
+                options,
+                attach,
+                max_restarts=10,
+                initial_backoff=0.3,
+                stop_when=done.is_set,
+                timeout=150.0,
+            )
+        except Exception as exc:  # noqa: BLE001 — recorded for the assert
+            result["error"] = exc
+
+    t = threading.Thread(target=supervise, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(snap) < 5:
+            time.sleep(0.3)
+        assert len(snap) == 5
+
+        srv.stop()
+        time.sleep(2.5)  # several backoff rounds of dead-port probes
+        all_events = first + [make_event(s, name=f"a{s}") for s in range(6, 11)]
+        with FakeMaxScale(TEST_SCHEMA_RECORD, all_events, table="test.t1", port=port):
+            deadline = time.time() + 90
+            while time.time() < deadline and len(snap) < 10:
+                time.sleep(0.3)
+            done.set()
+            t.join(60)
+    finally:
+        done.set()
+        srv.stop()
+
+    assert "error" not in result, f"probe failure escaped run_supervised: {result.get('error')}"
+    assert result.get("restarts", 0) >= 2
+    assert snap == {s: f"a{s}" for s in range(1, 11)}
