@@ -23,6 +23,12 @@ configs) plus ``frontierDir``::
           .option("frontierDir", "/shared/ckpt/cdc-frontier")
           .load())
 
+Tuning options: ``maxRecordsPerBatch`` (per-stream micro-batch cap),
+``pollSeconds`` (idle timeout ending a batch), ``arrowCpus`` (size of
+the Arrow parse pool each read task restores — PySpark workers export
+``OMP_NUM_THREADS=1``, which would otherwise serialize ``pyarrow.json``;
+default 4).
+
 Offset design (the part a socket protocol makes non-trivial — the CDC
 server has no "latest position" RPC, it only replays from a requested
 GTID, cdc_connector.cpp:199-206):
