@@ -232,6 +232,10 @@ def _partitioned_ingest_events_per_s(spark, sf_dir: str, n_streams: int) -> int:
             .option("schemaRecord", CUSTOMER_SCHEMA_RECORD)
             .option("pollseconds", "0.5")
             .option("maxrecordsperbatch", str(10_000_000))
+            # availableNow falls back to single-batch execution for this
+            # source: the whole blob must drain in ONE batch, so lift the
+            # steady-trickle wall-clock bound well past the drain time.
+            .option("maxbatchseconds", "600")
             .load()
         )
         t0 = time.perf_counter()

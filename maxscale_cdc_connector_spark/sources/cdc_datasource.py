@@ -49,6 +49,17 @@ from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
 
 DEFAULT_MAX_RECORDS_PER_BATCH = 100_000
 DEFAULT_POLL_SECONDS = 1.0
+# Wall-clock bound on one micro-batch's read. Without it a batch only
+# ends on idle (a ≥ pollSeconds silence) or the record cap — so a
+# steady trickle arriving FASTER than pollSeconds but far slower than
+# the cap (e.g. 20 ev/s against a 100k cap) would hold the first batch
+# open for hours and nothing would ever commit. The bound turns a
+# continuous stream into bounded batches regardless of arrival rhythm;
+# delivered rows still advance the offset, so ending early is just a
+# batch boundary, never loss. Override with option `maxBatchSeconds`
+# (bulk replays that must drain in ONE batch — availableNow harnesses —
+# should raise it above their expected drain time).
+DEFAULT_MAX_BATCH_SECONDS = 10.0
 
 
 def _converter(dt: T.DataType) -> Callable[[Any], Any]:
@@ -116,6 +127,9 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)
         )
         self._poll_seconds = float(options.get("pollseconds", DEFAULT_POLL_SECONDS))
+        self._max_batch_seconds = float(
+            options.get("maxbatchseconds", DEFAULT_MAX_BATCH_SECONDS)
+        )
         # NULL-fill columns missing from a record instead of failing the
         # dense-row contract. Off by default; set by the schema-change
         # restart wrapper (streaming/restart.py) because an at-least-once
@@ -161,10 +175,22 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             self._client = self._connect(gtid)
         rows: list[tuple] = []
         last_gtid = gtid
+        import time as _time
+
+        deadline = _time.monotonic() + self._max_batch_seconds
         try:
             for _ in range(self._max_records):
                 record = self._client.read_record()
                 if record is None:  # idle timeout → empty/partial batch
+                    break
+                if _time.monotonic() > deadline:
+                    # Steady-trickle guard (see DEFAULT_MAX_BATCH_SECONDS):
+                    # close the batch; the rows read so far commit and the
+                    # offset advances.
+                    rows.append(self._row(record))
+                    last_gtid = (
+                        f"{record['domain']}-{record['server_id']}-{record['sequence']}"
+                    )
                     break
                 rows.append(self._row(record))
                 last_gtid = (

@@ -95,6 +95,7 @@ from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSourceStreamReader, InputPartition
 
 from maxscale_cdc_connector_spark.sources.cdc_datasource import (
+    DEFAULT_MAX_BATCH_SECONDS,
     DEFAULT_MAX_RECORDS_PER_BATCH,
     DEFAULT_POLL_SECONDS,
     _converter,
@@ -216,6 +217,7 @@ class CDCStreamPartition(InputPartition):
         max_records: int,
         poll_seconds: float,
         null_missing: bool,
+        max_batch_seconds: float = 10.0,
     ) -> None:
         self.config = config
         self.gtid = gtid
@@ -224,6 +226,7 @@ class CDCStreamPartition(InputPartition):
         self.max_records = max_records
         self.poll_seconds = poll_seconds
         self.null_missing = null_missing
+        self.max_batch_seconds = max_batch_seconds
 
 
 class CDCPartitionedStreamReader(DataSourceStreamReader):
@@ -266,6 +269,9 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         )
         self._poll_seconds = float(options.get("pollseconds", DEFAULT_POLL_SECONDS))
         self._null_missing = options.get("nullmissingcolumns", "false").lower() == "true"
+        self._max_batch_seconds = float(
+            options.get("maxbatchseconds", DEFAULT_MAX_BATCH_SECONDS)
+        )
         self._epoch = 0
 
     # -- offsets ------------------------------------------------------------
@@ -341,6 +347,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     max_records=self._max_records,
                     poll_seconds=self._poll_seconds,
                     null_missing=self._null_missing,
+                    max_batch_seconds=self._max_batch_seconds,
                 )
             )
         return parts
@@ -624,7 +631,14 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 def _prefetch() -> None:
                     try:
                         while not stop_fetch.is_set():
-                            b = client.read_raw_block(ARROW_BATCH_RECORDS)
+                            # Accumulation bounded by pollSeconds so a
+                            # steady trickle still emits a block at least
+                            # once per poll interval (a full-rate replay
+                            # fills 65k lines in ms and never hits it).
+                            b = client.read_raw_block(
+                                ARROW_BATCH_RECORDS,
+                                max_seconds=partition.poll_seconds,
+                            )
                             fetched.put(b)  # None = idle → consumer ends
                             if b is None:
                                 return
@@ -633,7 +647,16 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
 
                 def _consume_fast():
                     nonlocal delivered, last
+                    deadline = time.monotonic() + partition.max_batch_seconds
                     while delivered < partition.max_records:
+                        if time.monotonic() > deadline:
+                            # Steady-trickle guard (cdc_datasource.py
+                            # DEFAULT_MAX_BATCH_SECONDS): arrivals faster
+                            # than pollSeconds never hit idle, so bound
+                            # the batch by wall clock; delivered rows
+                            # advanced the frontier, ending early is just
+                            # a batch boundary.
+                            break
                         remaining = partition.max_records - delivered
                         blk = fetched.get()
                         if isinstance(blk, BaseException):
@@ -687,7 +710,10 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                             break
             else:
                 buf: list[dict] = []
+                deadline = time.monotonic() + partition.max_batch_seconds
                 while delivered < partition.max_records:
+                    if time.monotonic() > deadline:  # steady-trickle guard
+                        break
                     record = client.read_record()
                     if record is None:
                         break

@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import json
 import socket
+import time
 from typing import Any
 
 REGISTER_MESSAGE = "REGISTER UUID=CDC_CONNECTOR-1.0.0, TYPE=JSON"
@@ -187,7 +188,9 @@ class CDCClient:
             return None
         return blk[0].split(b"\n")
 
-    def read_raw_block(self, max_lines: int) -> tuple[bytes, int] | None:
+    def read_raw_block(
+        self, max_lines: int, max_seconds: float | None = None
+    ) -> tuple[bytes, int] | None:
         """Up to ``max_lines`` complete newline-delimited event lines as
         ONE contiguous ``(block, n_lines)`` byte block (interior ``\\n``
         separators, no trailing newline), UNPARSED; ``None`` on idle
@@ -200,11 +203,21 @@ class CDCClient:
         the (gtid, event_number) cursor makes caps transaction-split
         tolerant. Disconnection with complete lines in hand returns
         them first; the NEXT call raises ``ConnectionError``.
+
+        ``max_seconds`` bounds ACCUMULATION time: a steady trickle whose
+        inter-event gaps stay below the socket timeout would otherwise
+        keep this call collecting toward ``max_lines`` indefinitely
+        (never idle, cap hours away at low rates). Past the budget the
+        lines in hand are returned — at most one socket-timeout of
+        overshoot (one in-flight recv).
         """
         assert self._sock is not None, "not connected"
+        deadline = None if max_seconds is None else time.monotonic() + max_seconds
         parts: list[bytes] = []
         n = 0
         while n < max_lines:
+            if deadline is not None and parts and time.monotonic() > deadline:
+                break
             last_nl = self._buf.rfind(b"\n", self._pos)
             if last_nl >= self._pos:
                 region = bytes(self._buf[self._pos : last_nl])

@@ -472,3 +472,65 @@ def test_missing_envelope_raises_even_with_null_missing(tmp_path) -> None:
             _drain(reader, reader.initialOffset())
     finally:
         srv.stop()
+
+
+def test_steady_trickle_commits_batches(spark, tmp_path) -> None:
+    """A continuous trickle arriving FASTER than pollSeconds never hits
+    the idle timeout, and a 100k record cap is hours away at low rates —
+    without a wall-clock bound the FIRST micro-batch stays open forever
+    and nothing ever commits (r7 soak finding). maxBatchSeconds closes
+    batches under load; delivered rows advance the frontier, so the
+    stream makes progress with no loss and no duplicates."""
+    import threading
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, [make_event(1)], table="test.t1")
+    srv.__enter__()
+    stop = threading.Event()
+
+    def pusher() -> None:
+        s = 2
+        while not stop.is_set():
+            srv.push_event(make_event(s))
+            s += 1
+            time.sleep(0.05)  # gaps far below pollSeconds: never idle
+
+    push = threading.Thread(target=pusher, daemon=True)
+    push.start()
+    try:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+        df = (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("user", srv.user)
+            .option("password", srv.password)
+            .option("streams", json.dumps([{"table": "test.t1", "port": srv.port}]))
+            .option("frontierDir", str(tmp_path / "frontier"))
+            .option("schemaRecord", json.dumps(TEST_SCHEMA_RECORD))
+            .option("pollseconds", "0.5")
+            .option("maxbatchseconds", "1")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("trickle_part")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            count = 0
+            while time.time() < deadline and count < 30:
+                time.sleep(1.0)
+                count = spark.sql("SELECT count(*) c FROM trickle_part").first()["c"]
+            assert count >= 30, "trickle never committed — batch held open"
+            dups = spark.sql(
+                "SELECT count(*) c FROM (SELECT sequence, event_number, count(*) n "
+                "FROM trickle_part GROUP BY 1, 2 HAVING n > 1)"
+            ).first()["c"]
+            assert dups == 0, "duplicate delivery within a healthy run"
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.stop()

@@ -1015,3 +1015,65 @@ def test_run_supervised_start_probe_failure_backs_off(spark, tmp_path) -> None:
     assert "error" not in result, f"probe failure escaped run_supervised: {result.get('error')}"
     assert result.get("restarts", 0) >= 2
     assert snap == {s: f"a{s}" for s in range(1, 11)}
+
+
+def test_simple_reader_steady_trickle_commits_batches(spark, tmp_path) -> None:
+    """Same steady-trickle liveness guarantee for the DEFAULT
+    (driver-prefetch) reader: events arriving faster than pollSeconds
+    never hit the idle timeout, so without the maxBatchSeconds bound the
+    first micro-batch would collect toward the 100k cap for hours while
+    nothing committed."""
+    import json
+    import threading
+
+    srv = FakeMaxScale(TEST_SCHEMA_RECORD, [make_event(1)], table="test.t1")
+    srv.__enter__()
+    stop = threading.Event()
+
+    def pusher() -> None:
+        s = 2
+        while not stop.is_set():
+            srv.push_event(make_event(s))
+            s += 1
+            time.sleep(0.05)
+
+    push = threading.Thread(target=pusher, daemon=True)
+    push.start()
+    try:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+        df = (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("port", str(srv.port))
+            .option("user", srv.user)
+            .option("password", srv.password)
+            .option("table", "test.t1")
+            .option("schemaRecord", json.dumps(TEST_SCHEMA_RECORD))
+            .option("pollseconds", "0.5")
+            .option("maxbatchseconds", "1")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("trickle_simple")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            count = 0
+            while time.time() < deadline and count < 30:
+                time.sleep(1.0)
+                count = spark.sql("SELECT count(*) c FROM trickle_simple").first()["c"]
+            assert count >= 30, "trickle never committed — batch held open"
+            dups = spark.sql(
+                "SELECT count(*) c FROM (SELECT sequence, event_number, count(*) n "
+                "FROM trickle_simple GROUP BY 1, 2 HAVING n > 1)"
+            ).first()["c"]
+            assert dups == 0
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        srv.stop()
