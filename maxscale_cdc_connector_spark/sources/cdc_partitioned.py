@@ -181,23 +181,31 @@ def _frontier_path(frontier_dir: str, stream_id: str) -> str:
     return os.path.join(frontier_dir, f"{safe}.frontier.json")
 
 
-def _write_frontier(path: str, gtid: str, evn: int) -> None:
+def _write_frontier(path: str, gtid: str, evn: int, run_id: str) -> None:
     """Atomic replace so the driver never reads a torn file."""
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as fh:
-            json.dump({"gtid": gtid, "evn": evn}, fh)
+            json.dump({"gtid": gtid, "evn": evn, "run_id": run_id}, fh)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
 
 
-def _read_frontier(path: str) -> tuple[str, int] | None:
+def _read_frontier(path: str, run_id: str | None = None) -> tuple[str, int] | None:
+    """Parse a frontier file; with ``run_id`` given, a file stamped by a
+    DIFFERENT reader incarnation reads as absent (defense in depth on
+    top of the initialOffset() clear: a zombie task from a previous
+    query incarnation that writes AFTER the clear still cannot make a
+    fresh query skip data — ignoring it merely falls back to the
+    checkpointed cursor, costing at most re-delivery)."""
     try:
         with open(path) as fh:
             obj = json.load(fh)
+        if run_id is not None and obj.get("run_id") != run_id:
+            return None
         return str(obj["gtid"]), int(obj["evn"])
     except (OSError, ValueError, KeyError):
         return None
@@ -218,6 +226,7 @@ class CDCStreamPartition(InputPartition):
         poll_seconds: float,
         null_missing: bool,
         max_batch_seconds: float = 10.0,
+        run_id: str = "",
     ) -> None:
         self.config = config
         self.gtid = gtid
@@ -227,6 +236,7 @@ class CDCStreamPartition(InputPartition):
         self.poll_seconds = poll_seconds
         self.null_missing = null_missing
         self.max_batch_seconds = max_batch_seconds
+        self.run_id = run_id
 
 
 class CDCPartitionedStreamReader(DataSourceStreamReader):
@@ -273,6 +283,15 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             options.get("maxbatchseconds", DEFAULT_MAX_BATCH_SECONDS)
         )
         self._epoch = 0
+        # Frontier files are stamped with this reader incarnation's id
+        # and files stamped by any OTHER incarnation are ignored — a
+        # zombie task from a previous query can never advance a fresh
+        # query's resume cursor (it can only cause bounded re-delivery
+        # by being ignored). A driver restart mints a new id and simply
+        # falls back to the checkpointed cursor for its first batch.
+        import uuid as _uuid
+
+        self._run_id = _uuid.uuid4().hex
 
     # -- offsets ------------------------------------------------------------
 
@@ -310,7 +329,9 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         streams = {}
         for sid, cfg in self._streams.items():
             cur = (cfg["gtid"], -1)
-            front = _read_frontier(_frontier_path(self._frontier_dir, sid))
+            front = _read_frontier(
+                _frontier_path(self._frontier_dir, sid), run_id=self._run_id
+            )
             if front is not None and _cursor_key(*front) > _cursor_key(*cur):
                 cur = front
             streams[sid] = {"gtid": cur[0], "evn": cur[1]}
@@ -348,6 +369,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     poll_seconds=self._poll_seconds,
                     null_missing=self._null_missing,
                     max_batch_seconds=self._max_batch_seconds,
+                    run_id=self._run_id,
                 )
             )
         return parts
@@ -733,7 +755,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 # Report progress only after every row above was handed
                 # to the task; a killed task writes nothing and the
                 # range simply replays.
-                _write_frontier(partition.frontier_path, *last)
+                _write_frontier(partition.frontier_path, *last, run_id=partition.run_id)
             if os.environ.get("MAXSCALE_CDC_READ_TIMING"):
                 with open(os.environ["MAXSCALE_CDC_READ_TIMING"], "a") as _fh:
                     _fh.write(

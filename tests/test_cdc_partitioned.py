@@ -534,3 +534,25 @@ def test_steady_trickle_commits_batches(spark, tmp_path) -> None:
     finally:
         stop.set()
         srv.stop()
+
+
+def test_foreign_run_id_frontier_is_ignored(tmp_path) -> None:
+    """Frontier files are stamped with the reader incarnation's run id:
+    a zombie task from a PREVIOUS query writing after initialOffset()'s
+    clear must not advance a fresh query's resume cursor — a foreign
+    stamp reads as absent, so the stream replays from the configured
+    gtid (re-delivery at worst, never skip)."""
+    events = [make_event(s) for s in (1, 2, 3)]
+    with FakeMaxScale(TEST_SCHEMA_RECORD, events, table="test.s1") as srv:
+        reader = _reader(tmp_path, [srv])
+        start = reader.initialOffset()
+        zombie = tmp_path / "frontier" / "test.s1.frontier.json"
+        zombie.write_text(
+            json.dumps({"gtid": "0-3000-3", "evn": 1, "run_id": "deadbeef"})
+        )
+        rows, _ = _drain(reader, start)
+        assert [r[2] for r in rows] == [1, 2, 3]  # nothing skipped
+        # This incarnation's OWN frontier (written by the read above)
+        # still folds normally.
+        nxt = reader.latestOffset()
+        assert nxt["streams"]["test.s1"] == {"gtid": "0-3000-3", "evn": 1}
