@@ -405,6 +405,15 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         # are socket+parse bound, so give Arrow a small pool; option
         # ``arrowCpus`` (default 4) bounds the oversubscription the same
         # way codegen SIMD lanes do not count against task cpus.
+        #
+        # SCOPE: the Arrow pool is PROCESS-global, so this is a
+        # per-python-worker setting, not per-task — N concurrent CDC
+        # tasks reusing one worker share (and each may raise) the same
+        # pool, and a raised pool persists for later non-CDC Arrow work
+        # on that worker. Deliberate: restoring it in a finally would
+        # shrink the pool under a concurrent task mid-decode. Size
+        # ``arrowCpus`` as a per-WORKER budget (default 4 ≈ one NUMA
+        # node's worth of decode lanes), not per-stream.
         arrow_cpus = int(self._options.get("arrowcpus", "4"))
         if pa.cpu_count() < arrow_cpus:
             pa.set_cpu_count(arrow_cpus)
@@ -506,6 +515,15 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             # data. Without this check the cursor filter would silently
             # drop null-envelope rows (null comparisons filter false)
             # while the per-record path kept them.
+            #
+            # INTENTIONAL strictness delta vs the reference: the C++
+            # client errors only on a MISSING key
+            # (cdc_connector.cpp:297-308, mxb::Json::try_get_*) and
+            # would stringify a PRESENT JSON null into the row. We
+            # raise on both — a null GTID component cannot participate
+            # in cursor/frontier ordering, so fail-fast beats the old
+            # fast path's silent drop-via-cursor-filter or the
+            # reference's "null" string leaking into offsets.
             for name in envelope:
                 if tbl.column(name).null_count:
                     raise CDCProtocolError(
@@ -739,8 +757,23 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     record = client.read_record()
                     if record is None:
                         break
-                    gtid = f"{record['domain']}-{record['server_id']}-{record['sequence']}"
-                    evn = int(record.get("event_number", 1))
+                    # Dense-envelope contract, same as fast_decode /
+                    # slow_decode (the query schema omitting envelope
+                    # columns does not relax what the WIRE must carry):
+                    # a missing or null envelope field raises, never
+                    # default-and-keep, so a record decodes identically
+                    # whichever of the three paths the schema selects.
+                    try:
+                        d, s, q = record["domain"], record["server_id"], record["sequence"]
+                        if d is None or s is None or q is None:
+                            raise KeyError("domain/server_id/sequence")
+                        evn = int(record["event_number"])
+                    except (KeyError, TypeError) as exc:
+                        name = exc.args[0] if isinstance(exc, KeyError) else "event_number"
+                        raise CDCProtocolError(
+                            f"No value for key found: {name}"
+                        ) from None
+                    gtid = f"{d}-{s}-{q}"
                     if _cursor_key(gtid, evn) <= cursor:
                         continue
                     buf.append(record)

@@ -227,7 +227,16 @@ class CDCClient:
                     self._pos = 0
                 if not region:
                     continue
-                if region.startswith(b"\n") or b"\n\n" in region:
+                if (
+                    region.startswith(b"\n")
+                    or region.endswith(b"\n")
+                    or b"\n\n" in region
+                ):
+                    # endswith matters: wire ``b"abc\n\n"`` leaves
+                    # ``region == b"abc\n"`` (rfind consumed only the
+                    # SECOND newline), which the other two checks miss —
+                    # the stray trailing \n would both over-count n and
+                    # re-enter the joined block as an empty line.
                     # Blank lines (not produced by avrorouter, but keep
                     # the framing total): normalize so counting by \n is
                     # exact. Rare path — pays the split only when seen.

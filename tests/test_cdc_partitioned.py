@@ -474,6 +474,93 @@ def test_missing_envelope_raises_even_with_null_missing(tmp_path) -> None:
         srv.stop()
 
 
+_NO_ENVELOPE_SCHEMA_RECORD = {
+    **TEST_SCHEMA_RECORD,
+    "fields": [
+        f
+        for f in TEST_SCHEMA_RECORD["fields"]
+        if f["name"] not in ("domain", "server_id", "sequence", "event_number")
+    ],
+}
+
+
+def _no_envelope_server(lines: list[bytes]):
+    """Server announcing a schema WITHOUT envelope columns (not a real
+    avrorouter stream) — the only way fast_ok=False is reachable, since
+    the live-schema check rejects a query schema narrower than the
+    server's. The WIRE records still carry the envelope keys: cursor
+    and frontier math always run off the wire, never the query schema."""
+    from bench import _BlobCDCServer
+
+    schema_line = (json.dumps(_NO_ENVELOPE_SCHEMA_RECORD) + "\n").encode()
+    return _BlobCDCServer(schema_line, b"".join(ln + b"\n" for ln in lines), "u", "p")
+
+
+def _no_envelope_reader(tmp_path, port: int, **extra: str) -> CDCPartitionedStreamReader:
+    """Reader whose QUERY schema omits the envelope columns, forcing the
+    per-record (fast_ok=False) decode path."""
+    schema = schema_record_to_struct(_NO_ENVELOPE_SCHEMA_RECORD)
+    options = {
+        "host": "127.0.0.1",
+        "user": "u",
+        "password": "p",
+        "streams": json.dumps([{"table": "test.t1", "port": port}]),
+        "frontierdir": str(tmp_path / "frontier"),
+        "pollseconds": "0.3",
+    }
+    options.update(extra)
+    return CDCPartitionedStreamReader(schema, options)
+
+
+def test_envelope_free_schema_still_decodes_and_tracks_frontier(tmp_path) -> None:
+    # Positive control for the fast_ok=False path: the query schema may
+    # omit envelope columns, but cursor/frontier math still runs off the
+    # wire record's envelope.
+    srv = _no_envelope_server([_wire(1), _wire(2), _wire(3)])
+    try:
+        reader = _no_envelope_reader(tmp_path, srv.port)
+        rows, _ = _drain(reader, reader.initialOffset())
+        assert len(rows) == 3
+        frontier = json.loads(
+            (tmp_path / "frontier" / "test.t1.frontier.json").read_text()
+        )
+        assert frontier["gtid"].endswith("-3")
+    finally:
+        srv.stop()
+
+
+def test_envelope_free_schema_missing_event_number_raises(tmp_path) -> None:
+    # VERDICT r7 item 2: the envelope-free (fast_ok=False) loop used to
+    # default a missing event_number to 1 while fast_decode/slow_decode
+    # raise — a wire record decoded differently depending on which path
+    # the query schema selected. All three paths now raise identically.
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _no_envelope_server([_wire(1), _wire(2, event_number=_DROP)])
+    try:
+        reader = _no_envelope_reader(tmp_path, srv.port)
+        with pytest.raises(CDCProtocolError, match="event_number"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()
+
+
+def test_envelope_free_schema_null_envelope_raises(tmp_path) -> None:
+    import pytest
+
+    from maxscale_cdc_connector_spark.sources.protocol import CDCProtocolError
+
+    srv = _no_envelope_server([_wire(1), _wire(2, domain=None)])
+    try:
+        reader = _no_envelope_reader(tmp_path, srv.port)
+        with pytest.raises(CDCProtocolError, match="domain"):
+            _drain(reader, reader.initialOffset())
+    finally:
+        srv.stop()
+
+
 def test_steady_trickle_commits_batches(spark, tmp_path) -> None:
     """A continuous trickle arriving FASTER than pollSeconds never hits
     the idle timeout, and a 100k record cap is hours away at low rates —
