@@ -262,6 +262,76 @@ def _partitioned_ingest_events_per_s(spark, sf_dir: str, n_streams: int) -> int:
             s.stop()
 
 
+def _idle_trigger_ms(spark, n_streams: int = 16) -> float:
+    """Per-trigger cost of an EMPTY micro-batch at ``n_streams``: the
+    epoch always advances, so every trigger launches one task per
+    stream, each re-dialing its server (connect + auth + REGISTER +
+    REQUEST-DATA — that re-dial is also how ALTER is detected) and
+    waiting out one idle poll. This is the measured floor behind the
+    README's "keep the trigger interval ≥ ~5 s past ~64 streams" rule.
+    10-trigger average AFTER the first completed batch (python-worker
+    spawn is harness cost); includes the 0.1 s configured idle poll."""
+    import json as _json
+    import tempfile
+    import uuid
+
+    from maxscale_cdc_connector_spark.queries.cdc_queries import CUSTOMER_SCHEMA_RECORD
+    from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
+
+    schema_line = (
+        _json.dumps(_json.loads(CUSTOMER_SCHEMA_RECORD)) + "\n"
+    ).encode()
+    servers = [
+        _BlobCDCServer(schema_line, b"", "bench", "bench") for _ in range(n_streams)
+    ]
+    try:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+        name = f"bench_idle_{uuid.uuid4().hex[:8]}"
+        df = (
+            spark.readStream.format("maxscale_cdc")
+            .option("host", "127.0.0.1")
+            .option("user", "bench")
+            .option("password", "bench")
+            .option(
+                "streams",
+                _json.dumps(
+                    [{"table": f"bench.t{i}", "port": s.port} for i, s in enumerate(servers)]
+                ),
+            )
+            .option("frontierDir", os.path.join(tempfile.gettempdir(), name))
+            .option("schemaRecord", CUSTOMER_SCHEMA_RECORD)
+            .option("pollseconds", "0.1")
+            .load()
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 180
+
+            def batch_id() -> int:
+                lp = q.lastProgress
+                return int(lp["batchId"]) if lp else -1
+
+            while time.time() < deadline and batch_id() < 1:
+                time.sleep(0.1)
+            b0, t0 = batch_id(), time.perf_counter()
+            while time.time() < deadline and batch_id() < b0 + 10:
+                time.sleep(0.05)
+            b1, t1 = batch_id(), time.perf_counter()
+            if b1 <= b0:
+                raise RuntimeError("idle triggers did not advance")
+            return round((t1 - t0) * 1000.0 / (b1 - b0), 1)
+        finally:
+            q.stop()
+    finally:
+        for s in servers:
+            s.stop()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -306,6 +376,7 @@ def main() -> None:
         _partitioned_ingest_events_per_s(spark, sf_dir, 4),
         _partitioned_ingest_events_per_s(spark, sf_dir, 4),
     )
+    idle_ms = _idle_trigger_ms(spark, 16)
 
     from maxscale_cdc_connector_spark.operators import graph as _graph
 
@@ -322,6 +393,10 @@ def main() -> None:
         # configured streams instead of the driver NIC.
         "cdc_ingest_1stream_events_per_s": ingest_1,
         "cdc_ingest_4stream_events_per_s": ingest_4,
+        # Per-trigger cost of an EMPTY batch at 16 streams (handshake ×
+        # 16 + one 0.1 s idle poll): the measured number behind the
+        # README's trigger-interval rule for many-stream deployments.
+        "cdc_ingest_idle_trigger_ms_16stream": idle_ms,
         # Star-contraction convergence telemetry (q23): a pathological
         # corpus shows up here as a rising round count, not a timeout.
         "cc_rounds": _graph.LAST_ROUNDS,

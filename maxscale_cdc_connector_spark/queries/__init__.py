@@ -32,6 +32,14 @@ _CHANGED_THIS_ROUND = (
     # total diverged on multi-file tables) and the manifest moved to a
     # uid+pid-keyed temp path. Oracle + query bytes changed → fresh row.
     "layout_file_metadata_audit",
+    # Round 8 rows-only → exact-oracle promotions (VERDICT r7 item 4):
+    # integer count features make the distributed Lloyd run exactly
+    # replayable (unrolled 4-iteration DuckDB replay with NumPy's
+    # distance formula and tie-break)...
+    "events_user_segmentation_kmeans",
+    # ...and the k-core peel is pure integer arithmetic over the exact
+    # Jaccard pair graph (bounded unrolled peel, materialized CTEs).
+    "graph_kcore_stats",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

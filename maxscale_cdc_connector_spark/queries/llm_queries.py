@@ -1169,7 +1169,13 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simsearch_ivf_kmeans_topk",
-    oracle=None,  # approximate (learned-quantizer bucket pruning) → rows-only.
+    oracle=None,  # approximate (learned-quantizer bucket pruning), and an
+    # EXACT replay is impossible (r8 adjudication): the coarse quantizer
+    # is float-embedding k-means, whose cross-task float sums are not
+    # ulp-reproducible in SQL (see embedding_pq_codes) — probe selection
+    # and thus the candidate set inherit that nondeterminism. The
+    # deterministic strided-quantizer variant simsearch_ivf_topk IS
+    # exactly replayed (promoted r7); this key pins the TRAINED path.
     doc="IVF approximate top-20 with a k-means-TRAINED coarse quantizer "
     "(8 clusters, 3 Lloyd iterations, nprobe=3): probe selection is "
     "driver-side NumPy over the model state, the corpus side is one "
@@ -2667,10 +2673,79 @@ def text_bm25_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle(ks: tuple[int, ...] = (2, 3), unroll: int = 6) -> str:
+    """Bounded unrolled replay of operators/graph.kcore in DuckDB (the
+    pagerank-replay technique; promoted from rows-only in r8).
+
+    Exactness argument: the peel is pure INTEGER arithmetic (degree
+    counts and semi-join filters) over the exact n-gram Jaccard pair
+    graph — the same edges dedup_cluster_cc's green oracle already
+    replays — so unlike the float-trained keys there is no accumulation
+    -order sensitivity anywhere. The peel is unrolled ``unroll`` rounds
+    (idempotent at the fixpoint, so over-unrolling is harmless);
+    peel_rounds = number of strict edge-count decreases along the
+    chain, exactly the Spark loop's counter. The observed peel depth is
+    1 at sf0.01 and sf0.1; a graph deeper than ``unroll`` would leave
+    the oracle under-peeled and FAIL the compare loudly (and the Spark
+    side raises past 50 rounds), never pass silently.
+    """
+    sql = f"""
+WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+),
+e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs)"""
+    selects = []
+    for k in ks:
+        prev = "e0"
+        chain = ["e0"]
+        for i in range(1, unroll + 1):
+            cur = f"k{k}_e{i}"
+            sql += f""",
+k{k}_keep{i} AS MATERIALIZED (
+    SELECT n FROM (
+        SELECT n, count(*) AS deg FROM (
+            SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev}
+        ) GROUP BY n
+    ) WHERE deg >= {k}
+),
+{cur} AS MATERIALIZED (
+    SELECT a, b FROM {prev}
+    WHERE a IN (SELECT n FROM k{k}_keep{i})
+      AND b IN (SELECT n FROM k{k}_keep{i})
+)"""
+            chain.append(cur)
+            prev = cur
+        rounds = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM {chain[i + 1]})"
+            f" < (SELECT count(*) FROM {chain[i]}) THEN 1 ELSE 0 END)"
+            for i in range(unroll)
+        )
+        selects.append(f"""
+SELECT CAST({k} AS INTEGER) AS k,
+       (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM (
+            SELECT a AS n FROM {prev} UNION ALL SELECT b AS n FROM {prev}
+        )) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_edges,
+       CAST({rounds} AS INTEGER) AS peel_rounds""")
+    return sql + "\nUNION ALL".join(selects)
+
+
 @register(
     "graph_kcore_stats",
-    oracle=None,  # the peel fixpoint is iterative (rounds depend on data);
-    # exact-graph invariants pinned in tests/test_llm_queries.py.
+    oracle=_kcore_oracle(),  # exact unrolled peel replay — promoted from
+    # rows-only in r8 (integer-only arithmetic over the exact Jaccard
+    # pair graph; see _kcore_oracle docstring). Exact-graph invariants
+    # additionally pinned in tests/test_llm_queries.py.
     doc="k-core reduction of the near-dup pair graph for k in {2, 3}: "
     "nodes/edges surviving the iterative strip-degree-<k peel, plus "
     "rounds taken (the peel depth). On a dup graph the 2-core separates "

@@ -5776,10 +5776,98 @@ def orders_kaplan_meier_ship_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_segmentation_oracle(k: int = 4, iters: int = 4) -> str:
+    """Unrolled exact DuckDB replay of the distributed Lloyd run in
+    ``events_user_segmentation_kmeans`` (the pagerank-replay technique,
+    VERDICT r7 item 4).
+
+    Why an EXACT replay is possible here and not for the embedding
+    keys: the features are integer event counts, so every partial sum
+    the distributed update makes is integer-exact in float64 no matter
+    how tasks split the data, and each centroid is the same
+    sum/count rational in both engines. The only float-sensitive step
+    is the argmin, so the SQL computes dist² with NumPy's EXACT
+    formula and accumulation order (|x|² + |c|² − 2·x·c, left-to-right
+    5-term dots, clamped at 0) instead of Σ(x−c)², and breaks ties
+    toward the lower cluster id exactly like np.argmin.
+    """
+    fs = [f"f{i}" for i in range(5)]
+
+    def d2(f: str, c: str) -> str:
+        xx = " + ".join(f"{f}.{a}*{f}.{a}" for a in fs)
+        cc = " + ".join(f"{c}.{a}*{c}.{a}" for a in fs)
+        xc = " + ".join(f"{f}.{a}*{c}.{a}" for a in fs)
+        return f"greatest((({xx}) + ({cc})) - 2.0*({xc}), 0.0)"
+
+    cols = ", ".join(fs)
+    sql = f"""
+WITH feats AS (
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS f0,
+           CAST(count(*) FILTER (WHERE event_type = 'view') AS DOUBLE) AS f1,
+           CAST(count(*) FILTER (WHERE event_type = 'signup') AS DOUBLE) AS f2,
+           CAST(count(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS f3,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS f4
+    FROM events GROUP BY user_id
+),
+c0 AS (
+    SELECT CAST(row_number() OVER (ORDER BY user_id) - 1 AS INTEGER) AS j, {cols}
+    FROM (SELECT * FROM feats ORDER BY user_id LIMIT {k})
+)"""
+    prev = "c0"
+    for i in range(1, iters + 1):
+        assign_cols = ", ".join(f"f.{a}" for a in fs)
+        sums = ", ".join(f"sum({a}) AS s{n}" for n, a in enumerate(fs))
+        upd = ", ".join(
+            f"COALESCE(s.s{n} / s.n, p.{a}) AS {a}" for n, a in enumerate(fs)
+        )
+        sql += f""",
+a{i} AS (
+    SELECT user_id, {cols}, j FROM (
+        SELECT f.user_id, {assign_cols}, c.j,
+               row_number() OVER (
+                   PARTITION BY f.user_id
+                   ORDER BY {d2('f', 'c')} ASC, c.j ASC) AS rn
+        FROM feats f CROSS JOIN {prev} c
+    ) WHERE rn = 1
+),
+c{i} AS (
+    SELECT p.j, {upd}
+    FROM {prev} p LEFT JOIN (
+        SELECT j, {sums}, CAST(count(*) AS DOUBLE) AS n
+        FROM a{i} GROUP BY j
+    ) s ON p.j = s.j
+)"""
+        prev = f"c{i}"
+    sql += f""",
+afinal AS (
+    SELECT user_id, {cols}, j FROM (
+        SELECT f.user_id, {', '.join(f'f.{a}' for a in fs)}, c.j,
+               row_number() OVER (
+                   PARTITION BY f.user_id
+                   ORDER BY {d2('f', 'c')} ASC, c.j ASC) AS rn
+        FROM feats f CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+)
+SELECT CAST(j AS BIGINT) AS segment,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(f0) AS BIGINT) AS total_clicks,
+       CAST(sum(f1) AS BIGINT) AS total_views,
+       CAST(sum(f2) AS BIGINT) AS total_signups,
+       CAST(sum(f3) AS BIGINT) AS total_errors,
+       CAST(sum(f4) AS BIGINT) AS total_purchases
+FROM afinal GROUP BY j
+"""
+    return sql
+
+
 @register(
     "events_user_segmentation_kmeans",
-    oracle=None,  # iterative clustering; invariants pinned in pytest
-    # (partition of users, k segments, fixed-seed determinism).
+    oracle=_kmeans_segmentation_oracle(),  # exact unrolled Lloyd replay
+    # (promoted from rows-only in r8 — integer count features make
+    # every distributed partial sum exact, see the helper's docstring);
+    # invariants additionally pinned in pytest (partition of users,
+    # k segments, fixed-seed determinism).
     doc="Behavioral user segmentation: per-user event-type count vectors "
     "(one conditional-count aggregate — a 5-dim 'behavior embedding' "
     "derived from the fact stream, no pivot shuffle) clustered with "

@@ -275,7 +275,15 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_kmeans",
-    oracle=None,  # iterative driver-state loop — not SQL-expressible
+    oracle=None,  # An EXACT replay is impossible (r8 adjudication): the
+    # update step sums FLOAT embedding components across tasks, and
+    # float addition is non-associative — the sums' grouping follows
+    # Arrow-batch/task boundaries, so no SQL engine can reproduce the
+    # centroids ulp-for-ulp, and the argmin cascade amplifies ulp drift
+    # across 5 rounds. events_user_segmentation_kmeans (promoted r8)
+    # is the replayable twin: INTEGER count features make its partial
+    # sums exact regardless of task splits. This key's ×1e6 integer
+    # scaling bounds hash noise but cannot fix the trained state itself.
     doc="Lloyd k-means (k=8, 5 iterations) over the embeddings table with "
     "deterministic lowest-id init: per-cluster member counts and summed "
     "squared distance, integer-scaled ×1e6 for stable hashing. Rows-only "
@@ -301,7 +309,13 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca",
-    oracle=None,  # eigendecomposition — not SQL-expressible
+    oracle=None,  # An EXACT replay is impossible (r8 adjudication):
+    # (a) the covariance moment-partials are float sums whose grouping
+    # follows task boundaries (non-associative, not ulp-reproducible in
+    # SQL), and (b) LAPACK's symmetric eigensolver (iterative QR /
+    # divide-and-conquer with data-dependent convergence) has no SQL
+    # analog at all — the ×1e4 floor absorbs benign noise for the
+    # rows-only hash but cannot make two eigensolvers agree exactly.
     doc="PCA projection of the embeddings table onto its top-2 principal "
     "components: covariance from one mapInPandas moment-partial pass "
     "(one row per task: count/sum/outer-product sum), driver-side eigh "
@@ -778,8 +792,19 @@ def pipeline_assign_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "embedding_pq_codes",
-    oracle=None,  # codebooks are iteratively trained state — not
-    # SQL-expressible; invariants pinned in tests/test_training_queries.py
+    oracle=None,  # An EXACT replay is impossible (r8 adjudication):
+    # codebook training reduces FLOAT32-valued embedding sums whose
+    # accumulation grouping follows Arrow-batch and task boundaries, so
+    # the trained centroids are only reproducible ulp-for-ulp by
+    # replicating NumPy's per-batch pairwise-summation tree — which no
+    # SQL engine exposes — and the per-subspace argmin cascade amplifies
+    # any ulp difference into different codes across 4 Lloyd rounds.
+    # (Contrast events_user_segmentation_kmeans, promoted in r8: its
+    # INTEGER count features make every partial sum exact regardless of
+    # task splits, so its Lloyd run replays exactly; float embeddings
+    # have no such exactness.) Rounding cannot rescue it: rounding
+    # centroids changes the trained model itself, not just the compare.
+    # Invariants pinned in tests/test_training_queries.py
     # (duplicate vectors share codes, error shrinks with k, determinism).
     doc="Product-quantization encode of the embeddings table (m=8 "
     "subspaces × 16-centroid codebooks, operators/pq.py): per vector "
@@ -807,8 +832,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simsearch_pq_adc_topk",
-    oracle=None,  # approximate by design (quantized distances); ADC
-    # ranking invariants pinned in tests/test_training_queries.py.
+    oracle=None,  # approximate by design (quantized distances), and an
+    # EXACT replay is impossible for the same reason as
+    # embedding_pq_codes (r8 adjudication): the ADC ranking is a pure
+    # function of the PQ codebooks, whose float-sum training is not
+    # ulp-reproducible outside NumPy's per-batch summation tree — any
+    # ulp drift reorders the quantized top-10. ADC ranking invariants
+    # pinned in tests/test_training_queries.py.
     doc="Asymmetric-distance (ADC) top-10 under product quantization: "
     "the per-query m×16 lookup table is computed once driver-side, the "
     "scan gathers table[j, code_j] per row vectorized over Arrow "

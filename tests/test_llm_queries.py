@@ -40,6 +40,7 @@ ORACLE_CHECKED = [
     "simsearch_filtered_topk",
     "simsearch_ivf_topk",
     "graph_pagerank_parts",
+    "graph_kcore_stats",
     "dedup_exact_vectors",
     "multimodal_training_pairs",
     "text_word_burstiness",

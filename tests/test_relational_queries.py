@@ -116,6 +116,7 @@ RELATIONAL = [
     "layout_partition_pruned_scan",
     "orders_cusum_changepoint",
     "events_rolling_zscore_daily",
+    "events_user_segmentation_kmeans",
     "layout_bucketed_join_agg",
     "events_cep_pattern",
     "events_seasonality_profile",
