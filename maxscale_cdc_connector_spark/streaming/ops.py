@@ -113,6 +113,15 @@ def dedup_exact(
     replays, cdc_connector.h:62-69); this restores effective
     exactly-once. Streaming state is bounded by the watermark when one
     is given (dropDuplicatesWithinWatermark).
+
+    SCOPE (r8 soak finding): envelope identity is unique within ONE
+    GTID space — one server's (domain, server_id, sequence) sequence,
+    shared by all of that server's tables. A query multiplexing streams
+    from DIFFERENT servers can see colliding envelopes (two servers
+    configured with the same server_id emit overlapping triples), and
+    this dedup would then collapse distinct events. For multi-server
+    ingest, keep one sink/dedup per source (as multi_source_reconcile
+    does) or add a source discriminator column before deduping.
     """
     keys = [k for k in EVENT_IDENTITY if k in events.columns]
     if watermark is not None and ts_col is not None and events.isStreaming:
@@ -263,7 +272,31 @@ class SnapshotSink:
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
 
+    def _recover(self) -> None:
+        """Heal the bucket-swap crash windows before any read (r8 soak
+        review). The swap is rename(dst, dst.old) → move(src, dst) →
+        rmtree(dst.old); a driver crash between the first two steps
+        leaves the bucket ONLY in ``.old`` (its keys would silently
+        vanish from every later snapshot — the checkpoint will not
+        replay events the sink already consumed), and a crash between
+        the last two leaves a stale ``.old`` beside the new dir (which
+        partition discovery would read as a bogus partition value).
+        Both states are unambiguous, so recovery is mechanical: restore
+        ``.old`` when the real dir is missing, drop it when present."""
+        if not os.path.isdir(self.path):
+            return
+        for entry in os.listdir(self.path):
+            if not entry.endswith(".old"):
+                continue
+            old = os.path.join(self.path, entry)
+            dst = old[: -len(".old")]
+            if os.path.isdir(dst):
+                shutil.rmtree(old, ignore_errors=True)  # crash after swap
+            else:
+                os.rename(old, dst)  # crash mid-swap: pre-merge state back
+
     def current(self, spark) -> DataFrame | None:
+        self._recover()
         if not os.path.isdir(self.path):
             return None
         # mergeSchema: after a mid-stream ALTER the state table holds

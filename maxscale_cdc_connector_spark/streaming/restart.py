@@ -111,6 +111,16 @@ CONNECTION_FAILURE_MARKERS = (
     "Broken pipe",
     "ConnectionRefusedError",
     "ConnectionResetError",
+    # A python worker dying mid-task (OOM-killed, SIGKILLed, host
+    # failure) is the local-mode face of losing an executor — in
+    # cluster mode Spark's own task retries absorb it, but local mode
+    # runs with task maxFailures=1, so it escalates straight to query
+    # death and must be retried HERE. Found by the r8 adversarial soak
+    # (scripts/soak_partitioned.py): a SIGKILLed worker inside the
+    # SnapshotSink's foreachBatch collect() surfaced exactly this text.
+    # A worker crashing deterministically (e.g. a decode segfault)
+    # retries too, but boundedly: max_restarts still caps it.
+    "Python worker exited unexpectedly",
 )
 
 

@@ -1,0 +1,308 @@
+"""Adversarial soak of the partitioned CDC reader (VERDICT r7 item 5).
+
+Drives the r7 ingest rewrite (prefetch thread, run-id frontiers,
+maxBatchSeconds) through the faults a production deployment actually
+sees, concurrently, for minutes:
+
+- **server restarts**: a random stream's server is stopped mid-batch
+  and brought back on the same port ~0.5 s later serving its full
+  history (FakeMaxScale replays from the requested GTID inclusively,
+  like the avrorouter);
+- **executor kills**: a random python worker process is SIGKILLed
+  mid-task (the local-mode equivalent of losing an executor);
+- **trickle + burst alternation**: each stream's feeder alternates
+  ~4 s of 10 ev/s trickle with 2k-event bursts, so batches end through
+  every path — idle poll, record cap, and the maxBatchSeconds
+  wall-clock guard.
+
+Recovery is the production stack: ``run_supervised`` restarts the
+query from its checkpoint; the end-state check is the envelope-dedup
+``SnapshotSink`` (idempotent upsert), so the assertion is EXACT —
+after the chaos window closes and the stream drains, the snapshot
+must hold precisely one row per pushed (stream, sequence) key, for
+every key, despite at-least-once replays across every fault.
+
+Usage: python scripts/soak_partitioned.py [--duration 300] [--streams 4]
+
+Prints one summary line; exit 0 iff the exact end-state check passed.
+Results are recorded in SURVEY.md §21 (round 8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.fake_maxscale import TEST_SCHEMA_RECORD, FakeMaxScale, make_event  # noqa: E402
+
+
+def _python_worker_pids() -> list[int]:
+    """PIDs of pyspark python WORKER processes (forked children of the
+    pyspark.daemon process — same cmdline, so distinguish by parent)."""
+    try:
+        out = subprocess.run(
+            ["pgrep", "-f", "pyspark.daemon"], capture_output=True, text=True
+        ).stdout
+    except OSError:
+        return []
+    pids = {int(p) for p in out.split() if p.strip()}
+    workers = []
+    for pid in pids:
+        try:
+            with open(f"/proc/{pid}/stat") as fh:
+                ppid = int(fh.read().split(")")[-1].split()[1])
+        except (OSError, ValueError, IndexError):
+            continue
+        if ppid in pids:  # forked from a daemon → a worker mid-task
+            workers.append(pid)
+    return workers
+
+
+class StreamState:
+    """One stream's server handle + full pushed history (for restarts)."""
+
+    def __init__(self, idx: int) -> None:
+        self.idx = idx
+        self.table = f"soak.s{idx}"
+        self.lock = threading.Lock()
+        self.events: list[dict] = []
+        self.next_seq = 1
+        self.server = FakeMaxScale(
+            TEST_SCHEMA_RECORD, [], user="soak", password="soak", table=self.table
+        )
+        self.server.__enter__()
+        self.port = self.server.port
+
+    def push(self, n: int) -> None:
+        with self.lock:
+            for _ in range(n):
+                # Distinct server_id per stream: each real MariaDB
+                # server has its own — two streams sharing (domain,
+                # server_id, sequence) triples would be collapsed by
+                # the SnapshotSink's envelope dedup (see
+                # streaming/ops.dedup_exact scope note, an r8 soak
+                # finding: envelope identity is per-GTID-space).
+                ev = make_event(
+                    self.next_seq, id_=self.next_seq, name=f"s{self.idx}"
+                )
+                ev["server_id"] = 3000 + self.idx
+                self.events.append(ev)
+                self.server.push_event(ev)
+                self.next_seq += 1
+
+    def restart(self, downtime: float) -> None:
+        with self.lock:
+            self.server.stop()
+        time.sleep(downtime)
+        with self.lock:
+            # Recovered server serves the FULL history; the client's
+            # GTID resume + cursor skip drop what was already delivered.
+            self.server = FakeMaxScale(
+                TEST_SCHEMA_RECORD,
+                list(self.events),
+                user="soak",
+                password="soak",
+                table=self.table,
+                port=self.port,
+            )
+            self.server.__enter__()
+
+    def stop(self) -> None:
+        with self.lock:
+            self.server.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=300.0)
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=8)
+    args = ap.parse_args()
+    rng = random.Random(args.seed)
+
+    from pyspark.sql import SparkSession
+
+    from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("cdc_soak")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(MaxScaleCDCDataSource)
+
+    streams = [StreamState(i) for i in range(args.streams)]
+    scratch = tempfile.mkdtemp(prefix="cdc_soak_")
+    snap = SnapshotSink(os.path.join(scratch, "snapshot"), ["name", "id"])
+    ckpt = os.path.join(scratch, "ckpt")
+
+    options = {
+        "host": "127.0.0.1",
+        "user": "soak",
+        "password": "soak",
+        "streams": json.dumps(
+            [{"table": s.table, "port": s.port} for s in streams]
+        ),
+        "frontierDir": os.path.join(scratch, "frontier"),
+        "schemaRecord": json.dumps(TEST_SCHEMA_RECORD),
+        "pollseconds": "0.3",
+        "maxbatchseconds": "2",
+    }
+
+    chaos_until = time.time() + args.duration
+    stop_all = threading.Event()
+    counters = {"restarts_injected": 0, "workers_killed": 0, "bursts": 0}
+
+    def feeder(st: StreamState) -> None:
+        while time.time() < chaos_until:
+            # trickle ~4 s at ~10 ev/s
+            t_end = min(time.time() + 4.0, chaos_until)
+            while time.time() < t_end:
+                st.push(1)
+                time.sleep(0.1)
+            if time.time() >= chaos_until:
+                break
+            st.push(2000)  # burst
+            counters["bursts"] += 1
+            time.sleep(1.0)
+
+    def server_chaos() -> None:
+        while time.time() < chaos_until:
+            time.sleep(rng.uniform(12.0, 22.0))
+            if time.time() >= chaos_until:
+                break
+            st = rng.choice(streams)
+            st.restart(downtime=rng.uniform(0.3, 1.0))
+            counters["restarts_injected"] += 1
+
+    def worker_chaos() -> None:
+        while time.time() < chaos_until:
+            time.sleep(rng.uniform(10.0, 18.0))
+            if time.time() >= chaos_until:
+                break
+            victims = _python_worker_pids()
+            if victims:
+                pid = rng.choice(victims)
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    counters["workers_killed"] += 1
+                except OSError:
+                    pass
+
+    def attach(df):
+        return (
+            df.writeStream.foreachBatch(snap)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    done = threading.Event()
+    result: dict = {}
+
+    def supervise() -> None:
+        try:
+            result["restarts"] = run_supervised(
+                spark,
+                options,
+                attach,
+                max_restarts=1000,
+                initial_backoff=0.3,
+                max_backoff=5.0,
+                stop_when=done.is_set,
+                timeout=args.duration + 600.0,
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced in summary
+            result["error"] = f"{type(exc).__name__}: {str(exc)[:20000]}"
+
+    threads = [threading.Thread(target=supervise, daemon=True)]
+    threads += [
+        threading.Thread(target=feeder, args=(s,), daemon=True) for s in streams
+    ]
+    threads += [
+        threading.Thread(target=server_chaos, daemon=True),
+        threading.Thread(target=worker_chaos, daemon=True),
+    ]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+
+    ok = False
+    try:
+        # Wait out the chaos window, then let the stream drain to the
+        # exact end state (all servers alive, no more faults).
+        while time.time() < chaos_until:
+            time.sleep(2.0)
+        expected = {
+            f"s{s.idx}": set(range(1, s.next_seq)) for s in streams
+        }
+        total = sum(len(v) for v in expected.values())
+        print(f"[soak] chaos window closed: {total} events pushed, "
+              f"{counters['restarts_injected']} server restarts, "
+              f"{counters['workers_killed']} workers killed, "
+              f"{counters['bursts']} bursts; draining...", flush=True)
+        drain_deadline = time.time() + 420.0
+        got: dict[str, set[int]] = {}
+        while time.time() < drain_deadline and "error" not in result:
+            time.sleep(5.0)
+            try:
+                cur = snap.snapshot(spark)
+                rows = cur.groupBy("name").agg(
+                    {"id": "count"}
+                ).collect()
+                sizes = {r["name"]: r["count(id)"] for r in rows}
+                print(f"[soak] drain poll: have {sizes} want "
+                      f"{ {k: len(v) for k, v in expected.items()} }", flush=True)
+                if sizes == {k: len(v) for k, v in expected.items()}:
+                    got = {
+                        name: {
+                            r["id"]
+                            for r in cur.filter(cur.name == name).select("id").collect()
+                        }
+                        for name in expected
+                    }
+                    break
+            except FileNotFoundError:
+                continue
+            except Exception:  # noqa: BLE001 — a poll racing the live
+                continue  # sink's bucket swap is retried, not fatal
+        ok = got == expected and "error" not in result
+        done.set()
+        threads[0].join(60)
+    finally:
+        done.set()
+        for s in streams:
+            s.stop()
+
+    print(json.dumps({
+        "soak_ok": ok,
+        "duration_s": round(time.time() - t0, 1),
+        "events_pushed": sum(len(v) for v in expected.values()),
+        "per_stream": {k: len(v) for k, v in expected.items()},
+        "server_restarts_injected": counters["restarts_injected"],
+        "workers_killed": counters["workers_killed"],
+        "bursts": counters["bursts"],
+        "query_restarts": result.get("restarts"),
+        "error": result.get("error"),
+    }), flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1077,3 +1077,22 @@ def test_simple_reader_steady_trickle_commits_batches(spark, tmp_path) -> None:
     finally:
         stop.set()
         srv.stop()
+
+
+def test_worker_crash_classified_as_transient() -> None:
+    """A python worker dying mid-task (SIGKILL / OOM / host loss) is the
+    local-mode face of losing an executor and must be restartable by
+    the supervision layer — found by the r8 adversarial soak, where a
+    SIGKILLed worker inside the SnapshotSink's foreachBatch collect()
+    killed the whole supervised query instead of riding a restart."""
+    from maxscale_cdc_connector_spark.streaming.restart import is_connection_failure
+
+    assert is_connection_failure(
+        RuntimeError(
+            "[STREAM_FAILED] Query [id = x, runId = y] terminated with "
+            "exception: Python worker exited unexpectedly (crashed). "
+            "Consider setting ... SQLSTATE: XXKST"
+        )
+    )
+    # Real errors must still re-raise.
+    assert not is_connection_failure(RuntimeError("AnalysisException: col"))

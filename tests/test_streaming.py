@@ -354,6 +354,49 @@ def test_snapshot_sink_incremental_and_idempotent(spark, tmp_path) -> None:
     assert ({(r[0], r[2]) for r in state_1} >= {(7, "seven2")})
 
 
+def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None:
+    """Both driver-crash windows of the bucket swap heal on the next
+    read (r8 soak review): a bucket left ONLY under ``.old`` (crash
+    between rename and move — its keys would otherwise vanish forever,
+    the checkpoint never replays consumed events) is restored, and a
+    stale ``.old`` beside a swapped-in dir (crash before rmtree — a
+    bogus partition value to discovery) is dropped."""
+    import os as _os
+    import shutil as _shutil
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+    def as_df(events):
+        import json as _json
+
+        lines = [(_json.dumps(e),) for e in events]
+        return decode_events(spark.createDataFrame(lines, "value string"), schema)
+
+    sink = SnapshotSink(str(tmp_path / "state"), ["id"], n_buckets=4)
+    sink(as_df([make_event(s, id_=s) for s in range(1, 65)]), 0)
+    want = sorted(r["id"] for r in sink.snapshot(spark).collect())
+    buckets = sorted(
+        d for d in _os.listdir(sink.path) if d.startswith("_bucket=")
+    )
+    assert len(buckets) == 4
+
+    # Window 1: crash between rename(dst, old) and move(src, dst).
+    b0 = _os.path.join(sink.path, buckets[0])
+    _os.rename(b0, b0 + ".old")
+    assert sorted(r["id"] for r in sink.snapshot(spark).collect()) == want
+
+    # Window 2: crash between move(src, dst) and rmtree(old) — the new
+    # dir is live, the .old copy is stale garbage.
+    b1 = _os.path.join(sink.path, buckets[1])
+    _shutil.copytree(b1, b1 + ".old")
+    assert sorted(r["id"] for r in sink.snapshot(spark).collect()) == want
+    assert not any(d.endswith(".old") for d in _os.listdir(sink.path))
+
+
 def test_compact_parquet_reduces_files(spark, tmp_path) -> None:
     """Small-file compaction: 32 tiny files collapse to 1 with content
     preserved exactly."""
