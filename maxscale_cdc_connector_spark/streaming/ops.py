@@ -321,6 +321,17 @@ class SnapshotSink:
         ≤ n_buckets ints."""
         spark = batch.sparkSession
         incoming = dedup_exact(batch).withColumn(self.BUCKET_COL, self._bucket())
+        # Freeze the batch BEFORE the multi-action merge (r8 soak
+        # finding — burst-sized permanent loss on one stream): every
+        # action on a partitioned-CDC batch re-executes the live socket
+        # read, so without this the `touched` bucket list (action 1)
+        # and the merged write (action 2) can see DIFFERENT rows. Rows
+        # arriving between the two actions were written under buckets
+        # absent from `touched`, left out of the swap, and permanently
+        # skipped once the frontier passed them. localCheckpoint pins
+        # ONE materialization for every downstream action (and halves
+        # the per-batch server re-dials as a side effect).
+        incoming = incoming.localCheckpoint(eager=True)
         touched = self._buckets_of(incoming)
         if not touched:
             return

@@ -188,6 +188,8 @@ def main() -> int:
             if time.time() >= chaos_until:
                 break
             st = rng.choice(streams)
+            print(f"[soak] t={time.time()-t0:.1f}s restarting server "
+                  f"s{st.idx} (head seq {st.next_seq - 1})", flush=True)
             st.restart(downtime=rng.uniform(0.3, 1.0))
             counters["restarts_injected"] += 1
 
@@ -201,6 +203,8 @@ def main() -> int:
                 pid = rng.choice(victims)
                 try:
                     os.kill(pid, signal.SIGKILL)
+                    print(f"[soak] t={time.time()-t0:.1f}s killed worker {pid}",
+                          flush=True)
                     counters["workers_killed"] += 1
                 except OSError:
                     pass
@@ -257,7 +261,7 @@ def main() -> int:
               f"{counters['restarts_injected']} server restarts, "
               f"{counters['workers_killed']} workers killed, "
               f"{counters['bursts']} bursts; draining...", flush=True)
-        drain_deadline = time.time() + 420.0
+        drain_deadline = time.time() + float(os.environ.get("SOAK_DRAIN_S", "420"))
         got: dict[str, set[int]] = {}
         while time.time() < drain_deadline and "error" not in result:
             time.sleep(5.0)
@@ -282,6 +286,28 @@ def main() -> int:
                 continue
             except Exception:  # noqa: BLE001 — a poll racing the live
                 continue  # sink's bucket swap is retried, not fatal
+        if not got:
+            # Deadline hit: dump what is missing, as contiguous ranges.
+            try:
+                cur = snap.snapshot(spark)
+                for name, want in expected.items():
+                    have = {
+                        r["id"]
+                        for r in cur.filter(cur.name == name).select("id").collect()
+                    }
+                    miss = sorted(want - have)
+                    if miss:
+                        ranges, lo = [], miss[0]
+                        prev = lo
+                        for x in miss[1:]:
+                            if x != prev + 1:
+                                ranges.append((lo, prev)); lo = x
+                            prev = x
+                        ranges.append((lo, prev))
+                        print(f"[soak] {name} missing {len(miss)} ids, "
+                              f"ranges={ranges[:20]}", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                print(f"[soak] miss-dump failed: {exc!r}", flush=True)
         ok = got == expected and "error" not in result
         done.set()
         threads[0].join(60)

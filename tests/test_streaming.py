@@ -354,6 +354,66 @@ def test_snapshot_sink_incremental_and_idempotent(spark, tmp_path) -> None:
     assert ({(r[0], r[2]) for r in state_1} >= {(7, "seven2")})
 
 
+def test_snapshot_sink_consistent_under_reexecuting_source(spark, tmp_path) -> None:
+    """The sink must freeze ONE materialization of the batch before its
+    multi-action merge (r8 soak finding). A partitioned-CDC batch
+    re-executes the live socket read per action, so a batch can GROW
+    between the sink's `touched`-bucket collect and its merged write —
+    rows seen only by the write landed in buckets absent from
+    `touched`, were dropped by the swap, and were permanently skipped
+    once the frontier passed them (observed as burst-sized loss on one
+    stream). Simulated here with a mapInPandas source whose output
+    grows on every execution: the sink must persist exactly ONE
+    consistent execution's rows — the first — not a bucket-filtered
+    shred of a later one."""
+    import json as _json
+    import os as _os
+
+    import pandas as pd
+
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+
+    counter = str(tmp_path / "executions")
+
+    def growing(batches):
+        for _ in batches:
+            pass
+        n = 1
+        if _os.path.exists(counter):
+            with open(counter) as fh:
+                n = int(fh.read() or "0") + 1
+        with open(counter, "w") as fh:
+            fh.write(str(n))
+        hi = 50 * n  # execution k yields ids 1..50k
+        yield pd.DataFrame(
+            {
+                "domain": [0] * hi,
+                "server_id": [3000] * hi,
+                "sequence": list(range(1, hi + 1)),
+                "event_number": [1] * hi,
+                "event_type": ["insert"] * hi,
+                "id": list(range(1, hi + 1)),
+            }
+        )
+
+    batch = spark.range(1).repartition(1).mapInPandas(
+        growing,
+        "domain int, server_id int, sequence long, event_number int, "
+        "event_type string, id int",
+    )
+    sink = SnapshotSink(str(tmp_path / "state"), ["id"], n_buckets=8)
+    sink(batch, 0)
+    got = sorted(r["id"] for r in sink.snapshot(spark).collect())
+    with open(counter) as fh:
+        n_exec = int(fh.read())
+    # Exactly one consistent execution persisted — all 50 ids of the
+    # frozen first read, no bucket-shredded subset of a later one.
+    assert got == list(range(1, 51)), (
+        f"inconsistent multi-action state: {len(got)} ids after "
+        f"{n_exec} source executions"
+    )
+
+
 def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None:
     """Both driver-crash windows of the bucket swap heal on the next
     read (r8 soak review): a bucket left ONLY under ``.old`` (crash
