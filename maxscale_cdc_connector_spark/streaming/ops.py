@@ -332,6 +332,19 @@ class SnapshotSink:
         # ONE materialization for every downstream action (and halves
         # the per-batch server re-dials as a side effect).
         incoming = incoming.localCheckpoint(eager=True)
+        try:
+            return self._merge(spark, incoming)
+        finally:
+            # Free the checkpoint blocks eagerly — on a long-running
+            # stream, waiting for the ContextCleaner to GC one frozen
+            # batch per trigger accumulates block-manager storage.
+            from maxscale_cdc_connector_spark.operators.graph import (
+                _release_local_checkpoint,
+            )
+
+            _release_local_checkpoint(incoming)
+
+    def _merge(self, spark, incoming: DataFrame) -> None:
         touched = self._buckets_of(incoming)
         if not touched:
             return
