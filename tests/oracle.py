@@ -37,10 +37,18 @@ def _normalize(rows: list[tuple], cols: list[str]) -> list[tuple]:
             return round(v, 6)
         if hasattr(v, "isoformat"):
             return v.isoformat()
-        if isinstance(v, (list, tuple)):
-            return tuple(norm_cell(x) for x in v)
         if isinstance(v, bytearray):
             return bytes(v)
+        if isinstance(v, (list, tuple, dict, set)) or type(v).__name__ == "ndarray":
+            # Driver-strict: the driver's pandas canonicalizer raises
+            # ``TypeError: unhashable type`` on Array/Map/Struct cells.
+            # The pre-r9 list→tuple branch here was weaker than the
+            # driver and masked the fn_higher_order_pack red row
+            # (VERDICT r8 item 2). Emit array_join'd strings instead.
+            raise TypeError(
+                f"non-scalar cell value ({type(v).__name__}): the driver "
+                "cannot canonicalize Array/Map/Struct columns"
+            )
         return v
 
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]

@@ -36,6 +36,73 @@ def test_every_oracle_key_in_a_parity_list():
     )
 
 
+def test_no_complex_output_columns_on_oracle_keys(spark, sf_dir):
+    """Every oracle-bearing key's output schema must be scalar-only.
+
+    The driver canonicalizes results with a pandas DataFrame +
+    ``sort_values`` over all columns, which raises ``TypeError:
+    unhashable type`` on Array/Map/Struct cells — this is exactly how
+    ``fn_higher_order_pack`` became the first red driver row in eight
+    rounds (VERDICT r8). Building the DataFrame only analyzes the plan
+    (no execution), so this guards the whole registry cheaply: any key
+    that wants to emit an array must ``array_join`` it to a string (the
+    ``agg_collect_set`` precedent) or explode to scalar rows.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    offenders = []
+    for key, entry in REGISTRY.items():
+        if entry.oracle is None:
+            continue
+        schema = entry.fn(spark, sf_dir).schema
+        bad = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((key, bad))
+    assert not offenders, (
+        f"oracle-bearing keys emit non-scalar columns the driver cannot "
+        f"canonicalize: {offenders}; array_join them to strings or "
+        "explode to scalar rows"
+    )
+
+
+def test_harness_norm_rejects_non_scalar_cells():
+    """The local harness must be at least as strict as the driver.
+
+    The pre-r9 ``norm()`` converted list cells to tuples, masking the
+    ``fn_higher_order_pack`` failure for three rounds of local sweeps.
+    Pin the driver-strict behavior: a list-valued cell is a hard error.
+    """
+    import importlib.util
+    import os
+
+    import pytest
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "drive_driver.py",
+    )
+    spec = importlib.util.spec_from_file_location("drive_driver", path)
+    harness = importlib.util.module_from_spec(spec)
+    # Executing the module would start Spark via main(); only pull norm()
+    # out of the module namespace without running __main__.
+    spec.loader.exec_module(harness)
+
+    assert harness.norm([(1, "a"), (2, None)], ["k", "v"]) == [
+        (1, "a"),
+        (2, None),
+    ]
+    with pytest.raises(TypeError, match="non-scalar"):
+        harness.norm([(1, [1, 2, 3])], ["k", "v"])
+
+
 def test_rotation_preserves_registry_contents():
     """load_all() reorders but never drops or duplicates keys."""
     from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
