@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+import threading
 import uuid
 from collections.abc import Sequence
 
@@ -268,35 +268,71 @@ class SnapshotSink:
         self.path = path
         self.key_cols = list(key_cols)
         self.n_buckets = n_buckets
+        # Shared by _recover and the swap loop (ADVICE r8): a monitoring
+        # thread calling current()/snapshot() on THIS instance can never
+        # interleave a recovery with an in-flight bucket swap.
+        self._lock = threading.Lock()
+        self._recovered = False
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
 
-    def _recover(self) -> None:
-        """Heal the bucket-swap crash windows before any read (r8 soak
-        review). The swap is rename(dst, dst.old) → move(src, dst) →
-        rmtree(dst.old); a driver crash between the first two steps
-        leaves the bucket ONLY in ``.old`` (its keys would silently
-        vanish from every later snapshot — the checkpoint will not
-        replay events the sink already consumed), and a crash between
-        the last two leaves a stale ``.old`` beside the new dir (which
-        partition discovery would read as a bogus partition value).
-        Both states are unambiguous, so recovery is mechanical: restore
-        ``.old`` when the real dir is missing, drop it when present."""
+    # Pre-merge copies parked beside the live dir during a swap. The
+    # leading dot keeps them invisible to Spark's partition discovery,
+    # so even a stale one (writer crashed between rename and rmtree)
+    # can never surface as a bogus partition value in a read.
+    _OLD_PREFIX = ".old-"
+
+    def _recover_locked(self) -> None:
+        """Heal the bucket-swap crash windows (r8 soak review). The swap
+        is rename(dst, .old-dst) → rename(scratch, dst) → rmtree(.old-);
+        a driver crash between the first two steps leaves the bucket
+        ONLY in ``.old-`` (its keys would silently vanish from every
+        later snapshot — the checkpoint will not replay events the sink
+        already consumed), and a crash between the last two leaves a
+        stale ``.old-`` beside the new dir. Both states are unambiguous
+        — the scratch dir lives under ``self.path`` (same filesystem),
+        so the second rename is atomic and a present ``dst`` is always
+        COMPLETE — recovery is mechanical: restore ``.old-`` when the
+        real dir is missing, drop it when present. (Pre-r9 the scratch
+        dir lived in tempfile.gettempdir(); on a different filesystem
+        shutil.move degrades to copytree and a crash mid-copy left a
+        partial dst whose complete ``.old`` twin recovery then deleted
+        — ADVICE r8.)
+
+        Caller must hold ``self._lock``. Runs once per instance (first
+        read or first merge), NOT on every read: a per-read recovery
+        racing a concurrent writer's swap could rename the pre-merge
+        copy back over the writer's in-flight window (ADVICE r8).
+        Legacy ``<part>.old`` suffix names from pre-r9 sinks are healed
+        too.
+        """
         if not os.path.isdir(self.path):
             return
         for entry in os.listdir(self.path):
-            if not entry.endswith(".old"):
+            if entry.startswith(self._OLD_PREFIX):
+                dst_name = entry[len(self._OLD_PREFIX):]
+            elif entry.endswith(".old"):  # pre-r9 layout
+                dst_name = entry[: -len(".old")]
+            else:
                 continue
             old = os.path.join(self.path, entry)
-            dst = old[: -len(".old")]
+            dst = os.path.join(self.path, dst_name)
             if os.path.isdir(dst):
                 shutil.rmtree(old, ignore_errors=True)  # crash after swap
             else:
                 os.rename(old, dst)  # crash mid-swap: pre-merge state back
 
+    def _recover_once(self) -> None:
+        if self._recovered:
+            return
+        with self._lock:
+            if not self._recovered:
+                self._recover_locked()
+                self._recovered = True
+
     def current(self, spark) -> DataFrame | None:
-        self._recover()
+        self._recover_once()
         if not os.path.isdir(self.path):
             return None
         # mergeSchema: after a mid-stream ALTER the state table holds
@@ -369,21 +405,37 @@ class SnapshotSink:
             ]
         )
         # Rewrite only the touched partition dirs: write to a scratch
-        # dir, then swap each bucket dir atomically.
-        tmp = os.path.join(tempfile.gettempdir(), f"snapshot-{uuid.uuid4().hex[:12]}")
-        merged.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(tmp)
+        # dir UNDER self.path — same filesystem, so every move below is
+        # an atomic os.rename and a visible bucket dir is always a
+        # complete one (ADVICE r8: a gettempdir() scratch on another
+        # filesystem made shutil.move a non-atomic copytree). The dot
+        # prefix hides the scratch dir from partition discovery, so
+        # concurrent reads of self.path never see half-written files.
         os.makedirs(self.path, exist_ok=True)
-        for b in touched:
-            part = f"{self.BUCKET_COL}={b}"
-            src = os.path.join(tmp, part)
-            dst = os.path.join(self.path, part)
-            old = dst + ".old"
-            if not os.path.isdir(src):  # all rows in the bucket merged away
-                continue
-            if os.path.isdir(dst):
-                os.rename(dst, old)
-            shutil.move(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
+        # Single-writer contract (one streaming query per sink path):
+        # reap scratch dirs a crashed predecessor left behind. Readers
+        # never touch .tmp- dirs, so this cannot race a live writer.
+        for entry in os.listdir(self.path):
+            if entry.startswith(".tmp-"):
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:12]}")
+        merged.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(tmp)
+        with self._lock:
+            # Heal any crashed-predecessor swap before layering a new
+            # one on top, then swap each touched bucket atomically.
+            self._recover_locked()
+            self._recovered = True
+            for b in touched:
+                part = f"{self.BUCKET_COL}={b}"
+                src = os.path.join(tmp, part)
+                dst = os.path.join(self.path, part)
+                old = os.path.join(self.path, self._OLD_PREFIX + part)
+                if not os.path.isdir(src):  # all rows in the bucket merged away
+                    continue
+                if os.path.isdir(dst):
+                    os.rename(dst, old)
+                os.rename(src, dst)  # atomic: same filesystem by construction
+                shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)
 
     def snapshot(self, spark) -> DataFrame:

@@ -416,11 +416,15 @@ def test_snapshot_sink_consistent_under_reexecuting_source(spark, tmp_path) -> N
 
 def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None:
     """Both driver-crash windows of the bucket swap heal on the next
-    read (r8 soak review): a bucket left ONLY under ``.old`` (crash
-    between rename and move — its keys would otherwise vanish forever,
-    the checkpoint never replays consumed events) is restored, and a
-    stale ``.old`` beside a swapped-in dir (crash before rmtree — a
-    bogus partition value to discovery) is dropped."""
+    process's first read (r8 soak review, restated per ADVICE r8: a
+    crashed driver is a NEW sink instance, and recovery runs once per
+    instance instead of on every read so a concurrent reader can never
+    rewrite a live writer's in-flight swap). A bucket left ONLY under
+    the parked pre-merge name (crash between the two renames — its keys
+    would otherwise vanish forever, the checkpoint never replays
+    consumed events) is restored, and a stale parked copy beside a
+    swapped-in dir (crash before rmtree) is dropped. Both the r9 hidden
+    ``.old-<part>`` layout and the pre-r9 ``<part>.old`` suffix heal."""
     import os as _os
     import shutil as _shutil
 
@@ -436,7 +440,8 @@ def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None
         lines = [(_json.dumps(e),) for e in events]
         return decode_events(spark.createDataFrame(lines, "value string"), schema)
 
-    sink = SnapshotSink(str(tmp_path / "state"), ["id"], n_buckets=4)
+    path = str(tmp_path / "state")
+    sink = SnapshotSink(path, ["id"], n_buckets=4)
     sink(as_df([make_event(s, id_=s) for s in range(1, 65)]), 0)
     want = sorted(r["id"] for r in sink.snapshot(spark).collect())
     buckets = sorted(
@@ -444,17 +449,64 @@ def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None
     )
     assert len(buckets) == 4
 
-    # Window 1: crash between rename(dst, old) and move(src, dst).
-    b0 = _os.path.join(sink.path, buckets[0])
-    _os.rename(b0, b0 + ".old")
-    assert sorted(r["id"] for r in sink.snapshot(spark).collect()) == want
+    # Window 1: crash between rename(dst, .old-dst) and rename(src, dst)
+    # — r9 hidden layout. A fresh instance (post-crash driver) heals it.
+    b0 = _os.path.join(path, buckets[0])
+    _os.rename(b0, _os.path.join(path, ".old-" + buckets[0]))
+    sink2 = SnapshotSink(path, ["id"], n_buckets=4)
+    assert sorted(r["id"] for r in sink2.snapshot(spark).collect()) == want
 
-    # Window 2: crash between move(src, dst) and rmtree(old) — the new
-    # dir is live, the .old copy is stale garbage.
-    b1 = _os.path.join(sink.path, buckets[1])
+    # Window 2: crash between rename(src, dst) and rmtree — the new dir
+    # is live, the parked copy is stale garbage. Exercise the legacy
+    # pre-r9 ``<part>.old`` suffix to pin backward-compatible healing.
+    b1 = _os.path.join(path, buckets[1])
     _shutil.copytree(b1, b1 + ".old")
-    assert sorted(r["id"] for r in sink.snapshot(spark).collect()) == want
-    assert not any(d.endswith(".old") for d in _os.listdir(sink.path))
+    sink3 = SnapshotSink(path, ["id"], n_buckets=4)
+    assert sorted(r["id"] for r in sink3.snapshot(spark).collect()) == want
+    assert not any(
+        d.endswith(".old") or d.startswith(".old-")
+        for d in _os.listdir(path)
+    )
+
+    # Even though a bucket dir briefly went missing above, the hidden
+    # parked name must never have surfaced as a partition value.
+    assert all(
+        d.startswith(("_bucket=", ".")) for d in _os.listdir(path)
+    )
+
+
+def test_snapshot_sink_recovery_runs_once_per_instance(spark, tmp_path) -> None:
+    """ADVICE r8: recovery must NOT re-run on every read — a concurrent
+    reader's recovery landing inside a writer's swap window would rename
+    the parked pre-merge copy back over the in-flight swap. Pin the
+    contract: after the first read, a parked dir appearing on disk is
+    left alone by the same instance (only a fresh instance heals it)."""
+    import os as _os
+    import shutil as _shutil
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+    def as_df(events):
+        import json as _json
+
+        lines = [(_json.dumps(e),) for e in events]
+        return decode_events(spark.createDataFrame(lines, "value string"), schema)
+
+    path = str(tmp_path / "state")
+    sink = SnapshotSink(path, ["id"], n_buckets=4)
+    sink(as_df([make_event(s, id_=s) for s in range(1, 65)]), 0)
+    sink.snapshot(spark)  # first read: recovery consumed here
+
+    buckets = sorted(d for d in _os.listdir(path) if d.startswith("_bucket="))
+    parked = _os.path.join(path, ".old-" + buckets[0])
+    _shutil.copytree(_os.path.join(path, buckets[0]), parked)
+    sink.snapshot(spark)  # same instance: must NOT touch the parked dir
+    assert _os.path.isdir(parked)
+    _shutil.rmtree(parked)
 
 
 def test_compact_parquet_reduces_files(spark, tmp_path) -> None:
