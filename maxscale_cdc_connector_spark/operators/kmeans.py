@@ -44,22 +44,61 @@ _ASSIGN_SCHEMA = StructType(
 )
 
 
-def _assign_udf(centroids: list[list[float]]):
+def _exact_sq_norm(m: np.ndarray) -> np.ndarray:
+    """Row-wise |m|² by left-to-right per-component accumulation."""
+    s = m[:, 0] * m[:, 0]
+    for d in range(1, m.shape[1]):
+        s = s + m[:, d] * m[:, d]
+    return s
+
+
+def _pairwise_d2(
+    x: np.ndarray, cmat: np.ndarray, c_sq: np.ndarray, exact_dot: bool
+) -> np.ndarray:
+    """dist²(X, C) = |X|² + |C|² − 2·X·Cᵀ, clamped at 0.
+
+    ``exact_dot=False`` (default): one BLAS matmul per batch — the fast
+    path for real embedding dims. ``exact_dot=True``: every dot is a
+    left-to-right per-component loop with separate multiply and add
+    roundings. BLAS dgemm's accumulation order and FMA contraction are
+    build-dependent, so a SQL oracle replaying the distance as a
+    sequential N-term dot can spuriously flip an argmin at one ulp on a
+    different BLAS (ADVICE r8); the sequential path makes the float ops
+    literally identical to the oracle's expression on any build. Use it
+    when the run must be exactly replayable (small dims — the loop is
+    O(dim) NumPy vector ops, fine at dim≈5, wrong tool at dim≈512).
+    """
+    if exact_dot:
+        xx = _exact_sq_norm(x)
+        xc = np.multiply.outer(x[:, 0], cmat[:, 0])
+        for d in range(1, x.shape[1]):
+            xc = xc + np.multiply.outer(x[:, d], cmat[:, d])
+        d2 = (xx[:, None] + c_sq[None, :]) - 2.0 * xc
+    else:
+        d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cmat.T)
+    np.maximum(d2, 0.0, out=d2)  # clamp fp negatives near 0
+    return d2
+
+
+def _centroid_sq(cmat: np.ndarray, exact_dot: bool) -> np.ndarray:
+    return _exact_sq_norm(cmat) if exact_dot else (cmat * cmat).sum(axis=1)
+
+
+def _assign_udf(centroids: list[list[float]], exact_dot: bool = False):
     """Vectorized (Arrow-batched) argmin-centroid assignment.
 
     One matmul per batch; ``np.argmin`` returns the FIRST minimum, so
     ties break toward the lower cluster id — deterministic.
     """
     cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
-    c_sq = (cmat * cmat).sum(axis=1)  # k
+    c_sq = _centroid_sq(cmat, exact_dot)  # k
 
     @F.pandas_udf(_ASSIGN_SCHEMA)
     def assign(vecs: pd.Series) -> pd.DataFrame:
         x = np.asarray(vecs.tolist(), dtype=np.float64)  # B × dim
         if x.size == 0:
             return pd.DataFrame({"cluster": [], "dist2": []})
-        d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cmat.T)
-        np.maximum(d2, 0.0, out=d2)  # clamp fp negatives near 0
+        d2 = _pairwise_d2(x, cmat, c_sq, exact_dot)
         best = d2.argmin(axis=1)
         return pd.DataFrame(
             {
@@ -72,10 +111,13 @@ def _assign_udf(centroids: list[list[float]]):
 
 
 def assign_clusters(
-    df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    exact_dot: bool = False,
 ) -> DataFrame:
     """Add ``cluster`` (argmin centroid) and ``dist2`` columns."""
-    a = _assign_udf(centroids)(F.col(vec_col))
+    a = _assign_udf(centroids, exact_dot)(F.col(vec_col))
     return (
         df.withColumn("_a", a)
         .withColumns({"cluster": F.col("_a.cluster"), "dist2": F.col("_a.dist2")})
@@ -83,7 +125,9 @@ def assign_clusters(
     )
 
 
-def _partial_stats_gen(centroids: list[list[float]], vec_col: str):
+def _partial_stats_gen(
+    centroids: list[list[float]], vec_col: str, exact_dot: bool = False
+):
     """mapInPandas generator: per-task Lloyd partials (k rows).
 
     Map-side combine in NumPy — each task emits at most k rows of
@@ -92,7 +136,7 @@ def _partial_stats_gen(centroids: list[list[float]], vec_col: str):
     ``treeAggregate`` update step.
     """
     cmat = np.asarray(centroids, dtype=np.float64)
-    c_sq = (cmat * cmat).sum(axis=1)
+    c_sq = _centroid_sq(cmat, exact_dot)
     k, dim = cmat.shape
 
     def gen(batches):
@@ -103,8 +147,7 @@ def _partial_stats_gen(centroids: list[list[float]], vec_col: str):
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cmat.T)
-            np.maximum(d2, 0.0, out=d2)
+            d2 = _pairwise_d2(x, cmat, c_sq, exact_dot)
             best = d2.argmin(axis=1)
             n += np.bincount(best, minlength=k)
             sd2 += np.bincount(best, weights=d2[np.arange(len(best)), best], minlength=k)
@@ -140,6 +183,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 5,
+    exact_dot: bool = False,
 ) -> tuple[DataFrame, list[list[float]], list[float]]:
     """Run ``iters`` Lloyd iterations; return (assigned, centroids, inertias).
 
@@ -161,7 +205,7 @@ def kmeans_fit(
     try:
         for _ in range(iters):
             partials = cached.mapInPandas(
-                _partial_stats_gen(centroids, vec_col), _PARTIAL_SCHEMA
+                _partial_stats_gen(centroids, vec_col, exact_dot), _PARTIAL_SCHEMA
             ).toPandas()  # ≤ k rows per task — model state, not data
             inertias.append(float(partials["sum_dist2"].sum()))
             agg = partials.groupby("cluster").agg(
@@ -177,4 +221,4 @@ def kmeans_fit(
             ]
     finally:
         cached.unpersist()
-    return assign_clusters(df, centroids, vec_col), centroids, inertias
+    return assign_clusters(df, centroids, vec_col, exact_dot), centroids, inertias

@@ -38,6 +38,11 @@ _CHANGED_THIS_ROUND = (
     # pid-keyed) and stale manifests are cleaned up; oracle SQL bytes
     # changed → fresh row.
     "layout_file_metadata_audit",
+    # Round 9: ADVICE r8 low — the assignment dot is now computed
+    # sequentially (exact_dot) instead of via BLAS dgemm, so the exact
+    # oracle replay holds on any BLAS build; implementation bytes
+    # changed → fresh row.
+    "events_user_segmentation_kmeans",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

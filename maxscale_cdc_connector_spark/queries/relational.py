@@ -5893,7 +5893,15 @@ def events_user_segmentation_kmeans(spark: SparkSession, sf_dir: str) -> DataFra
         "user_id",
         F.array(*[F.col(f"n_{c}") for c in chans]).alias("embedding"),
     )
-    assigned, _, _ = kmeans_fit(vec, id_col="user_id", k=4, iters=4)
+    # exact_dot: the DuckDB oracle replays each distance as a
+    # left-to-right 5-term dot; BLAS dgemm's accumulation order / FMA
+    # contraction is build-dependent and a one-ulp dist² difference can
+    # flip an argmin once centroids are non-integer (ADVICE r8), so the
+    # assignment dot is computed sequentially — bit-identical to the
+    # oracle's expression on any BLAS build.
+    assigned, _, _ = kmeans_fit(
+        vec, id_col="user_id", k=4, iters=4, exact_dot=True
+    )
     profile = assigned.join(feats, "user_id").groupBy("cluster").agg(
         F.count("*").cast("bigint").alias("n_users"),
         *[
@@ -6007,19 +6015,42 @@ def sql_window_clause_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 # independent filesystem truth. Per-file row counts come from each
 # file's PARQUET FOOTER via pyarrow (ADVICE r7 medium: the old oracle
 # CROSS JOINed the view total onto every file, which diverges the
-# moment the table has >1 part file), and the path is keyed by
-# uid+pid (ADVICE r7 low: a fixed world-writable /tmp name races
-# concurrent drivers and is a symlink-clobber hazard) — the query
-# writes and the oracle reads in the same driver process, so the pid
-# key is stable across the pair. Promoted from rows-only in r7
-# (VERDICT r6 item 5).
+# moment the table has >1 part file), and the path is keyed by a
+# MODULE-LEVEL UUID (ADVICE r8 low: a pid key silently breaks if a
+# harness ever imports the registry in one process to collect
+# oracle_sql but runs the query in another — the uuid makes the
+# same-import-owns-both-sides contract explicit; uid still namespaces
+# the world-writable temp dir against other users). The build step
+# reaps stale manifests from earlier driver runs (>1 h old, same uid
+# prefix) so /tmp does not accumulate one file per run; younger files
+# may belong to a LIVE concurrent driver and are left alone.
 import os as _layout_os
 import tempfile as _layout_tempfile
+import uuid as _layout_uuid
 
+_LAYOUT_MANIFEST_PREFIX = f"spark_graft_layout_manifest_{_layout_os.getuid()}_"
 LAYOUT_MANIFEST_PATH = _layout_os.path.join(
     _layout_tempfile.gettempdir(),
-    f"spark_graft_layout_manifest_{_layout_os.getuid()}_{_layout_os.getpid()}.json",
+    f"{_LAYOUT_MANIFEST_PREFIX}{_layout_uuid.uuid4().hex}.json",
 )
+
+
+def _reap_stale_layout_manifests(max_age_s: float = 3600.0) -> None:
+    import glob as _glob
+    import time as _time
+
+    cutoff = _time.time() - max_age_s
+    pattern = _layout_os.path.join(
+        _layout_tempfile.gettempdir(), _LAYOUT_MANIFEST_PREFIX + "*.json"
+    )
+    for f in _glob.glob(pattern):
+        if f == LAYOUT_MANIFEST_PATH:
+            continue
+        try:
+            if _layout_os.path.getmtime(f) < cutoff:
+                _layout_os.unlink(f)
+        except OSError:
+            pass  # raced another driver's reap — fine
 
 
 @register(
@@ -6071,8 +6102,12 @@ def layout_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for f in files
     ]
-    with open(LAYOUT_MANIFEST_PATH, "w") as fh:
+    _reap_stale_layout_manifests()
+    # Atomic publish: the oracle may read while a re-build overwrites.
+    tmp = LAYOUT_MANIFEST_PATH + ".tmp"
+    with open(tmp, "w") as fh:
         _json.dump(manifest, fh)
+    _os.replace(tmp, LAYOUT_MANIFEST_PATH)
     d = spark.read.parquet(path)
     return (
         d.select(
