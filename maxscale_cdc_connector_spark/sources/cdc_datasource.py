@@ -45,7 +45,24 @@ from maxscale_cdc_connector_spark.sources.protocol import (
     CDCProtocolError,
     SchemaChangedError,
 )
+from maxscale_cdc_connector_spark.streaming.ops import SOURCE_ID_COL
 from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+
+def _source_id_active(options) -> bool:
+    """True when the partitioned reader will stamp ``_source_id``: the
+    global ``sourceId`` option is set, or any per-stream config carries
+    a ``sourceId`` key (VERDICT r8 item 5 — multi-server ingest)."""
+    if options.get("sourceid"):
+        return True
+    import json as _json
+
+    try:
+        streams = _json.loads(options.get("streams", "[]"))
+    except ValueError:
+        return False
+    return any(isinstance(s, dict) and s.get("sourceId") for s in streams)
+
 
 DEFAULT_MAX_RECORDS_PER_BATCH = 100_000
 DEFAULT_POLL_SECONDS = 1.0
@@ -247,10 +264,22 @@ class MaxScaleCDCDataSource(DataSource):
         round-trip by passing the record JSON as option
         ``schemaRecord``.
         """
+        import json as _json
+
+        def finish(struct: T.StructType) -> T.StructType:
+            # Multi-server discriminator (VERDICT r8 item 5): when any
+            # stream carries ``sourceId`` (or the global option is set),
+            # the partitioned reader stamps a ``_source_id`` column, so
+            # the declared schema must carry it too.
+            if "streams" in self.options and _source_id_active(self.options):
+                return T.StructType(
+                    [*struct.fields, T.StructField(SOURCE_ID_COL, T.StringType())]
+                )
+            return struct
+
         record = self.options.get("schemarecord")
         if record is not None:
-            return schema_record_to_struct(record)
-        import json as _json
+            return finish(schema_record_to_struct(record))
 
         if "streams" in self.options:
             # Partitioned mode: all streams share one schema (shards of
@@ -273,7 +302,7 @@ class MaxScaleCDCDataSource(DataSource):
             timeout=float(self.options.get("pollseconds", DEFAULT_POLL_SECONDS)) + 5.0,
         ) as client:
             assert client.schema_record is not None
-            return schema_record_to_struct(client.schema_record)
+            return finish(schema_record_to_struct(client.schema_record))
 
     def streamReader(self, schema: T.StructType):
         """Partition-parallel reader (executor-side sockets), selected by

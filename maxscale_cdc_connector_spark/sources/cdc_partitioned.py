@@ -29,6 +29,18 @@ the Arrow parse pool each read task restores — PySpark workers export
 ``OMP_NUM_THREADS=1``, which would otherwise serialize ``pyarrow.json``;
 default 4).
 
+Multi-server ingest (``sourceId``, per-stream or as a global default):
+envelope identity — (domain, server_id, sequence, event_number) — is
+unique only within ONE server's GTID space, so two servers configured
+with overlapping server_ids can emit colliding envelopes for distinct
+events. Setting ``sourceId`` stamps a constant ``_source_id`` string
+column on every delivered row (appended to the inferred schema), keys
+stream identity (offsets + frontier files) by ``sourceId::table`` so two
+servers may stream the SAME table name, and ``streaming/ops.dedup_exact``
+/ ``SnapshotSink`` automatically include the column in the replay-dedup
+identity. All streams must carry a sourceId or none (a null
+discriminator would silently exempt a stream from the identity).
+
 Offset design (the part a socket protocol makes non-trivial — the CDC
 server has no "latest position" RPC, it only replays from a requested
 GTID, cdc_connector.cpp:199-206):
@@ -98,6 +110,7 @@ from maxscale_cdc_connector_spark.sources.cdc_datasource import (
     DEFAULT_MAX_BATCH_SECONDS,
     DEFAULT_MAX_RECORDS_PER_BATCH,
     DEFAULT_POLL_SECONDS,
+    SOURCE_ID_COL,
     _converter,
     _gtid_key,
 )
@@ -261,6 +274,11 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         self._frontier_dir = options["frontierdir"]
         os.makedirs(self._frontier_dir, exist_ok=True)
         self._streams: dict[str, dict[str, Any]] = {}
+        # Multi-server discriminator (VERDICT r8 item 5): each stream
+        # may carry ``sourceId`` (defaulting to the global option).
+        # All-or-nothing — a null discriminator on some streams would
+        # silently exempt them from the multi-source dedup identity.
+        sid_default = options.get("sourceid")
         for s in streams:
             cfg = {
                 "host": s.get("host", options.get("host", "127.0.0.1")),
@@ -269,11 +287,35 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 "password": s.get("password", options.get("password", "")),
                 "table": s["table"],
                 "gtid": s.get("gtid", options.get("gtid", "")),
+                "source_id": s.get("sourceId", sid_default),
             }
-            sid = cfg["table"]
+            # Stream identity keys offsets and frontier files; include
+            # the source id so two servers streaming the SAME table name
+            # (active-active) keep separate cursors.
+            sid = (
+                f"{cfg['source_id']}::{cfg['table']}"
+                if cfg["source_id"] is not None
+                else cfg["table"]
+            )
             if sid in self._streams:
                 raise ValueError(f"duplicate stream table {sid!r}")
             self._streams[sid] = cfg
+        stamped = [c["source_id"] is not None for c in self._streams.values()]
+        self._stamp_source = any(stamped)
+        if self._stamp_source:
+            if not all(stamped):
+                raise ValueError(
+                    "sourceId must be set on ALL streams or none: a null "
+                    "discriminator would exempt those streams from the "
+                    "multi-source dedup identity"
+                )
+            if SOURCE_ID_COL not in schema.fieldNames():
+                raise ValueError(
+                    f"sourceId is set but the stream schema has no "
+                    f"{SOURCE_ID_COL!r} column — let the data source infer "
+                    "the schema (it appends the discriminator) or append a "
+                    f"string {SOURCE_ID_COL!r} field to the explicit schema"
+                )
         self._max_records = int(
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)
         )
@@ -417,11 +459,35 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         arrow_cpus = int(self._options.get("arrowcpus", "4"))
         if pa.cpu_count() < arrow_cpus:
             pa.set_cpu_count(arrow_cpus)
-        fields = [(f.name, _arrow_converter(f.dataType)) for f in self._schema.fields]
+        # The source discriminator is stamped locally, never decoded off
+        # the wire — the decode schemas below carry only wire columns,
+        # and every emitted batch appends the constant column at the end.
+        source_id = partition.config.get("source_id")
+        schema_fields = [
+            f
+            for f in self._schema.fields
+            if not (source_id is not None and f.name == SOURCE_ID_COL)
+        ]
+        fields = [(f.name, _arrow_converter(f.dataType)) for f in schema_fields]
         arrow_schema = pa.schema(
             [pa.field(f.name, _arrow_type(f.dataType), nullable=True)
-             for f in self._schema.fields]
+             for f in schema_fields]
         )
+        if source_id is not None:
+            emit_schema = pa.schema(
+                [*arrow_schema, pa.field(SOURCE_ID_COL, pa.string(), nullable=True)]
+            )
+            sid_scalar = pa.scalar(source_id, type=pa.string())
+
+            def stamp(b: "pa.RecordBatch") -> "pa.RecordBatch":
+                return pa.RecordBatch.from_arrays(
+                    [*b.columns, pa.repeat(sid_scalar, b.num_rows)],
+                    schema=emit_schema,
+                )
+        else:
+
+            def stamp(b: "pa.RecordBatch") -> "pa.RecordBatch":
+                return b
         # Wire-parse schema: types pa.json parses natively stay as-is;
         # string-carried types (decimal/date/timestamp/binary on the
         # JSON wire) parse as strings and are finalized per column.
@@ -433,13 +499,13 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     pa.string() if isinstance(f.dataType, tricky) else _arrow_type(f.dataType),
                     nullable=True,
                 )
-                for f in self._schema.fields
+                for f in schema_fields
             ]
         )
         parse_opts = pj.ParseOptions(
             explicit_schema=wire_schema, unexpected_field_behavior="ignore"
         )
-        field_names = [f.name for f in self._schema.fields]
+        field_names = [f.name for f in schema_fields]
         envelope = ("domain", "server_id", "sequence", "event_number")
         # The columnar path needs the envelope for cursor/frontier math;
         # a schema without it (not a real avrorouter stream) uses the
@@ -577,7 +643,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 ), None
             arrays = [
                 finalize_column(tbl.column(f.name), f.dataType, typ)
-                for f, typ in zip(self._schema.fields, arrow_schema.types)
+                for f, typ in zip(schema_fields, arrow_schema.types)
             ]
             batch = pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
             tail = tbl.slice(tbl.num_rows - 1)
@@ -640,7 +706,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             if client.schema_record is not None:
                 live = schema_record_to_struct(client.schema_record)
                 if [(f.name, f.dataType) for f in live.fields] != [
-                    (f.name, f.dataType) for f in self._schema.fields
+                    (f.name, f.dataType) for f in schema_fields
                 ]:
                     raise SchemaChangedError(client.schema_record)
             last: tuple[str, int] | None = None
@@ -729,7 +795,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                                 int(batch.column("event_number")[remaining - 1].as_py()),
                             )
                         if batch.num_rows:
-                            yield batch
+                            yield stamp(batch)
                             delivered += batch.num_rows
                             last = new_last
 
@@ -780,10 +846,10 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     delivered += 1
                     last = (gtid, evn)
                     if len(buf) >= ARROW_BATCH_RECORDS:
-                        yield to_batch(buf)
+                        yield stamp(to_batch(buf))
                         buf = []
                 if buf:
-                    yield to_batch(buf)
+                    yield stamp(to_batch(buf))
             if last is not None:
                 # Report progress only after every row above was handed
                 # to the task; a killed task writes nothing and the
