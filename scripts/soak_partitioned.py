@@ -23,9 +23,17 @@ must hold precisely one row per pushed (stream, sequence) key, for
 every key, despite at-least-once replays across every fault.
 
 Usage: python scripts/soak_partitioned.py [--duration 300] [--streams 4]
+       python scripts/soak_partitioned.py --single [--duration 120]
+
+``--single`` (VERDICT r8 item 6) drives the SINGLE-stream reader
+(``CDCSimpleStreamReader`` — driver-side socket, its own read loop and
+restart path, sharing only protocol.py with the partitioned reader)
+through the same fault schedule: one stream, no ``streams``/
+``frontierDir`` options, recovery still ``run_supervised`` + the
+envelope-dedup SnapshotSink, same exact end-state assertion.
 
 Prints one summary line; exit 0 iff the exact end-state check passed.
-Results are recorded in SURVEY.md §21 (round 8).
+Results are recorded in SURVEY.md §21 (rounds 8–9).
 """
 
 from __future__ import annotations
@@ -127,7 +135,16 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=300.0)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument(
+        "--single",
+        action="store_true",
+        help="soak the single-stream SimpleDataSourceStreamReader instead "
+        "of the partitioned reader (forces --streams 1, drops the "
+        "streams/frontierDir options)",
+    )
     args = ap.parse_args()
+    if args.single:
+        args.streams = 1
     rng = random.Random(args.seed)
 
     from pyspark.sql import SparkSession
@@ -156,14 +173,20 @@ def main() -> int:
         "host": "127.0.0.1",
         "user": "soak",
         "password": "soak",
-        "streams": json.dumps(
-            [{"table": s.table, "port": s.port} for s in streams]
-        ),
-        "frontierDir": os.path.join(scratch, "frontier"),
         "schemaRecord": json.dumps(TEST_SCHEMA_RECORD),
         "pollseconds": "0.3",
         "maxbatchseconds": "2",
     }
+    if args.single:
+        # Single-stream reader: driver-side socket, selected by the
+        # absence of the ``streams`` option.
+        options["table"] = streams[0].table
+        options["port"] = str(streams[0].port)
+    else:
+        options["streams"] = json.dumps(
+            [{"table": s.table, "port": s.port} for s in streams]
+        )
+        options["frontierDir"] = os.path.join(scratch, "frontier")
 
     chaos_until = time.time() + args.duration
     stop_all = threading.Event()
@@ -235,10 +258,11 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — surfaced in summary
             result["error"] = f"{type(exc).__name__}: {str(exc)[:20000]}"
 
-    threads = [threading.Thread(target=supervise, daemon=True)]
-    threads += [
+    feeders = [
         threading.Thread(target=feeder, args=(s,), daemon=True) for s in streams
     ]
+    threads = [threading.Thread(target=supervise, daemon=True)]
+    threads += feeders
     threads += [
         threading.Thread(target=server_chaos, daemon=True),
         threading.Thread(target=worker_chaos, daemon=True),
@@ -253,6 +277,14 @@ def main() -> int:
         # exact end state (all servers alive, no more faults).
         while time.time() < chaos_until:
             time.sleep(2.0)
+        # Join the feeders BEFORE freezing `expected`: a feeder that
+        # entered its last push just before the window closed may still
+        # be appending, and next_seq read mid-push under-counts — the
+        # drain's exact-equality check then chases a snapshot that is
+        # legitimately one row AHEAD of `expected` forever (r9 fix: the
+        # single-stream soak hit exactly this off-by-one).
+        for t in feeders:
+            t.join(30.0)
         expected = {
             f"s{s.idx}": set(range(1, s.next_seq)) for s in streams
         }
