@@ -52,10 +52,17 @@ def _exact_sq_norm(m: np.ndarray) -> np.ndarray:
     return s
 
 
-def _pairwise_d2(
-    x: np.ndarray, cmat: np.ndarray, c_sq: np.ndarray, exact_dot: bool
-) -> np.ndarray:
-    """dist²(X, C) = |X|² + |C|² − 2·X·Cᵀ, clamped at 0.
+def _centroid_sq(cmat: np.ndarray, exact_dot: bool) -> np.ndarray:
+    return _exact_sq_norm(cmat) if exact_dot else (cmat * cmat).sum(axis=1)
+
+
+def _make_d2(cmat: np.ndarray, c_sq: np.ndarray, exact_dot: bool):
+    """Build the worker-side dist²(X, C) = |X|² + |C|² − 2·X·Cᵀ kernel
+    (clamped at 0) as a NESTED closure: cloudpickle ships it by VALUE
+    (code + captured arrays), never by module reference — the driver
+    contract runs from outside the repo root, where executors cannot
+    import this package (r9 review regression: a module-level helper
+    referenced from the shipped generator broke exactly that way).
 
     ``exact_dot=False`` (default): one BLAS matmul per batch — the fast
     path for real embedding dims. ``exact_dot=True``: every dot is a
@@ -68,20 +75,22 @@ def _pairwise_d2(
     when the run must be exactly replayable (small dims — the loop is
     O(dim) NumPy vector ops, fine at dim≈5, wrong tool at dim≈512).
     """
-    if exact_dot:
-        xx = _exact_sq_norm(x)
-        xc = np.multiply.outer(x[:, 0], cmat[:, 0])
-        for d in range(1, x.shape[1]):
-            xc = xc + np.multiply.outer(x[:, d], cmat[:, d])
-        d2 = (xx[:, None] + c_sq[None, :]) - 2.0 * xc
-    else:
-        d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cmat.T)
-    np.maximum(d2, 0.0, out=d2)  # clamp fp negatives near 0
-    return d2
 
+    def d2_of(x: np.ndarray) -> np.ndarray:
+        if exact_dot:
+            xx = x[:, 0] * x[:, 0]
+            for d in range(1, x.shape[1]):
+                xx = xx + x[:, d] * x[:, d]
+            xc = np.multiply.outer(x[:, 0], cmat[:, 0])
+            for d in range(1, x.shape[1]):
+                xc = xc + np.multiply.outer(x[:, d], cmat[:, d])
+            d2 = (xx[:, None] + c_sq[None, :]) - 2.0 * xc
+        else:
+            d2 = (x * x).sum(axis=1)[:, None] + c_sq[None, :] - 2.0 * (x @ cmat.T)
+        np.maximum(d2, 0.0, out=d2)  # clamp fp negatives near 0
+        return d2
 
-def _centroid_sq(cmat: np.ndarray, exact_dot: bool) -> np.ndarray:
-    return _exact_sq_norm(cmat) if exact_dot else (cmat * cmat).sum(axis=1)
+    return d2_of
 
 
 def _assign_udf(centroids: list[list[float]], exact_dot: bool = False):
@@ -91,14 +100,14 @@ def _assign_udf(centroids: list[list[float]], exact_dot: bool = False):
     ties break toward the lower cluster id — deterministic.
     """
     cmat = np.asarray(centroids, dtype=np.float64)  # k × dim
-    c_sq = _centroid_sq(cmat, exact_dot)  # k
+    d2_of = _make_d2(cmat, _centroid_sq(cmat, exact_dot), exact_dot)
 
     @F.pandas_udf(_ASSIGN_SCHEMA)
     def assign(vecs: pd.Series) -> pd.DataFrame:
         x = np.asarray(vecs.tolist(), dtype=np.float64)  # B × dim
         if x.size == 0:
             return pd.DataFrame({"cluster": [], "dist2": []})
-        d2 = _pairwise_d2(x, cmat, c_sq, exact_dot)
+        d2 = d2_of(x)
         best = d2.argmin(axis=1)
         return pd.DataFrame(
             {
@@ -136,7 +145,7 @@ def _partial_stats_gen(
     ``treeAggregate`` update step.
     """
     cmat = np.asarray(centroids, dtype=np.float64)
-    c_sq = _centroid_sq(cmat, exact_dot)
+    d2_of = _make_d2(cmat, _centroid_sq(cmat, exact_dot), exact_dot)
     k, dim = cmat.shape
 
     def gen(batches):
@@ -147,7 +156,7 @@ def _partial_stats_gen(
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = _pairwise_d2(x, cmat, c_sq, exact_dot)
+            d2 = d2_of(x)
             best = d2.argmin(axis=1)
             n += np.bincount(best, minlength=k)
             sd2 += np.bincount(best, weights=d2[np.arange(len(best)), best], minlength=k)

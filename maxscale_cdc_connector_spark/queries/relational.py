@@ -6040,10 +6040,12 @@ def _reap_stale_layout_manifests(max_age_s: float = 3600.0) -> None:
     import time as _time
 
     cutoff = _time.time() - max_age_s
-    pattern = _layout_os.path.join(
-        _layout_tempfile.gettempdir(), _LAYOUT_MANIFEST_PREFIX + "*.json"
+    base = _layout_os.path.join(
+        _layout_tempfile.gettempdir(), _LAYOUT_MANIFEST_PREFIX
     )
-    for f in _glob.glob(pattern):
+    # *.json.tmp: a driver killed between the temp write and os.replace
+    # orphans the staging file — reap it by the same age rule.
+    for f in _glob.glob(base + "*.json") + _glob.glob(base + "*.json.tmp"):
         if f == LAYOUT_MANIFEST_PATH:
             continue
         try:

@@ -136,6 +136,18 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
     """Driver-side prefetching reader with GTID offsets."""
 
     def __init__(self, schema: T.StructType, options: dict[str, str]) -> None:
+        if options.get("sourceid") is not None:
+            # Fail loudly (r9 review): silently ignoring sourceId here
+            # would let two single-stream queries from different servers
+            # feed one sink with colliding envelopes un-discriminated —
+            # the exact collapse the option exists to prevent.
+            raise ValueError(
+                "sourceId is only honored by the partitioned reader (set "
+                "the 'streams' option), which stamps the _source_id "
+                "column; for single-stream queries add the discriminator "
+                "yourself with .withColumn('_source_id', lit(...)) before "
+                "any shared sink/dedup"
+            )
         self._schema = schema
         self._options = options
         self._convs = [(f.name, _converter(f.dataType)) for f in schema.fields]

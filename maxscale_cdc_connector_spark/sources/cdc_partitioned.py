@@ -300,6 +300,11 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             if sid in self._streams:
                 raise ValueError(f"duplicate stream table {sid!r}")
             self._streams[sid] = cfg
+        if any(c["source_id"] == "" for c in self._streams.values()):
+            # Consistency with the truthiness test in _source_id_active
+            # (r9 review): "" would count as set here but as unset for
+            # schema inference, producing a contradictory error.
+            raise ValueError("sourceId must be a non-empty string")
         stamped = [c["source_id"] is not None for c in self._streams.values()]
         self._stamp_source = any(stamped)
         if self._stamp_source:
@@ -309,12 +314,21 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     "discriminator would exempt those streams from the "
                     "multi-source dedup identity"
                 )
-            if SOURCE_ID_COL not in schema.fieldNames():
+            # Must be the LAST field (r9 review): read() strips the
+            # column from the decode schemas wherever it sits but stamp()
+            # appends it last — a mid-schema placement would silently
+            # transpose columns (PySpark validates RecordBatch columns by
+            # name presence, not position).
+            if (
+                not schema.fieldNames()
+                or schema.fieldNames()[-1] != SOURCE_ID_COL
+            ):
                 raise ValueError(
-                    f"sourceId is set but the stream schema has no "
-                    f"{SOURCE_ID_COL!r} column — let the data source infer "
-                    "the schema (it appends the discriminator) or append a "
-                    f"string {SOURCE_ID_COL!r} field to the explicit schema"
+                    f"sourceId is set but the stream schema does not end "
+                    f"with a {SOURCE_ID_COL!r} column — let the data source "
+                    "infer the schema (it appends the discriminator) or "
+                    f"append a string {SOURCE_ID_COL!r} field as the LAST "
+                    "field of the explicit schema"
                 )
         self._max_records = int(
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)

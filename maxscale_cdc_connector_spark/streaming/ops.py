@@ -409,6 +409,17 @@ class SnapshotSink:
         touched = self._buckets_of(incoming)
         if not touched:
             return
+        # Heal BEFORE reading prev (r9 review): if a swap on THIS
+        # instance failed between its two renames (transient EIO, NFS
+        # hiccup) and the supervised query replays the batch on the same
+        # sink object, _recover_once is already consumed — prev would be
+        # read WITHOUT the parked bucket's state and the re-swap would
+        # then replace the healed dir with merged output built without
+        # those rows, losing every pre-existing key in the bucket. The
+        # writer healing under the swap lock cannot race a reader.
+        with self._lock:
+            self._recover_locked()
+            self._recovered = True
         prev = self.current(spark)
         if prev is not None:
             # Partition pruning: only the touched buckets are read back.
@@ -446,10 +457,9 @@ class SnapshotSink:
         tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex[:12]}")
         merged.write.mode("overwrite").partitionBy(self.BUCKET_COL).parquet(tmp)
         with self._lock:
-            # Heal any crashed-predecessor swap before layering a new
-            # one on top, then swap each touched bucket atomically.
-            self._recover_locked()
-            self._recovered = True
+            # Healing already ran before the prev read above; the write
+            # action between cannot park dirs. Swap each touched bucket
+            # atomically.
             for b in touched:
                 part = f"{self.BUCKET_COL}={b}"
                 src = os.path.join(tmp, part)

@@ -7,7 +7,6 @@ does), compares each key's Spark result against its DuckDB oracle at
 sf0.01 with the driver's normalization (columns sorted by name, rows
 sorted, floats rounded 6dp).
 """
-import math
 import os
 import sys
 
@@ -38,7 +37,10 @@ def norm(rows, cols):
 
     def c(v):
         if isinstance(v, float):
-            return "NaN" if math.isnan(v) else round(v, 6)
+            # round(NaN) stays NaN — sorted via na_position like the
+            # driver (stringifying it would mix str into float columns
+            # and crash sort_values).
+            return round(v, 6)
         if hasattr(v, "isoformat"):
             return v.isoformat()
         if isinstance(v, bytearray):
@@ -52,12 +54,19 @@ def norm(rows, cols):
         return v
 
     order = sorted(cols)
-    df = pd.DataFrame([[c(v) for v in r] for r in rows], columns=list(cols))
+    # dtype=object: pandas' default numeric coercion turns a bigint
+    # column containing one NULL into float64, rounding values past 2^53
+    # before comparison — a silent-masking class (two different bigints
+    # compare equal). Object dtype keeps Python ints exact.
+    df = pd.DataFrame(
+        [[c(v) for v in r] for r in rows], columns=list(cols), dtype=object
+    )
     df = df.reindex(order, axis=1)
     df = df.sort_values(by=order, kind="mergesort", na_position="last")
-    # Restore SQL NULLs: pandas coerces None -> NaN in numeric columns,
-    # and NaN != NaN would fail the tuple comparison below.
-    df = df.astype(object).where(pd.notna(df), None)
+    # NULL and float-NaN both canonicalize to None — the driver's pandas
+    # path conflates them the same way (None becomes NaN in a float
+    # column), and NaN != NaN would fail the tuple comparison below.
+    df = df.where(pd.notna(df), None)
     return [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 

@@ -79,7 +79,8 @@ def _python_worker_pids() -> list[int]:
 class StreamState:
     """One stream's server handle + full pushed history (for restarts)."""
 
-    def __init__(self, idx: int) -> None:
+    def __init__(self, idx: int, shared_gtid_space: bool = False) -> None:
+        self.shared_gtid_space = shared_gtid_space
         self.idx = idx
         self.table = f"soak.s{idx}"
         self.lock = threading.Lock()
@@ -100,10 +101,14 @@ class StreamState:
                 # the SnapshotSink's envelope dedup (see
                 # streaming/ops.dedup_exact scope note, an r8 soak
                 # finding: envelope identity is per-GTID-space).
+                # --shared-gtid-space inverts this deliberately: ALL
+                # streams emit IDENTICAL triples, and the stamped
+                # sourceId discriminator must keep them apart (r9).
                 ev = make_event(
                     self.next_seq, id_=self.next_seq, name=f"s{self.idx}"
                 )
-                ev["server_id"] = 3000 + self.idx
+                if not self.shared_gtid_space:
+                    ev["server_id"] = 3000 + self.idx
                 self.events.append(ev)
                 self.server.push_event(ev)
                 self.next_seq += 1
@@ -142,9 +147,19 @@ def main() -> int:
         "of the partitioned reader (forces --streams 1, drops the "
         "streams/frontierDir options)",
     )
+    ap.add_argument(
+        "--shared-gtid-space",
+        action="store_true",
+        help="all streams emit IDENTICAL (domain, server_id, sequence) "
+        "triples (active-active servers) and each stream gets a sourceId; "
+        "the stamped _source_id discriminator must keep every colliding "
+        "envelope apart in the shared sink (r9, VERDICT r8 item 5)",
+    )
     args = ap.parse_args()
     if args.single:
         args.streams = 1
+    if args.single and args.shared_gtid_space:
+        ap.error("--shared-gtid-space needs the partitioned reader")
     rng = random.Random(args.seed)
 
     from pyspark.sql import SparkSession
@@ -164,7 +179,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     spark.dataSource.register(MaxScaleCDCDataSource)
 
-    streams = [StreamState(i) for i in range(args.streams)]
+    streams = [
+        StreamState(i, shared_gtid_space=args.shared_gtid_space)
+        for i in range(args.streams)
+    ]
     scratch = tempfile.mkdtemp(prefix="cdc_soak_")
     snap = SnapshotSink(os.path.join(scratch, "snapshot"), ["name", "id"])
     ckpt = os.path.join(scratch, "ckpt")
@@ -184,7 +202,11 @@ def main() -> int:
         options["port"] = str(streams[0].port)
     else:
         options["streams"] = json.dumps(
-            [{"table": s.table, "port": s.port} for s in streams]
+            [
+                {"table": s.table, "port": s.port}
+                | ({"sourceId": f"src{s.idx}"} if args.shared_gtid_space else {})
+                for s in streams
+            ]
         )
         options["frontierDir"] = os.path.join(scratch, "frontier")
 

@@ -714,6 +714,31 @@ def test_source_id_all_or_nothing_validation(tmp_path) -> None:
     }
     with pytest.raises(ValueError, match="_source_id"):
         CDCPartitionedStreamReader(SCHEMA, options2)
+    # _source_id present but not LAST: stamp() appends the column last,
+    # so a mid-schema placement would silently transpose columns.
+    from pyspark.sql import types as T
+
+    mid = T.StructType(
+        [SCHEMA_WITH_SOURCE.fields[-1], *SCHEMA.fields]  # _source_id first
+    )
+    with pytest.raises(ValueError, match="LAST"):
+        CDCPartitionedStreamReader(mid, options2)
+    # Empty-string sourceId: contradictory between schema inference
+    # (truthiness) and the reader (is-not-None) — rejected outright.
+    options3 = {
+        "streams": json.dumps([{"table": "test.t1", "sourceId": ""}]),
+        "frontierdir": str(tmp_path / "frontier"),
+    }
+    with pytest.raises(ValueError, match="non-empty"):
+        CDCPartitionedStreamReader(SCHEMA_WITH_SOURCE, options3)
+    # The single-stream reader cannot honor sourceId — it must fail
+    # loudly, not silently skip the discriminator (r9 review).
+    from maxscale_cdc_connector_spark.sources.cdc_datasource import (
+        CDCSimpleStreamReader,
+    )
+
+    with pytest.raises(ValueError, match="partitioned reader"):
+        CDCSimpleStreamReader(SCHEMA, {"table": "test.t1", "sourceid": "A"})
 
 
 def test_data_source_schema_appends_source_id(tmp_path) -> None:

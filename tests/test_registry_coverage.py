@@ -43,10 +43,13 @@ def test_no_complex_output_columns_on_oracle_keys(spark, sf_dir):
     ``sort_values`` over all columns, which raises ``TypeError:
     unhashable type`` on Array/Map/Struct cells — this is exactly how
     ``fn_higher_order_pack`` became the first red driver row in eight
-    rounds (VERDICT r8). Building the DataFrame only analyzes the plan
-    (no execution), so this guards the whole registry cheaply: any key
-    that wants to emit an array must ``array_join`` it to a string (the
-    ``agg_collect_set`` precedent) or explode to scalar rows.
+    rounds (VERDICT r8). Building a DataFrame mostly just analyzes the
+    plan, but a few builders run real Spark actions at construction
+    (kmeans_fit's Lloyd iterations, the layout key's footer manifest),
+    so the sweep costs ~2 min at sf0.001 — dominated by those keys, not
+    by the 292 analyses. Any key that wants to emit an array must
+    ``array_join`` it to a string (the ``agg_collect_set`` precedent)
+    or explode to scalar rows.
     """
     from pyspark.sql.types import ArrayType, MapType, StructType
 

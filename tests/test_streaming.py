@@ -475,6 +475,56 @@ def test_snapshot_sink_recovers_interrupted_bucket_swap(spark, tmp_path) -> None
     )
 
 
+def test_snapshot_sink_same_instance_retry_heals_before_merge(
+    spark, tmp_path
+) -> None:
+    """r9 review finding: a swap that fails between its two renames on
+    THIS instance leaves the bucket parked while ``_recovered`` is
+    already consumed; the supervised query replays the batch on the
+    same sink object. The merge must heal BEFORE reading prev, or the
+    re-swap replaces the healed bucket with merged output built without
+    its pre-existing keys — permanent loss the checkpoint never
+    replays."""
+    import os as _os
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+    def as_df(events):
+        import json as _json
+
+        lines = [(_json.dumps(e),) for e in events]
+        return decode_events(spark.createDataFrame(lines, "value string"), schema)
+
+    path = str(tmp_path / "state")
+    sink = SnapshotSink(path, ["id"], n_buckets=4)
+    sink(as_df([make_event(s, id_=s) for s in range(1, 65)]), 0)
+    want = sorted(r["id"] for r in sink.snapshot(spark).collect())
+
+    # Simulate the failed-swap window on the SAME instance: one bucket
+    # parked under its pre-merge name, _recovered already True.
+    buckets = sorted(d for d in _os.listdir(path) if d.startswith("_bucket="))
+    _os.rename(
+        _os.path.join(path, buckets[0]),
+        _os.path.join(path, ".old-" + buckets[0]),
+    )
+    # Apply a batch of NEW keys (32 ids → touches every bucket with
+    # certainty under the fixed xxhash64 bucketing), still on the same
+    # instance. The parked bucket's pre-existing keys are NOT in this
+    # batch, so without the pre-prev heal they cannot be rebuilt from
+    # incoming and the re-swap destroys them.
+    sink(as_df([make_event(100 + i, id_=100 + i) for i in range(32)]), 1)
+    want = sorted(want + [100 + i for i in range(32)])
+    got = sorted(r["id"] for r in sink.snapshot(spark).collect())
+    assert got == want, (
+        f"keys lost across same-instance failed-swap retry: "
+        f"{sorted(set(want) - set(got))[:10]} missing"
+    )
+
+
 def test_snapshot_sink_recovery_runs_once_per_instance(spark, tmp_path) -> None:
     """ADVICE r8: recovery must NOT re-run on every read — a concurrent
     reader's recovery landing inside a writer's swap window would rename
