@@ -510,3 +510,14 @@ def test_interleave_no_global_window_over_corpus(spark, sf_dir) -> None:
     s = _summary(spark, sf_dir, "pipeline_interleave_sources")
     assert s.has("BroadcastExchange") or s.has("BroadcastHashJoin"), s.nodes
     assert not s.has("CartesianProduct"), s.nodes
+
+
+def test_higher_order_pack_is_shuffle_free_projection(spark, sf_dir) -> None:
+    """fn_higher_order_pack (r9 fix: array results emitted as joined
+    strings) must stay a single row-local projection — the whole point
+    of higher-order array functions is evaluating inside Catalyst with
+    NO exchange (an explode+groupBy re-aggregation would shuffle the
+    full fan-out), and the string emission must not change that."""
+    s = _summary(spark, sf_dir, "fn_higher_order_pack")
+    assert s.count("Exchange") == 0, s.nodes
+    assert not s.scans_column("o_comment")  # projection pruned
