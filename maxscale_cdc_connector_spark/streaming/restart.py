@@ -162,6 +162,16 @@ def run_supervised(
     surfaces transport loss as a read error and leaves recovery to the
     caller (cdc_connector.cpp:237-360); this wrapper IS that caller,
     done once, with Spark's checkpoint as the resume cursor.
+
+    ALTER-during-downtime is covered for BOTH schema modes (r9): with a
+    pinned ``schemaRecord``, the next connection's leading-record
+    comparison raises ``SchemaChangedError`` and this wrapper handles
+    it; with an un-pinned schema, the next restart's fresh inference
+    absorbs the ALTER silently — detected here by comparing the inferred
+    schema across restarts, which enables ``nullMissingColumns`` exactly
+    as a detected schema change would (otherwise the replay of pre-ALTER
+    rows, legitimately missing the added column, would fail the
+    dense-row contract with a non-restartable ``CDCProtocolError``).
     """
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -169,9 +179,27 @@ def run_supervised(
     backoff = initial_backoff
     opts = dict(options)
     deadline = time.time() + timeout
+    last_schema = None
     while True:
         try:
             df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+            if last_schema is not None and df.schema != last_schema:
+                # Un-pinned schema drifted across a restart: an ALTER
+                # landed while the stream was DOWN (transport-loss
+                # backoff), so no SchemaChangedError ever fired and the
+                # fresh inference absorbed it silently. Enable the same
+                # NULL backfill a detected schema change would have —
+                # otherwise the replay of pre-ALTER rows (legitimately
+                # missing the added column) fails the dense-row contract
+                # with a non-restartable CDCProtocolError.
+                if opts.get("nullMissingColumns", "").lower() != "true":
+                    opts["nullMissingColumns"] = "true"
+                    df = (
+                        spark.readStream.format("maxscale_cdc")
+                        .options(**opts)
+                        .load()
+                    )
+            last_schema = df.schema
             query = attach_sink(df)
         except Exception as exc:  # noqa: BLE001 — classified below
             # load() probes the server for schema when schemaRecord is

@@ -81,6 +81,14 @@ class StreamState:
 
     def __init__(self, idx: int, shared_gtid_space: bool = False) -> None:
         self.shared_gtid_space = shared_gtid_space
+        # Current schema record (mutated by --alter mid-chaos); restarts
+        # recreate the server serving THIS version as the leading record
+        # (avrorouter announces the current version on connect).
+        self.schema = TEST_SCHEMA_RECORD
+        # First sequence pushed AFTER the ALTER (None = no ALTER yet):
+        # the end-state check verifies extra="x<id>" at-or-after it and
+        # extra IS NULL before it (the widened-schema backfill contract).
+        self.alter_seq: int | None = None
         self.idx = idx
         self.table = f"soak.s{idx}"
         self.lock = threading.Lock()
@@ -109,9 +117,17 @@ class StreamState:
                 )
                 if not self.shared_gtid_space:
                     ev["server_id"] = 3000 + self.idx
+                if self.alter_seq is not None:
+                    ev["extra"] = f"x{self.next_seq}"
                 self.events.append(ev)
                 self.server.push_event(ev)
                 self.next_seq += 1
+
+    def alter(self, new_schema: dict) -> None:
+        with self.lock:
+            self.alter_seq = self.next_seq
+            self.schema = new_schema
+            self.server.push_schema_change(new_schema)
 
     def restart(self, downtime: float) -> None:
         with self.lock:
@@ -121,7 +137,7 @@ class StreamState:
             # Recovered server serves the FULL history; the client's
             # GTID resume + cursor skip drop what was already delivered.
             self.server = FakeMaxScale(
-                TEST_SCHEMA_RECORD,
+                self.schema,
                 list(self.events),
                 user="soak",
                 password="soak",
@@ -146,6 +162,15 @@ def main() -> int:
         help="soak the single-stream SimpleDataSourceStreamReader instead "
         "of the partitioned reader (forces --streams 1, drops the "
         "streams/frontierDir options)",
+    )
+    ap.add_argument(
+        "--alter",
+        action="store_true",
+        help="inject one mid-chaos ALTER TABLE (a new 'extra' varchar "
+        "column) on every stream at half duration; the end-state check "
+        "additionally verifies extra='x<id>' on every post-ALTER row and "
+        "NULL backfill on every pre-ALTER row (r9: the schema-change "
+        "restart path had e2e coverage but had never been soaked)",
     )
     ap.add_argument(
         "--shared-gtid-space",
@@ -238,6 +263,28 @@ def main() -> int:
             st.restart(downtime=rng.uniform(0.3, 1.0))
             counters["restarts_injected"] += 1
 
+    def alter_chaos() -> None:
+        # One ALTER at half duration, rolled across every stream —
+        # streams converge to the new schema within milliseconds; the
+        # supervised query may consume several SchemaChangedError
+        # restarts while laggard streams still serve the old version.
+        time.sleep(args.duration / 2.0)
+        if time.time() >= chaos_until:
+            return
+        new_schema = dict(TEST_SCHEMA_RECORD)
+        new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+            {"name": "extra", "type": "string", "real_type": "varchar",
+             "length": 16}
+        ]
+        for st in streams:
+            st.alter(new_schema)
+        counters["alters"] = 1
+        print(
+            f"[soak] t={time.time()-t0:.1f}s ALTER pushed to all streams "
+            f"(boundaries { {f's{st.idx}': st.alter_seq for st in streams} })",
+            flush=True,
+        )
+
     def worker_chaos() -> None:
         while time.time() < chaos_until:
             time.sleep(rng.uniform(10.0, 18.0))
@@ -289,6 +336,8 @@ def main() -> int:
         threading.Thread(target=server_chaos, daemon=True),
         threading.Thread(target=worker_chaos, daemon=True),
     ]
+    if args.alter:
+        threads.append(threading.Thread(target=alter_chaos, daemon=True))
     t0 = time.time()
     for t in threads:
         t.start()
@@ -363,6 +412,31 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001
                 print(f"[soak] miss-dump failed: {exc!r}", flush=True)
         ok = got == expected and "error" not in result
+        if ok and args.alter and counters.get("alters"):
+            # Widened-schema value check: every post-ALTER row carries
+            # its exact extra value; every pre-ALTER row is NULL-filled
+            # (rows written under the old schema read as NULL through
+            # mergeSchema; rows replayed post-ALTER are backfilled by
+            # nullMissingColumns — both must land NULL, never a value).
+            from pyspark.sql import functions as F
+
+            cur = snap.snapshot(spark)
+            viol = 0
+            for st in streams:
+                sub = cur.filter(F.col("name") == f"s{st.idx}")
+                b = st.alter_seq
+                viol += sub.filter(
+                    (F.col("id") >= b)
+                    & (
+                        F.col("extra").isNull()
+                        | (F.col("extra") != F.concat(F.lit("x"), F.col("id")))
+                    )
+                ).count()
+                viol += sub.filter(
+                    (F.col("id") < b) & F.col("extra").isNotNull()
+                ).count()
+            counters["extra_violations"] = viol
+            ok = viol == 0
         done.set()
         threads[0].join(60)
     finally:
@@ -379,6 +453,8 @@ def main() -> int:
         "workers_killed": counters["workers_killed"],
         "bursts": counters["bursts"],
         "query_restarts": result.get("restarts"),
+        "alters": counters.get("alters", 0),
+        "extra_violations": counters.get("extra_violations"),
         "error": result.get("error"),
     }), flush=True)
     return 0 if ok else 1

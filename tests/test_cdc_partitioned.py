@@ -828,3 +828,112 @@ def test_two_same_gtid_space_servers_do_not_collide_in_one_sink(
             }
         finally:
             query.stop()
+
+
+def test_unpinned_schema_alter_during_downtime_backfills(spark, tmp_path) -> None:
+    """r9: with an UN-pinned schema, an ALTER landing while the stream
+    is down in a transport-loss backoff is absorbed silently by the next
+    restart's fresh inference — no SchemaChangedError ever fires. The
+    supervisor must detect the schema drift across restarts and enable
+    nullMissingColumns itself, or the replay of pre-ALTER rows (missing
+    the added column) dies on the dense-row contract with a
+    non-restartable CDCProtocolError."""
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 16}
+    ]
+    pre = [make_event(s, name=f"pre{s}") for s in range(1, 4)]
+    rows: list[dict] = []
+
+    def seqs() -> set[int]:
+        return {r["sequence"] for r in list(rows)}
+
+    spark.dataSource.register(MaxScaleCDCDataSource)
+    srv_a = FakeMaxScale(TEST_SCHEMA_RECORD, pre, table="test.s1")
+    srv_a.__enter__()
+    port = srv_a.port
+
+    def attach_sink(df):
+        def collect_batch(batch, _bid):
+            rows.extend(r.asDict() for r in batch.collect())
+
+        return (
+            df.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    def stop_when() -> bool:
+        snapshot = list(rows)
+        return set(range(1, 7)) <= {r["sequence"] for r in snapshot} and any(
+            r.get("extra") == "x6" for r in snapshot
+        )
+
+    result: dict = {}
+
+    def run() -> None:
+        try:
+            # NO schemaRecord option: schema inferred by probing.
+            result["restarts"] = run_supervised(
+                spark,
+                {
+                    "host": "127.0.0.1",
+                    "user": srv_a.user,
+                    "password": srv_a.password,
+                    "streams": json.dumps([{"table": "test.s1", "port": port}]),
+                    "frontierDir": str(tmp_path / "frontier"),
+                    "pollseconds": "0.3",
+                },
+                attach_sink,
+                max_restarts=50,
+                initial_backoff=0.3,
+                max_backoff=2.0,
+                stop_when=stop_when,
+                timeout=120.0,
+            )
+        except Exception as exc:  # noqa: BLE001 — asserted below
+            result["error"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        deadline = time.time() + 45
+        while time.time() < deadline and not set(range(1, 4)) <= seqs():
+            time.sleep(0.2)
+        assert set(range(1, 4)) <= seqs(), "pre-ALTER rows never arrived"
+        time.sleep(1.5)  # let the delivering batch commit
+
+        # Transport loss; while DOWN, the table is ALTERed. The revived
+        # server serves the NEW schema as its leading record, a history
+        # containing rows 4-5 that PREDATE the ALTER (no 'extra' on the
+        # wire), and row 6 written after it.
+        srv_a.stop()
+        time.sleep(1.0)
+        post_history = [make_event(s, name=f"pre{s}") for s in range(1, 6)]
+        ev6 = make_event(6, name="post6")
+        ev6["extra"] = "x6"
+        srv_b = FakeMaxScale(
+            new_schema, post_history + [ev6],
+            user=srv_a.user, password=srv_a.password,
+            table="test.s1", port=port,
+        )
+        srv_b.__enter__()
+        try:
+            t.join(timeout=110)
+            assert not t.is_alive(), "supervisor did not stop"
+            assert "error" not in result, result.get("error")
+            assert set(range(1, 7)) <= seqs()
+            # Pre-ALTER rows delivered post-restart are NULL-backfilled.
+            by_seq = {r["sequence"]: r for r in rows if "extra" in r}
+            assert by_seq[6]["extra"] == "x6"
+            for s in (4, 5):
+                assert by_seq[s]["extra"] is None, by_seq[s]
+        finally:
+            srv_b.stop()
+    finally:
+        srv_a.stop()
