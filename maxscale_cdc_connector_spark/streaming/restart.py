@@ -269,9 +269,24 @@ class _SupervisedStream:
         self.query = None
         self.restart_at: float | None = None  # backoff wait, when query is None
         self.done = False  # terminated cleanly
+        self.last_schema = None
 
     def start(self, spark: SparkSession) -> None:
         df = spark.readStream.format("maxscale_cdc").options(**self.opts).load()
+        if self.last_schema is not None and df.schema != self.last_schema:
+            # ALTER-during-downtime with an un-pinned schema (r9, same
+            # drift detection as run_supervised): the fresh inference
+            # absorbed the change without a SchemaChangedError, so the
+            # NULL backfill must be enabled here or pre-ALTER replays
+            # fail the dense-row contract non-restartably.
+            if self.opts.get("nullMissingColumns", "").lower() != "true":
+                self.opts["nullMissingColumns"] = "true"
+                df = (
+                    spark.readStream.format("maxscale_cdc")
+                    .options(**self.opts)
+                    .load()
+                )
+        self.last_schema = df.schema
         self.query = self.attach_sink(df)
         self.restart_at = None
 
