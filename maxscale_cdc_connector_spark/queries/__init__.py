@@ -43,6 +43,15 @@ _CHANGED_THIS_ROUND = (
     # oracle replay holds on any BLAS build; implementation bytes
     # changed → fresh row.
     "events_user_segmentation_kmeans",
+    # Round 9: the SnapshotSink swap/recovery machinery was reworked
+    # (same-filesystem atomic renames, hidden parked names, once-per-
+    # instance recovery, pre-prev healing) and dedup_exact's identity
+    # gained the optional _source_id column — every key flowing through
+    # those paths needs a fresh row even though the r8 rows were green.
+    "stream_snapshot_sink",
+    "stream_snapshot_evolved",
+    "stream_snapshot_sink_replayed",
+    "stream_dedup_exact",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY
