@@ -105,6 +105,22 @@ def test_harness_norm_rejects_non_scalar_cells():
     with pytest.raises(TypeError, match="non-scalar"):
         harness.norm([(1, [1, 2, 3])], ["k", "v"])
 
+    # Bigint precision survives a NULL in the column: pandas' default
+    # numeric coercion would round 2^53+1 to float 2^53 and let two
+    # DIFFERENT values compare equal (r9 review finding) — object dtype
+    # keeps Python ints exact.
+    big = 2**53 + 1
+    out = harness.norm([(1, big), (2, None)], ["k", "v"])
+    assert out[0][1] == big and type(out[0][1]) is int
+
+    # NaN sorts via na_position (not a "NaN" string crashing
+    # sort_values on mixed columns) and canonicalizes to None — the
+    # driver's float-column path conflates NaN and NULL the same way.
+    out = harness.norm(
+        [(1, float("nan")), (2, 0.5), (3, None)], ["k", "v"]
+    )
+    assert out == [(1, None), (2, 0.5), (3, None)]
+
 
 def test_rotation_preserves_registry_contents():
     """load_all() reorders but never drops or duplicates keys."""
