@@ -193,6 +193,21 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             timeout=self._poll_seconds,
         )
         client.connect()
+        # Compare the leading schema record to the query's fixed schema,
+        # like the partitioned reader does per micro-batch (r9 review):
+        # without this, an ALTER landing while this reader was
+        # DISCONNECTED (transport-loss backoff) is absorbed silently on
+        # reconnect — the avrorouter announces the CURRENT version as
+        # the leading record, so a mismatch here is a schema change the
+        # mid-stream detection can never see.
+        if client.schema_record is not None:
+            live = schema_record_to_struct(client.schema_record)
+            if [(f.name, f.dataType) for f in live.fields] != [
+                (f.name, f.dataType) for f in self._schema.fields
+            ]:
+                record = client.schema_record
+                client.close()
+                raise SchemaChangedError(record)
         return client
 
     def _row(self, record: dict[str, Any]) -> tuple:

@@ -20,10 +20,13 @@ standard pattern for this source) restores exactly-once.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 # The SchemaChangedError message (sources/protocol.py:55) as it surfaces
 # inside the StreamingQueryException raised on the driver.
@@ -34,6 +37,65 @@ def is_schema_change_failure(exc: BaseException) -> bool:
     """True when a streaming-query failure was caused by a mid-stream
     schema record (vs. any other source/sink error)."""
     return SCHEMA_CHANGE_MARKER in str(exc)
+
+
+def _null_missing_enabled(opts: dict[str, str]) -> bool:
+    # The source reads the LOWERCASED key (Spark lowercases option
+    # names); callers may have passed either spelling directly.
+    return any(
+        str(opts.get(k, "")).lower() == "true"
+        for k in ("nullMissingColumns", "nullmissingcolumns")
+    )
+
+
+def _read_schema_cache(path: str | None) -> T.StructType | None:
+    if path is None:
+        return None
+    try:
+        with open(path) as fh:
+            return T.StructType.fromJson(json.load(fh))
+    except (OSError, ValueError, KeyError, TypeError):
+        return None
+
+
+def _write_schema_cache(path: str | None, schema: T.StructType) -> None:
+    if path is None:
+        return
+    tmp = f"{path}.tmp"
+    try:
+        with open(tmp, "w") as fh:
+            json.dump(schema.jsonValue(), fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is best-effort; drift detection degrades gracefully
+
+
+def _load_with_drift_backfill(
+    spark: SparkSession,
+    opts: dict[str, str],
+    last_schema: T.StructType | None,
+) -> DataFrame:
+    """``load()`` with ALTER-during-downtime drift detection (r9).
+
+    With an un-pinned schema, an ALTER landing while the stream is DOWN
+    (in a transport-loss backoff) is absorbed silently by a restart's
+    fresh inference — no ``SchemaChangedError`` ever fires, so
+    ``nullMissingColumns`` would stay off and the replay of pre-ALTER
+    rows (legitimately missing the added column) would fail the
+    dense-row contract with a non-restartable ``CDCProtocolError``.
+    Comparing the inferred schema against the previous incarnation's
+    closes the hole; on drift, MUTATES ``opts`` to enable the backfill
+    and reloads.
+    """
+    df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+    if (
+        last_schema is not None
+        and df.schema != last_schema
+        and not _null_missing_enabled(opts)
+    ):
+        opts["nullMissingColumns"] = "true"
+        df = spark.readStream.format("maxscale_cdc").options(**opts).load()
+    return df
 
 
 def run_with_schema_restarts(
@@ -141,6 +203,7 @@ def run_supervised(
     stop_when: Callable[[], bool] | None = None,
     timeout: float = 120.0,
     poll_seconds: float = 0.25,
+    schema_cache: str | None = None,
 ) -> int:
     """Production supervision for a ``maxscale_cdc`` stream: restart
     across BOTH restartable failure classes —
@@ -165,13 +228,19 @@ def run_supervised(
 
     ALTER-during-downtime is covered for BOTH schema modes (r9): with a
     pinned ``schemaRecord``, the next connection's leading-record
-    comparison raises ``SchemaChangedError`` and this wrapper handles
-    it; with an un-pinned schema, the next restart's fresh inference
-    absorbs the ALTER silently — detected here by comparing the inferred
-    schema across restarts, which enables ``nullMissingColumns`` exactly
-    as a detected schema change would (otherwise the replay of pre-ALTER
-    rows, legitimately missing the added column, would fail the
-    dense-row contract with a non-restartable ``CDCProtocolError``).
+    comparison (done by both readers) raises ``SchemaChangedError`` and
+    this wrapper handles it; with an un-pinned schema, the next
+    restart's fresh inference absorbs the ALTER silently — detected
+    here by comparing the inferred schema across restarts, which
+    enables ``nullMissingColumns`` exactly as a detected schema change
+    would (otherwise the replay of pre-ALTER rows, legitimately missing
+    the added column, would fail the dense-row contract with a
+    non-restartable ``CDCProtocolError``). Pass ``schema_cache`` (a
+    file path, e.g. next to the checkpoint) to make that detection
+    survive SUPERVISOR restarts too: without it the comparison state is
+    process-local, and an un-pinned deployment redeployed after an
+    ALTER — with the checkpoint GTID still before the ALTER boundary —
+    would re-open the hole on its first replay.
     """
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -179,27 +248,12 @@ def run_supervised(
     backoff = initial_backoff
     opts = dict(options)
     deadline = time.time() + timeout
-    last_schema = None
+    last_schema = _read_schema_cache(schema_cache)
     while True:
         try:
-            df = spark.readStream.format("maxscale_cdc").options(**opts).load()
-            if last_schema is not None and df.schema != last_schema:
-                # Un-pinned schema drifted across a restart: an ALTER
-                # landed while the stream was DOWN (transport-loss
-                # backoff), so no SchemaChangedError ever fired and the
-                # fresh inference absorbed it silently. Enable the same
-                # NULL backfill a detected schema change would have —
-                # otherwise the replay of pre-ALTER rows (legitimately
-                # missing the added column) fails the dense-row contract
-                # with a non-restartable CDCProtocolError.
-                if opts.get("nullMissingColumns", "").lower() != "true":
-                    opts["nullMissingColumns"] = "true"
-                    df = (
-                        spark.readStream.format("maxscale_cdc")
-                        .options(**opts)
-                        .load()
-                    )
+            df = _load_with_drift_backfill(spark, opts, last_schema)
             last_schema = df.schema
+            _write_schema_cache(schema_cache, last_schema)
             query = attach_sink(df)
         except Exception as exc:  # noqa: BLE001 — classified below
             # load() probes the server for schema when schemaRecord is
@@ -260,7 +314,14 @@ def run_supervised(
 class _SupervisedStream:
     """Book-keeping for one table's stream under :func:`run_supervised_multi`."""
 
-    def __init__(self, name: str, options: dict[str, str], attach_sink, initial_backoff: float):
+    def __init__(
+        self,
+        name: str,
+        options: dict[str, str],
+        attach_sink,
+        initial_backoff: float,
+        schema_cache: str | None = None,
+    ):
         self.name = name
         self.opts = dict(options)
         self.attach_sink = attach_sink
@@ -269,24 +330,15 @@ class _SupervisedStream:
         self.query = None
         self.restart_at: float | None = None  # backoff wait, when query is None
         self.done = False  # terminated cleanly
-        self.last_schema = None
+        self.schema_cache = schema_cache
+        self.last_schema = _read_schema_cache(schema_cache)
 
     def start(self, spark: SparkSession) -> None:
-        df = spark.readStream.format("maxscale_cdc").options(**self.opts).load()
-        if self.last_schema is not None and df.schema != self.last_schema:
-            # ALTER-during-downtime with an un-pinned schema (r9, same
-            # drift detection as run_supervised): the fresh inference
-            # absorbed the change without a SchemaChangedError, so the
-            # NULL backfill must be enabled here or pre-ALTER replays
-            # fail the dense-row contract non-restartably.
-            if self.opts.get("nullMissingColumns", "").lower() != "true":
-                self.opts["nullMissingColumns"] = "true"
-                df = (
-                    spark.readStream.format("maxscale_cdc")
-                    .options(**self.opts)
-                    .load()
-                )
+        # ALTER-during-downtime drift detection, shared with
+        # run_supervised (see _load_with_drift_backfill).
+        df = _load_with_drift_backfill(spark, self.opts, self.last_schema)
         self.last_schema = df.schema
+        _write_schema_cache(self.schema_cache, self.last_schema)
         self.query = self.attach_sink(df)
         self.restart_at = None
 
@@ -302,8 +354,14 @@ def run_supervised_multi(
     stop_when: Callable[[], bool] | None = None,
     timeout: float = 120.0,
     poll_seconds: float = 0.25,
+    schema_cache_dir: str | None = None,
 ) -> dict[str, int]:
     """Supervise N tables' CDC streams into N sinks with ONE call.
+
+    ``schema_cache_dir``: optional directory for per-stream inferred-
+    schema caches (``<dir>/<name>.schema.json``) so ALTER-during-
+    downtime drift detection survives supervisor restarts, per
+    :func:`run_supervised`'s ``schema_cache``.
 
     The reference's consumer model is one session per table
     (cdc_connector.h:62-69), so its caller hand-rolls a thread-and-loop
@@ -327,8 +385,22 @@ def run_supervised_multi(
         raise ValueError(
             f"tables and attach_sinks must share keys: {set(tables) ^ set(attach_sinks)}"
         )
+    if schema_cache_dir is not None:
+        os.makedirs(schema_cache_dir, exist_ok=True)
+
+    def cache_path(name: str) -> str | None:
+        if schema_cache_dir is None:
+            return None
+        import re as _re
+
+        safe = _re.sub(r"[^A-Za-z0-9_.-]", "_", name)
+        return os.path.join(schema_cache_dir, f"{safe}.schema.json")
+
     streams = [
-        _SupervisedStream(name, opts, attach_sinks[name], initial_backoff)
+        _SupervisedStream(
+            name, opts, attach_sinks[name], initial_backoff,
+            schema_cache=cache_path(name),
+        )
         for name, opts in tables.items()
     ]
     for s in streams:

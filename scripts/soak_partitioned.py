@@ -420,21 +420,35 @@ def main() -> int:
             # nullMissingColumns — both must land NULL, never a value).
             from pyspark.sql import functions as F
 
-            cur = snap.snapshot(spark)
-            viol = 0
-            for st in streams:
-                sub = cur.filter(F.col("name") == f"s{st.idx}")
-                b = st.alter_seq
-                viol += sub.filter(
-                    (F.col("id") >= b)
-                    & (
-                        F.col("extra").isNull()
-                        | (F.col("extra") != F.concat(F.lit("x"), F.col("id")))
-                    )
-                ).count()
-                viol += sub.filter(
-                    (F.col("id") < b) & F.col("extra").isNotNull()
-                ).count()
+            viol = None
+            for _attempt in range(5):
+                # The query is still live here — a read racing an
+                # in-flight bucket swap can raise (same class the drain
+                # loop above retries on); retry, never traceback a
+                # correct run.
+                try:
+                    cur = snap.snapshot(spark)
+                    v = 0
+                    for st in streams:
+                        sub = cur.filter(F.col("name") == f"s{st.idx}")
+                        b = st.alter_seq
+                        v += sub.filter(
+                            (F.col("id") >= b)
+                            & (
+                                F.col("extra").isNull()
+                                | (
+                                    F.col("extra")
+                                    != F.concat(F.lit("x"), F.col("id"))
+                                )
+                            )
+                        ).count()
+                        v += sub.filter(
+                            (F.col("id") < b) & F.col("extra").isNotNull()
+                        ).count()
+                    viol = v
+                    break
+                except Exception:  # noqa: BLE001 — racing the live sink
+                    time.sleep(2.0)
             counters["extra_violations"] = viol
             ok = viol == 0
         done.set()

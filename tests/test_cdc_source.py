@@ -1096,3 +1096,140 @@ def test_worker_crash_classified_as_transient() -> None:
     )
     # Real errors must still re-raise.
     assert not is_connection_failure(RuntimeError("AnalysisException: col"))
+
+
+def test_simple_reader_detects_alter_at_reconnect(tmp_path) -> None:
+    """r9 review: the avrorouter announces the CURRENT schema as the
+    leading record on connect, so an ALTER landing while the simple
+    reader was DISCONNECTED can only be seen by comparing that leading
+    record to the query's fixed schema — the mid-stream detection never
+    fires for it. Without the check, post-ALTER columns were silently
+    dropped forever (ADD) or the stream died on the dense-row contract
+    (DROP)."""
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 16}
+    ]
+    ev = make_event(1, name="a1")
+    ev["extra"] = "x1"
+    with FakeMaxScale(new_schema, [ev], table="test.t") as srv:
+        reader = CDCSimpleStreamReader(
+            schema_record_to_struct(TEST_SCHEMA_RECORD),  # pre-ALTER pin
+            {
+                "host": "127.0.0.1",
+                "port": str(srv.port),
+                "user": srv.user,
+                "password": srv.password,
+                "table": "test.t",
+                "pollseconds": "0.3",
+            },
+        )
+        with pytest.raises(SchemaChangedError):
+            reader.read({"gtid": ""})
+        # A reader whose schema MATCHES the live one connects fine.
+        reader2 = CDCSimpleStreamReader(
+            schema_record_to_struct(new_schema),
+            {
+                "host": "127.0.0.1",
+                "port": str(srv.port),
+                "user": srv.user,
+                "password": srv.password,
+                "table": "test.t",
+                "pollseconds": "0.3",
+            },
+        )
+        rows, off = reader2.read({"gtid": ""})
+        assert len(list(rows)) == 1
+        reader2.stop()
+
+
+def test_run_supervised_schema_cache_survives_supervisor_restart(
+    spark, tmp_path
+) -> None:
+    """r9 review: drift detection state was process-local, so an
+    un-pinned deployment redeployed AFTER an ALTER — with the checkpoint
+    GTID still before the ALTER boundary — re-opened the
+    non-restartable CDCProtocolError hole. With schema_cache pointing
+    at a file, the NEW supervisor process (simulated here by seeding
+    the cache with the pre-ALTER schema) detects the drift on its FIRST
+    load and enables the NULL backfill."""
+    import json as _json
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 16}
+    ]
+    # History: rows 1-2 predate the ALTER (no extra on the wire), row 3
+    # was written after it. The server already serves the NEW schema —
+    # the old supervisor process died before seeing it.
+    history = [make_event(s, name=f"pre{s}") for s in (1, 2)]
+    ev3 = make_event(3, name="post3")
+    ev3["extra"] = "x3"
+    cache = tmp_path / "stream.schema.json"
+    cache.write_text(
+        _json.dumps(schema_record_to_struct(TEST_SCHEMA_RECORD).jsonValue())
+    )
+    rows: list[dict] = []
+
+    def stop_when() -> bool:
+        return {1, 2, 3} <= {r["sequence"] for r in list(rows)}
+
+    with FakeMaxScale(
+        new_schema, history + [ev3], table="test.t"
+    ) as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def attach_sink(df):
+            def collect_batch(batch, _bid):
+                rows.extend(r.asDict() for r in batch.collect())
+
+            return (
+                df.writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        result: dict = {}
+
+        def run() -> None:
+            try:
+                # NO schemaRecord: fresh inference absorbs the ALTER;
+                # only the cache knows the previous incarnation's shape.
+                result["restarts"] = run_supervised(
+                    spark,
+                    {
+                        "host": "127.0.0.1",
+                        "user": srv.user,
+                        "password": srv.password,
+                        "streams": _json.dumps(
+                            [{"table": "test.t", "port": srv.port}]
+                        ),
+                        "frontierDir": str(tmp_path / "frontier"),
+                        "pollseconds": "0.3",
+                    },
+                    attach_sink,
+                    max_restarts=20,
+                    initial_backoff=0.3,
+                    stop_when=stop_when,
+                    timeout=60.0,
+                    schema_cache=str(cache),
+                )
+            except Exception as exc:  # noqa: BLE001 — asserted below
+                result["error"] = f"{type(exc).__name__}: {exc}"
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=70)
+        assert not t.is_alive(), "supervisor did not stop"
+        assert "error" not in result, result.get("error")
+        by_seq = {r["sequence"]: r for r in rows}
+        assert by_seq[3]["extra"] == "x3"
+        for s in (1, 2):  # pre-ALTER rows NULL-backfilled, not fatal
+            assert by_seq[s]["extra"] is None
+        # The cache now holds the post-ALTER schema for the NEXT restart.
+        cached = _json.loads(cache.read_text())
+        assert any(f["name"] == "extra" for f in cached["fields"])
