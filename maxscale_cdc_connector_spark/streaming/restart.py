@@ -183,11 +183,26 @@ CONNECTION_FAILURE_MARKERS = (
     # A worker crashing deterministically (e.g. a decode segfault)
     # retries too, but boundedly: max_restarts still caps it.
     "Python worker exited unexpectedly",
+    # A server that ACCEPTS the dial but never answers the handshake
+    # (wedged process, black-holed link after SYN-ACK) surfaces as the
+    # protocol client's handshake-timeout error, not a ConnectionError
+    # — it is transport loss all the same (r9; the reference's caller
+    # owns this recovery too, cdc_connector.cpp:487-504).
+    "Request timed out",
 )
 
 
 def is_connection_failure(exc: BaseException) -> bool:
-    """True when a streaming-query failure looks like transport loss."""
+    """True when a streaming-query failure looks like transport loss.
+
+    Matches by exception TYPE for raw (non-query-wrapped) errors — a
+    synchronous ``load()`` probe against a hung server raises a bare
+    ``TimeoutError("timed out")`` whose text is too generic to pattern-
+    match safely — and by marker text for failures captured inside a
+    ``StreamingQueryException``.
+    """
+    if isinstance(exc, (ConnectionError, TimeoutError)):
+        return True
     text = str(exc)
     return any(m in text for m in CONNECTION_FAILURE_MARKERS)
 

@@ -1233,3 +1233,121 @@ def test_run_supervised_schema_cache_survives_supervisor_restart(
         # The cache now holds the post-ALTER schema for the NEXT restart.
         cached = _json.loads(cache.read_text())
         assert any(f["name"] == "extra" for f in cached["fields"])
+
+
+def test_supervision_retries_hung_server_handshake(spark, tmp_path) -> None:
+    """r9: a server that ACCEPTS the dial but never answers the
+    handshake (wedged process, black-holed link) surfaces as the
+    protocol client's 'Request timed out' — transport loss, not a code
+    bug. The supervisor must back off and retry it like any connection
+    failure instead of dying; when the real server comes back on the
+    same port, delivery resumes."""
+    import json as _json
+    import socket as _socket
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    # A listener that accepts connections and never responds.
+    hang = _socket.socket()
+    hang.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    hang.bind(("127.0.0.1", 0))
+    hang.listen(8)
+    port = hang.getsockname()[1]
+    held: list = []
+    hang_alive = threading.Event()
+    hang_alive.set()
+
+    def acceptor() -> None:
+        while hang_alive.is_set():
+            try:
+                hang.settimeout(0.2)
+                conn, _ = hang.accept()
+                held.append(conn)  # hold open, never answer
+            except TimeoutError:
+                continue
+            except OSError:
+                return
+
+    acc = threading.Thread(target=acceptor, daemon=True)
+    acc.start()
+
+    rows: list[dict] = []
+
+    def stop_when() -> bool:
+        return {1, 2} <= {r["sequence"] for r in list(rows)}
+
+    def attach_sink(df):
+        def collect_batch(batch, _bid):
+            rows.extend(r.asDict() for r in batch.collect())
+
+        return (
+            df.writeStream.foreachBatch(collect_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+    spark.dataSource.register(MaxScaleCDCDataSource)
+    result: dict = {}
+
+    def run() -> None:
+        try:
+            result["restarts"] = run_supervised(
+                spark,
+                {
+                    "host": "127.0.0.1",
+                    "user": "u",
+                    "password": "p",
+                    "streams": _json.dumps([{"table": "test.t", "port": port}]),
+                    "frontierDir": str(tmp_path / "frontier"),
+                    "schemaRecord": _json.dumps(TEST_SCHEMA_RECORD),
+                    # Short handshake timeout so the hung phase cycles fast.
+                    "pollseconds": "0.5",
+                },
+                attach_sink,
+                max_restarts=50,
+                initial_backoff=0.3,
+                max_backoff=1.0,
+                stop_when=stop_when,
+                timeout=90.0,
+            )
+        except Exception as exc:  # noqa: BLE001 — asserted below
+            result["error"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        # Let the supervisor consume a few handshake-timeout restarts.
+        deadline = time.time() + 20
+        while time.time() < deadline and "error" not in result:
+            time.sleep(0.5)
+        assert "error" not in result, (
+            f"supervision died on a hung handshake: {result.get('error')}"
+        )
+        # Real server replaces the wedge on the same port.
+        hang_alive.clear()
+        hang.close()
+        for c in held:
+            try:
+                c.close()
+            except OSError:
+                pass
+        acc.join(5)
+        time.sleep(0.5)
+        with FakeMaxScale(
+            TEST_SCHEMA_RECORD,
+            [make_event(1, name="a1"), make_event(2, name="a2")],
+            user="u", password="p", table="test.t", port=port,
+        ):
+            t.join(timeout=60)
+            assert not t.is_alive(), "supervisor never delivered after recovery"
+            assert "error" not in result, result.get("error")
+            assert {1, 2} <= {r["sequence"] for r in rows}
+            assert result["restarts"] >= 1
+    finally:
+        hang_alive.clear()
+        try:
+            hang.close()
+        except OSError:
+            pass
