@@ -52,6 +52,12 @@ _CHANGED_THIS_ROUND = (
     "stream_snapshot_evolved",
     "stream_snapshot_sink_replayed",
     "stream_dedup_exact",
+    # Round 9: the windowed-agg helpers now materialize a Column-typed
+    # event time under a private name so the watermark provably covers
+    # the window's clock (r9 review); plan bytes changed → fresh rows.
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

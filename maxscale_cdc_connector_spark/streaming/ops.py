@@ -55,6 +55,31 @@ def _ts(col: str | Column) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _event_time(
+    df: DataFrame, ts_col: str | Column, watermark: str | None
+) -> tuple[DataFrame, Column]:
+    """Resolve the event-time column and apply the watermark to IT.
+
+    A ``Column`` ts_col is an expression with no reliable name — the
+    pre-r9 code guessed the literal column name ``"ts"`` for the
+    watermark, which either crashed (no such column) or silently bounded
+    state on an UNRELATED column so windows never finalized / late data
+    was dropped against the wrong clock (r9 review). The expression is
+    materialized under a private name instead, and the window references
+    that same column, so the watermark provably covers the event-time
+    the windows use. The private column never reaches output (window
+    aggs project only win/group/agg columns).
+    """
+    if isinstance(ts_col, str):
+        if watermark is not None and df.isStreaming:
+            df = df.withWatermark(ts_col, watermark)
+        return df, F.col(ts_col)
+    df = df.withColumn("_event_time", ts_col)
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark("_event_time", watermark)
+    return df, F.col("_event_time")
+
+
 def tumbling_agg(
     events: DataFrame,
     ts_col: str | Column,
@@ -64,11 +89,8 @@ def tumbling_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Fixed, non-overlapping windows: groupBy(window(ts, w), keys)."""
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
-    w = F.window(_ts(ts_col), window)
-    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+    df, ts = _event_time(events, ts_col, watermark)
+    return df.groupBy(F.window(ts, window).alias("win"), *group_cols).agg(*aggs)
 
 
 def sliding_agg(
@@ -81,11 +103,8 @@ def sliding_agg(
     watermark: str | None = None,
 ) -> DataFrame:
     """Overlapping windows: each event lands in window/slide windows."""
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
-    w = F.window(_ts(ts_col), window, slide)
-    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+    df, ts = _event_time(events, ts_col, watermark)
+    return df.groupBy(F.window(ts, window, slide).alias("win"), *group_cols).agg(*aggs)
 
 
 def session_agg(
@@ -101,11 +120,8 @@ def session_agg(
     `session_window.end` is (last event ts + gap) — Spark's definition,
     mirrored exactly by the SQL-islands oracle in stream_queries.py.
     """
-    df = events
-    if watermark is not None and df.isStreaming:
-        df = df.withWatermark(ts_col if isinstance(ts_col, str) else "ts", watermark)
-    w = F.session_window(_ts(ts_col), gap)
-    return df.groupBy(w.alias("win"), *group_cols).agg(*aggs)
+    df, ts = _event_time(events, ts_col, watermark)
+    return df.groupBy(F.session_window(ts, gap).alias("win"), *group_cols).agg(*aggs)
 
 
 def dedup_exact(
@@ -131,6 +147,16 @@ def dedup_exact(
     here (r9, VERDICT r8 item 5) — or keep one sink/dedup per source
     (as multi_source_reconcile does).
     """
+    missing = [k for k in EVENT_IDENTITY if k not in events.columns]
+    if missing:
+        # Silently narrowing the key would collapse DISTINCT events:
+        # without event_number the two halves of every update share one
+        # GTID and dedup to one row, and with no identity columns at all
+        # dropDuplicates([]) collapses the whole batch (r9 review).
+        raise ValueError(
+            f"dedup_exact needs the full envelope identity "
+            f"{EVENT_IDENTITY}; missing: {missing}"
+        )
     keys = [k for k in (*EVENT_IDENTITY, SOURCE_ID_COL) if k in events.columns]
     if watermark is not None and ts_col is not None and events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
@@ -184,7 +210,11 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
-    return lw.join(rw, cond, how)
+    # Drop the right side's copy of the equi-key (r9 review): keeping
+    # both makes `result[key]` ambiguous and the frame unwritable
+    # ("Found duplicate column(s)"); the left copy is correct for inner
+    # AND left_outer (the right copy is NULL on unmatched rows).
+    return lw.join(rw, cond, how).drop(rw[key])
 
 
 # ---------------------------------------------------------------------------
@@ -208,7 +238,17 @@ def stateful_snapshot(events: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     envelope included; tombstones carry event_type='delete' — filter
     downstream). JSON keeps the state/output schemas fixed for any
     payload, so one operator serves every table.
+
+    Multi-server note (r9): the winning-event comparison is
+    (sequence, event_number), meaningful only within ONE GTID space —
+    so when the partitioned reader stamps ``_source_id``, it joins the
+    state key automatically (per-source current state, same guidance as
+    SnapshotSink's key_cols); cross-source sequences are incomparable
+    and a shared key would pin the winner to whichever server's counter
+    runs numerically higher.
     """
+    if SOURCE_ID_COL in events.columns and SOURCE_ID_COL not in key_cols:
+        key_cols = [*key_cols, SOURCE_ID_COL]
     key_schema = ", ".join(f"`{c}` {dict(events.dtypes)[c]}" for c in key_cols)
     out_schema = f"{key_schema}, current string"
     state_schema = "sequence bigint, event_number int, current string"
@@ -264,7 +304,17 @@ class SnapshotSink:
     docs: stream one table's changes) is a queryable current state.
     Per micro-batch: dedup replays → reduce the batch to its per-key
     latest → merge with the previous snapshot keeping the greater
-    (sequence, event_number) → drop deleted keys → write + atomic swap.
+    (sequence, event_number) → write + atomic swap. Deleted keys stay
+    in-state as TOMBSTONES (a late replay of an older event can never
+    resurrect a deleted key); ``snapshot()`` filters them, ``current()``
+    returns them raw.
+
+    Concurrent reads: ``snapshot()``/``current()`` from a monitoring
+    thread are safe against recovery (it runs once per instance, under
+    the swap lock) but NOT snapshot-isolated against an in-flight
+    bucket swap — a read whose file listing was pinned just before a
+    swap can fail transiently (file-not-found on the replaced bucket
+    files). Retry such reads; they heal on the next call.
 
     Restart-safe: merging is idempotent (an event applied twice yields
     the same state), so at-least-once foreachBatch semantics suffice.
@@ -293,6 +343,39 @@ class SnapshotSink:
 
     def _bucket(self) -> Column:
         return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
+
+    def _ensure_meta(self) -> None:
+        """Pin (n_buckets, key_cols) to the state table (r9 review): a
+        restart with a DIFFERENT n_buckets re-hashes keys into other
+        buckets while stale rows sit untouched in the old ones —
+        snapshot() then returns two rows per key forever; a different
+        key_cols silently changes merge identity. First merge writes a
+        meta marker; later instances validate against it. Pre-r9 state
+        dirs lack the marker and adopt the current parameters."""
+        import json as _json
+
+        meta_path = os.path.join(self.path, ".sink-meta.json")
+        want = {"n_buckets": self.n_buckets, "key_cols": list(self.key_cols)}
+        if os.path.isfile(meta_path):
+            try:
+                with open(meta_path) as fh:
+                    have = _json.load(fh)
+            except (OSError, ValueError):
+                have = None
+            if have is not None and have != want:
+                raise ValueError(
+                    f"SnapshotSink parameters do not match the existing "
+                    f"state table at {self.path}: stored {have}, "
+                    f"constructed {want} — changing n_buckets or key_cols "
+                    "on live state strands rows in stale buckets; rebuild "
+                    "the snapshot (or construct with the stored values)"
+                )
+            if have is not None:
+                return
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(want, fh)
+        os.replace(tmp, meta_path)
 
     # Pre-merge copies parked beside the live dir during a swap. The
     # leading dot keeps them invisible to Spark's partition discovery,
@@ -420,13 +503,27 @@ class SnapshotSink:
         with self._lock:
             self._recover_locked()
             self._recovered = True
-        prev = self.current(spark)
-        if prev is not None:
-            # Partition pruning: only the touched buckets are read back.
-            # Keep deletes in-state as tombstones so a late replay of an
-            # older event can never resurrect a deleted key; filter
-            # tombstones only at read time (snapshot()).
-            prev_touched = prev.filter(F.col(self.BUCKET_COL).isin(touched))
+        os.makedirs(self.path, exist_ok=True)
+        self._ensure_meta()
+        # Read back ONLY the touched buckets' directories (r9 review):
+        # a whole-table read with mergeSchema lists and footer-reads
+        # EVERY file under the path per micro-batch — per-batch cost
+        # growing with total state size, defeating the
+        # |touched|/n_buckets IO bound this sink exists for. Keep
+        # deletes in-state as tombstones so a late replay of an older
+        # event can never resurrect a deleted key; filter tombstones
+        # only at read time (snapshot()).
+        prev_dirs = [
+            os.path.join(self.path, f"{self.BUCKET_COL}={b}")
+            for b in touched
+        ]
+        prev_dirs = [d for d in prev_dirs if os.path.isdir(d)]
+        if prev_dirs:
+            prev_touched = (
+                spark.read.option("basePath", self.path)
+                .option("mergeSchema", "true")
+                .parquet(*prev_dirs)
+            )
             # allowMissingColumns: a post-ALTER batch carries columns the
             # stored snapshot predates (and, on a dropped column, vice
             # versa) — union the schemas and NULL-fill, the same backfill
@@ -447,7 +544,6 @@ class SnapshotSink:
         # filesystem made shutil.move a non-atomic copytree). The dot
         # prefix hides the scratch dir from partition discovery, so
         # concurrent reads of self.path never see half-written files.
-        os.makedirs(self.path, exist_ok=True)
         # Single-writer contract (one streaming query per sink path):
         # reap scratch dirs a crashed predecessor left behind. Readers
         # never touch .tmp- dirs, so this cannot race a live writer.
