@@ -941,3 +941,82 @@ def test_stateful_session_ttl_emits_only_watermark_closed_sessions(spark, tmp_pa
     # users 1 and 2 closed (watermark 590s >> their end + 30s); user 3's
     # session is still open — its state must NOT have been emitted.
     assert got == {1: (2, 5_000_000), 2: (2, 5_000_000)}, got
+
+
+def test_dedup_exact_rejects_missing_identity_columns(spark) -> None:
+    """r9 review: deduping on a silently-narrowed key collapses
+    distinct events (update halves share a GTID); missing identity
+    columns are a hard error now."""
+    import pytest as _pytest
+
+    from maxscale_cdc_connector_spark.streaming.ops import dedup_exact
+
+    df = spark.createDataFrame(
+        [(0, 3000, 1)], "domain int, server_id int, sequence long"
+    )  # no event_number
+    with _pytest.raises(ValueError, match="event_number"):
+        dedup_exact(df)
+
+
+def test_snapshot_sink_rejects_changed_parameters(spark, tmp_path) -> None:
+    """r9 review: restarting a sink with a different n_buckets re-hashes
+    keys into new buckets while stale rows sit untouched in old ones —
+    two rows per key forever. The meta marker written on first merge
+    makes the mismatch a loud constructor-time... merge-time error."""
+    import pytest as _pytest
+
+    from maxscale_cdc_connector_spark.operators.cdc import decode_events
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
+
+    schema = schema_record_to_struct(TEST_SCHEMA_RECORD)
+
+    def as_df(events):
+        import json as _json
+
+        lines = [(_json.dumps(e),) for e in events]
+        return decode_events(spark.createDataFrame(lines, "value string"), schema)
+
+    path = str(tmp_path / "state")
+    SnapshotSink(path, ["id"], n_buckets=8)(as_df([make_event(1, id_=1)]), 0)
+    # Same parameters: fine.
+    SnapshotSink(path, ["id"], n_buckets=8)(as_df([make_event(2, id_=2)]), 1)
+    # Different n_buckets: refused before any corruption.
+    with _pytest.raises(ValueError, match="n_buckets"):
+        SnapshotSink(path, ["id"], n_buckets=4)(as_df([make_event(3, id_=3)]), 2)
+    # Different key_cols: refused too.
+    with _pytest.raises(ValueError, match="key_cols|stored"):
+        SnapshotSink(path, ["name"], n_buckets=8)(as_df([make_event(4, id_=4)]), 3)
+
+
+def test_windowed_agg_watermark_covers_column_event_time(spark, event_log) -> None:
+    """r9 review: a Column-typed ts with a watermark used to watermark a
+    guessed literal 'ts' column — crashing, or bounding state on the
+    wrong clock. The helper now materializes the expression and
+    watermarks the same column the window uses; append-mode results
+    must finalize and arrive."""
+    from maxscale_cdc_connector_spark.streaming.ops import tumbling_agg
+
+    path, _ = event_log
+    stream = replay_stream(spark, path, TEST_SCHEMA_RECORD, max_files_per_trigger=1)
+    out = tumbling_agg(
+        stream,
+        F.timestamp_seconds(F.col("timestamp")),  # Column, not a name
+        "60 seconds",
+        ["event_type"],
+        [F.count("*").alias("n")],
+        watermark="10 seconds",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_col_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM wm_col_agg").collect()
+    # Append mode emits only FINALIZED windows: with the watermark bound
+    # to the real event-time column, the early windows must have closed.
+    assert len(rows) > 0, "no windows finalized — watermark on wrong column"
+    assert all(r["n"] > 0 for r in rows)
