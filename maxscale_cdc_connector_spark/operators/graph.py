@@ -200,7 +200,11 @@ def _two_phase(
                 e = small
                 converged = True
                 break
-            spent.append(e)
+            # Superseded edge set: free NOW (r9 review) — deferring to
+            # the finally held O(rounds) dead O(|E|) checkpoints in
+            # block storage simultaneously. The exceptAll above was the
+            # last read of the old frame.
+            _release_local_checkpoint(e)
             e, e_sig = small, small_sig
         if not converged:
             spent.append(e)
@@ -229,7 +233,13 @@ def _label_prop(
     """Min-label propagation: rounds = graph diameter.
 
     Labels only ever decrease, so convergence is detected by comparing
-    ``sum(label)`` across iterations (one scalar action; no extra join).
+    ``bit_xor(xxhash64(node, label))`` across iterations (one scalar
+    action, no extra join). The hash signature is (a) type-agnostic —
+    the old ``sum(label)`` over STRING labels cast to double and
+    yielded NULL, which compared equal on round one and returned
+    un-converged components (r9 review) — (b) association-sensitive (a
+    plain label sum cannot distinguish compensating label changes
+    across nodes), and (c) overflow-free under ANSI mode.
     """
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -241,8 +251,17 @@ def _label_prop(
         .localCheckpoint(eager=True)
     )
     spent = [sym]  # checkpoints to free; sym is not part of the result
+
+    def _checksum(lbl: DataFrame):
+        # bit_xor, not sum: order-independent AND overflow-free (a SUM
+        # of 64-bit hashes overflows BIGINT under ANSI mode) — the same
+        # signature _two_phase's _sig uses.
+        return lbl.agg(
+            F.expr("bit_xor(xxhash64(node, component))")
+        ).collect()[0][0]
+
     try:
-        prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+        prev_sum = _checksum(labels)
         for rounds in range(1, max_iters + 1):
             nbr_min = (
                 sym.join(labels, sym.b == labels.node)
@@ -260,9 +279,12 @@ def _label_prop(
                 )
                 .localCheckpoint(eager=True)
             )
-            spent.append(labels)  # superseded; safe to free now
+            # Superseded; the eager checkpoint above was its last read —
+            # free NOW instead of accumulating O(diameter) dead label
+            # sets until the finally (r9 review).
+            _release_local_checkpoint(labels)
             labels = new_labels
-            cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+            cur_sum = _checksum(labels)
             if cur_sum == prev_sum:  # labels are monotone non-increasing
                 if rounds_out is not None:
                     rounds_out.append(rounds)
@@ -375,18 +397,37 @@ def pagerank(
     but the loop counter; state is one (node, rank) frame of |V| rows.
 
     Dangling nodes (out-strength 0) are not supported — the co-purchase
-    graphs this engine builds are symmetric, so none exist; an
-    assertion documents the contract rather than silently leaking mass.
+    graphs this engine builds are symmetric, so none exist; the
+    contract is ENFORCED (one anti-join count up front, r9 review: the
+    docstring used to promise an assertion that did not exist, and
+    dangling input silently deflated every rank).
     """
+    # Eager checkpoint (r9 review): `nodes` feeds the count, the rank
+    # init, the dangling check, and every iteration's left join — an
+    # expensive upstream edge pipeline would otherwise re-execute
+    # ~iters+3 times.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # Empty graph: empty (node, rank) result, not ZeroDivisionError.
+        return nodes.withColumn("rank", F.lit(0.0))
     out_w = edges.groupBy(F.col(src).alias("node")).agg(
         F.sum("weight").alias("out_w")
     )
+    n_dangling = nodes.join(out_w, "node", "left_anti").count()
+    if n_dangling:
+        raise ValueError(
+            f"pagerank requires every node to have out-edges; "
+            f"{n_dangling} dangling node(s) found — pass each undirected "
+            "edge in both orientations, or drop sink nodes first "
+            "(their missing redistribution would silently deflate "
+            "every rank)"
+        )
     norm = (
         edges.join(out_w, edges[src] == out_w.node)
         .select(
@@ -419,6 +460,11 @@ def pagerank(
         )
         _release_local_checkpoint(ranks)
         ranks = new_ranks
+    # The returned frame is checkpointed (self-contained blocks), so the
+    # intermediates can be freed eagerly instead of waiting for the
+    # ContextCleaner.
+    _release_local_checkpoint(norm)
+    _release_local_checkpoint(nodes)
     return ranks
 
 
@@ -445,8 +491,16 @@ def kcore(
     ``max_rounds`` (a peel deeper than that signals a pathological
     near-threshold graph — raise the cap explicitly if intended).
     """
+    # Canonicalize the undirected edge (r9 review): input carrying both
+    # orientations — or reversed duplicates — would otherwise survive
+    # .distinct() as two rows, double-count every degree, and report a
+    # too-large core (connected_components/triangle_stats already
+    # canonicalize; this peel must too).
     cur = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -521,7 +575,11 @@ def ancestor_closure(
     while True:
         rounds += 1
         if rounds > max_rounds:
-            raise RuntimeError(f"hierarchy deeper than max_depth={max_depth}")
+            raise RuntimeError(
+                f"ancestor closure did not converge in {max_rounds} doubling "
+                f"rounds (reach 2^{max_rounds}) — cyclic input, or a "
+                f"hierarchy far deeper than max_depth={max_depth}"
+            )
         hop = cur.select(
             F.col("desc").alias("meet"), F.col("anc").alias("anc2"),
             F.col("dist").alias("dist2"),
@@ -548,6 +606,16 @@ def ancestor_closure(
         n_nxt, max_dist = stats["n"], stats["m"]
         _release_local_checkpoint(cur)
         cur = nxt
+        if max_dist is not None and max_dist > max_depth:
+            # Enforce the declared cap (r9 review: the doubling rounds
+            # cover depths up to ~4× max_depth, so callers using
+            # max_depth as input validation previously got none until
+            # the round budget ran out — with a message blaming the
+            # wrong threshold). dist is a real path length in a forest,
+            # so exceeding max_depth is definitive, not transient.
+            raise RuntimeError(
+                f"hierarchy depth ≥{max_dist} exceeds max_depth={max_depth}"
+            )
         if n_nxt == n_cur or max_dist < 2 ** rounds:
             return cur
         n_cur = n_nxt

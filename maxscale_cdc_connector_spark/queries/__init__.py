@@ -58,6 +58,16 @@ _CHANGED_THIS_ROUND = (
     "stream_tumbling_agg",
     "stream_sliding_agg",
     "stream_session_window",
+    # Round 9: graph-operator review fixes — kcore canonicalizes
+    # reversed-duplicate edges, pagerank enforces its dangling-node
+    # contract and checkpoints `nodes`, ancestor_closure enforces
+    # max_depth, label-prop/two-phase free superseded checkpoints
+    # incrementally. Operator bytes changed → fresh rows for the keys
+    # flowing through them.
+    "graph_kcore_stats",
+    "graph_pagerank_parts",
+    "graph_hierarchy_rollup",
+    "dedup_cluster_cc",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

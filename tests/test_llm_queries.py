@@ -669,3 +669,56 @@ def test_resize_thumbnails_real_path_or_gate(spark):
         # Stub path honors the same one-row-per-payload contract.
         assert resize_thumbnails(manifest).count() == 1
         assert resize_thumbnails(manifest).schema == THUMB_SCHEMA
+
+
+def test_kcore_canonicalizes_reversed_duplicate_edges(spark, sf_dir):
+    """r9 review: input carrying both orientations of one undirected
+    edge must not double-count degrees. A single edge in both
+    directions has true degrees 1 — its 2-core is EMPTY."""
+    from maxscale_cdc_connector_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    nodes, core_edges, _ = kcore(edges, k=2)
+    assert nodes.count() == 0 and core_edges.count() == 0
+    # And a genuine triangle (passed with reversed dups) survives k=2.
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1)], "src long, dst long"
+    )
+    nodes2, core2, _ = kcore(tri, k=2)
+    assert {r["node"] for r in nodes2.collect()} == {1, 2, 3}
+    assert core2.count() == 3
+
+
+def test_label_prop_converges_on_string_node_ids(spark, sf_dir):
+    """r9 review: the old sum(label) convergence checksum cast STRING
+    labels to double → NULL, compared equal on round one, and returned
+    a silently split cluster. The hash signature must converge the
+    chain fully."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, algorithm="label_prop").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_pagerank_rejects_dangling_and_handles_empty(spark, sf_dir):
+    """r9 review: the docstring promised a dangling-node assertion that
+    did not exist (mass silently leaked), and an empty edge frame
+    crashed with ZeroDivisionError."""
+    import pytest as _pytest
+
+    from maxscale_cdc_connector_spark.operators.graph import pagerank
+
+    dangling = spark.createDataFrame(
+        [(1, 2, 1.0)], "src long, dst long, weight double"
+    )
+    with _pytest.raises(ValueError, match="dangling"):
+        pagerank(dangling, iters=2)
+
+    empty = spark.createDataFrame([], "src long, dst long, weight double")
+    assert pagerank(empty, iters=2).count() == 0
