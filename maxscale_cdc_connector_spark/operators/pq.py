@@ -79,6 +79,13 @@ def _assign_sub_inline():
     def assign_sub(xs: np.ndarray, cb: np.ndarray):
         d2 = ((xs * xs).sum(axis=1)[:, None] + (cb * cb).sum(axis=1)[None, :]
               - 2.0 * xs @ cb.T)
+        # Clamp fp negatives near 0 (same as operators/kmeans._make_d2):
+        # when a subvector EQUALS its centroid — routine on duplicate-
+        # heavy corpora, where a cluster's mean collapses onto the
+        # duplicated vector — |x|²+|c|²−2x·c differs from 0 by BLAS-vs-
+        # sum ulp noise and can go negative, and pq_encode's
+        # sqrt(Σ_j d2_j) would then emit NaN reconstruction errors.
+        np.maximum(d2, 0.0, out=d2)
         code = np.argmin(d2, axis=1)
         return code, d2[np.arange(len(xs)), code]
 

@@ -68,6 +68,12 @@ _CHANGED_THIS_ROUND = (
     "graph_pagerank_parts",
     "graph_hierarchy_rollup",
     "dedup_cluster_cc",
+    # Round 9 (fifth review pass): pq's subspace assignment now clamps
+    # ulp-negative dist² at 0 like kmeans._make_d2 — without it a vector
+    # equal to its centroid (duplicate-collapsed cluster) NaN'd
+    # recon_err. Operator bytes changed → fresh rows-only samples.
+    "embedding_pq_codes",
+    "simsearch_pq_adc_topk",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

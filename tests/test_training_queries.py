@@ -378,3 +378,34 @@ def test_pq_deterministic_across_runs(spark, sf_dir) -> None:
     a = sorted(map(tuple, REGISTRY["embedding_pq_codes"].fn(spark, sf_dir).collect()))
     b = sorted(map(tuple, REGISTRY["embedding_pq_codes"].fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_pq_recon_err_finite_when_vector_equals_centroid(spark) -> None:
+    """A vector that IS its own centroid (single-member or duplicate-
+    collapsed cluster — routine on dedup-shaped corpora) must encode
+    with a finite, non-negative recon_err: |x|²+|c|²−2x·c is ulp-noise
+    around 0 there and without the clamp (mirroring kmeans._make_d2)
+    sqrt of a negative sum yields NaN."""
+    import math
+
+    from maxscale_cdc_connector_spark.operators.pq import pq_encode
+
+    dim, m, k = 16, 8, 2
+    base = [math.sin(i + 1) * 10 for i in range(dim)]
+    other = [math.cos(i + 1) * 10 for i in range(dim)]
+    # 6 exact duplicates of `base`: with k=2 seeds = {base-dup, other},
+    # every Lloyd mean over the duplicate cluster is exactly `base`.
+    rows = [(j, base) for j in range(6)] + [(6, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # Codebooks whose row 0 EQUALS base's subvectors exactly.
+    sub = dim // m
+    codebooks = [
+        [base[j * sub : (j + 1) * sub], other[j * sub : (j + 1) * sub]]
+        for j in range(m)
+    ]
+    out = pq_encode(df, codebooks).collect()
+    errs = {r.vec_id: r.recon_err for r in out}
+    for j in range(6):
+        assert math.isfinite(errs[j]) and errs[j] >= 0.0, errs[j]
+        assert errs[j] < 1e-6, errs[j]  # exact-match reconstruction
+    assert all(math.isfinite(v) for v in errs.values())
