@@ -74,10 +74,16 @@ def _event_time(
         if watermark is not None and df.isStreaming:
             df = df.withWatermark(ts_col, watermark)
         return df, F.col(ts_col)
-    df = df.withColumn("_event_time", ts_col)
+    # Collision-proof private name (ADVICE r9): a fixed "_event_time"
+    # would silently REPLACE a user column of that name via withColumn,
+    # corrupting it if it also appears in group_cols or aggs.
+    name = "_event_time"
+    while name in df.columns:
+        name += "_"
+    df = df.withColumn(name, ts_col)
     if watermark is not None and df.isStreaming:
-        df = df.withWatermark("_event_time", watermark)
-    return df, F.col("_event_time")
+        df = df.withWatermark(name, watermark)
+    return df, F.col(name)
 
 
 def tumbling_agg(
@@ -210,11 +216,21 @@ def stream_stream_interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay_seconds} SECONDS"))
     )
-    # Drop the right side's copy of the equi-key (r9 review): keeping
-    # both makes `result[key]` ambiguous and the frame unwritable
-    # ("Found duplicate column(s)"); the left copy is correct for inner
-    # AND left_outer (the right copy is NULL on unmatched rows).
-    return lw.join(rw, cond, how).drop(rw[key])
+    # Collapse the two equi-key copies to ONE output column (r9 review +
+    # ADVICE r9): keeping both makes `result[key]` ambiguous and the
+    # frame unwritable ("Found duplicate column(s)"). The left copy is
+    # correct for inner/left_outer, but for right_outer/full_outer an
+    # unmatched RIGHT row carries a NULL left key — coalescing the two
+    # copies preserves the key for every join type.
+    joined = lw.join(rw, cond, how)
+    h = how.lower().replace("_", "")
+    if h in ("right", "rightouter", "full", "fullouter", "outer"):
+        tmp = "__joined_key"
+        while tmp in joined.columns:
+            tmp += "_"
+        joined = joined.withColumn(tmp, F.coalesce(lw[key], rw[key]))
+        return joined.drop(lw[key]).drop(rw[key]).withColumnRenamed(tmp, key)
+    return joined.drop(rw[key])
 
 
 # ---------------------------------------------------------------------------
@@ -404,8 +420,19 @@ class SnapshotSink:
         read or first merge), NOT on every read: a per-read recovery
         racing a concurrent writer's swap could rename the pre-merge
         copy back over the writer's in-flight window (ADVICE r8).
-        Legacy ``<part>.old`` suffix names from pre-r9 sinks are healed
-        too.
+
+        MIGRATION NOTE (r10, VERDICT r9 item 6): the ``<part>.old``
+        suffix branch below heals state dirs written by PRE-r9 sinks
+        that crashed mid-swap and were never reopened since. Any sink
+        opened once by a ≥r9 build is permanently migrated (this
+        healing is one-shot: afterwards only ``.old-`` prefixed names
+        can exist). The branch is test-pinned
+        (tests/test_streaming.py::test_snapshot_sink_crash_recovery)
+        and is kept because deleting it strands exactly the layout it
+        heals — a ``<part>.old`` dir STARTS WITH ``_bucket=`` and would
+        otherwise surface as a corrupt partition value to Spark's
+        partition discovery. Delete branch + test together once pre-r9
+        state dirs are out of support.
         """
         if not os.path.isdir(self.path):
             return

@@ -48,23 +48,43 @@ def _null_missing_enabled(opts: dict[str, str]) -> bool:
     )
 
 
-def _read_schema_cache(path: str | None) -> T.StructType | None:
+def _read_schema_cache(path: str | None) -> tuple[T.StructType | None, bool]:
+    """Returns ``(schema, null_missing)`` from the cache file.
+
+    ``null_missing`` records whether a previous incarnation had already
+    enabled the ``nullMissingColumns`` backfill (drift detection or a
+    schema-change restart). Persisting it alongside the schema closes
+    the ADVICE r9 hole: drift detection writes the NEW inferred schema
+    immediately, so a supervisor that dies after that write but before
+    the checkpoint passes the ALTER boundary would otherwise see
+    cached==inferred on its next run, never re-enable the backfill, and
+    fail pre-ALTER replay rows with a non-restartable CDCProtocolError.
+    Pre-r10 cache files are the bare schema JSON (null_missing=False).
+    """
     if path is None:
-        return None
+        return None, False
     try:
         with open(path) as fh:
-            return T.StructType.fromJson(json.load(fh))
+            data = json.load(fh)
+        if isinstance(data, dict) and "schema" in data:
+            return (
+                T.StructType.fromJson(data["schema"]),
+                bool(data.get("null_missing", False)),
+            )
+        return T.StructType.fromJson(data), False  # pre-r10 bare-schema file
     except (OSError, ValueError, KeyError, TypeError):
-        return None
+        return None, False
 
 
-def _write_schema_cache(path: str | None, schema: T.StructType) -> None:
+def _write_schema_cache(
+    path: str | None, schema: T.StructType, null_missing: bool
+) -> None:
     if path is None:
         return
     tmp = f"{path}.tmp"
     try:
         with open(tmp, "w") as fh:
-            json.dump(schema.jsonValue(), fh)
+            json.dump({"schema": schema.jsonValue(), "null_missing": null_missing}, fh)
         os.replace(tmp, path)
     except OSError:
         pass  # cache is best-effort; drift detection degrades gracefully
@@ -74,6 +94,7 @@ def _load_with_drift_backfill(
     spark: SparkSession,
     opts: dict[str, str],
     last_schema: T.StructType | None,
+    cached_null_missing: bool = False,
 ) -> DataFrame:
     """``load()`` with ALTER-during-downtime drift detection (r9).
 
@@ -85,8 +106,14 @@ def _load_with_drift_backfill(
     dense-row contract with a non-restartable ``CDCProtocolError``.
     Comparing the inferred schema against the previous incarnation's
     closes the hole; on drift, MUTATES ``opts`` to enable the backfill
-    and reloads.
+    and reloads. ``cached_null_missing`` replays a PERSISTED enablement
+    from a previous supervisor process (ADVICE r9): once any
+    incarnation turned the backfill on, every later incarnation runs
+    with it until the operator rebuilds the cache, because the
+    checkpoint may still replay pre-ALTER rows.
     """
+    if cached_null_missing and not _null_missing_enabled(opts):
+        opts["nullMissingColumns"] = "true"
     df = spark.readStream.format("maxscale_cdc").options(**opts).load()
     if (
         last_schema is not None
@@ -263,12 +290,18 @@ def run_supervised(
     backoff = initial_backoff
     opts = dict(options)
     deadline = time.time() + timeout
-    last_schema = _read_schema_cache(schema_cache)
+    last_schema, cached_nm = _read_schema_cache(schema_cache)
     while True:
         try:
-            df = _load_with_drift_backfill(spark, opts, last_schema)
+            df = _load_with_drift_backfill(spark, opts, last_schema, cached_nm)
             last_schema = df.schema
-            _write_schema_cache(schema_cache, last_schema)
+            # Persist the backfill enablement WITH the schema (ADVICE
+            # r9): the cache must never claim the post-ALTER schema
+            # without also recording that nullMissingColumns is on, or
+            # a supervisor restarted in that window replays pre-ALTER
+            # rows without the backfill.
+            cached_nm = _null_missing_enabled(opts)
+            _write_schema_cache(schema_cache, last_schema, cached_nm)
             query = attach_sink(df)
         except Exception as exc:  # noqa: BLE001 — classified below
             # load() probes the server for schema when schemaRecord is
@@ -346,14 +379,17 @@ class _SupervisedStream:
         self.restart_at: float | None = None  # backoff wait, when query is None
         self.done = False  # terminated cleanly
         self.schema_cache = schema_cache
-        self.last_schema = _read_schema_cache(schema_cache)
+        self.last_schema, self.cached_nm = _read_schema_cache(schema_cache)
 
     def start(self, spark: SparkSession) -> None:
         # ALTER-during-downtime drift detection, shared with
         # run_supervised (see _load_with_drift_backfill).
-        df = _load_with_drift_backfill(spark, self.opts, self.last_schema)
+        df = _load_with_drift_backfill(
+            spark, self.opts, self.last_schema, self.cached_nm
+        )
         self.last_schema = df.schema
-        _write_schema_cache(self.schema_cache, self.last_schema)
+        self.cached_nm = _null_missing_enabled(self.opts)
+        _write_schema_cache(self.schema_cache, self.last_schema, self.cached_nm)
         self.query = self.attach_sink(df)
         self.restart_at = None
 

@@ -1230,9 +1230,105 @@ def test_run_supervised_schema_cache_survives_supervisor_restart(
         assert by_seq[3]["extra"] == "x3"
         for s in (1, 2):  # pre-ALTER rows NULL-backfilled, not fatal
             assert by_seq[s]["extra"] is None
-        # The cache now holds the post-ALTER schema for the NEXT restart.
+        # The cache now holds the post-ALTER schema for the NEXT restart
+        # AND records that the NULL backfill is on (ADVICE r9): a
+        # supervisor restarted after this write but before the
+        # checkpoint passes the ALTER boundary must re-enable it.
         cached = _json.loads(cache.read_text())
-        assert any(f["name"] == "extra" for f in cached["fields"])
+        assert any(f["name"] == "extra" for f in cached["schema"]["fields"])
+        assert cached["null_missing"] is True
+
+
+def test_persisted_null_missing_survives_supervisor_restart(
+    spark, tmp_path
+) -> None:
+    """ADVICE r9 (medium): drift detection persisted the NEW inferred
+    schema immediately, but the nullMissingColumns enablement lived only
+    in in-memory opts — a supervisor dying after the cache write but
+    before the checkpoint passed the ALTER boundary saw cached==inferred
+    on restart, never re-enabled the backfill, and pre-ALTER replay rows
+    died with a non-restartable CDCProtocolError. The cache now records
+    null_missing alongside the schema; this test starts a FRESH
+    supervisor in exactly that window (cache seeded post-ALTER schema +
+    null_missing=true, checkpoint still before the ALTER) and the
+    pre-ALTER rows must NULL-backfill instead of failing."""
+    import json as _json
+    import threading
+
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    new_schema = dict(TEST_SCHEMA_RECORD)
+    new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+        {"name": "extra", "type": "string", "real_type": "varchar", "length": 16}
+    ]
+    history = [make_event(s, name=f"pre{s}") for s in (1, 2)]  # pre-ALTER
+    ev3 = make_event(3, name="post3")
+    ev3["extra"] = "x3"
+    cache = tmp_path / "stream.schema.json"
+    # The dead supervisor already wrote the post-ALTER schema AND the
+    # persisted backfill flag; no drift is detectable on restart.
+    cache.write_text(
+        _json.dumps(
+            {
+                "schema": schema_record_to_struct(new_schema).jsonValue(),
+                "null_missing": True,
+            }
+        )
+    )
+    rows: list[dict] = []
+
+    def stop_when() -> bool:
+        return {1, 2, 3} <= {r["sequence"] for r in list(rows)}
+
+    with FakeMaxScale(new_schema, history + [ev3], table="test.t") as srv:
+        spark.dataSource.register(MaxScaleCDCDataSource)
+
+        def attach_sink(df):
+            def collect_batch(batch, _bid):
+                rows.extend(r.asDict() for r in batch.collect())
+
+            return (
+                df.writeStream.foreachBatch(collect_batch)
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(processingTime="300 milliseconds")
+                .start()
+            )
+
+        result: dict = {}
+
+        def run() -> None:
+            try:
+                result["restarts"] = run_supervised(
+                    spark,
+                    {
+                        "host": "127.0.0.1",
+                        "user": srv.user,
+                        "password": srv.password,
+                        "streams": _json.dumps(
+                            [{"table": "test.t", "port": srv.port}]
+                        ),
+                        "frontierDir": str(tmp_path / "frontier"),
+                        "pollseconds": "0.3",
+                    },
+                    attach_sink,
+                    max_restarts=20,
+                    initial_backoff=0.3,
+                    stop_when=stop_when,
+                    timeout=60.0,
+                    schema_cache=str(cache),
+                )
+            except Exception as exc:  # noqa: BLE001 — asserted below
+                result["error"] = f"{type(exc).__name__}: {exc}"
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(timeout=70)
+        assert not t.is_alive(), "supervisor did not stop"
+        assert "error" not in result, result.get("error")
+        by_seq = {r["sequence"]: r for r in rows}
+        assert by_seq[3]["extra"] == "x3"
+        for s in (1, 2):  # backfill re-enabled purely from the cache flag
+            assert by_seq[s]["extra"] is None
 
 
 def test_supervision_retries_hung_server_handshake(spark, tmp_path) -> None:

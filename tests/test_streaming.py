@@ -1020,3 +1020,63 @@ def test_windowed_agg_watermark_covers_column_event_time(spark, event_log) -> No
     # to the real event-time column, the early windows must have closed.
     assert len(rows) > 0, "no windows finalized — watermark on wrong column"
     assert all(r["n"] > 0 for r in rows)
+
+
+def test_event_time_private_name_never_clobbers_user_column(spark) -> None:
+    """ADVICE r9: a fixed '_event_time' private name silently REPLACED a
+    pre-existing user column of that name, corrupting it when it was a
+    group key. The helper must pick an unused name instead."""
+    from maxscale_cdc_connector_spark.streaming.ops import tumbling_agg
+
+    df = spark.createDataFrame(
+        [(g, 1_700_000_000 + i) for i in range(10) for g in ("a", "b")],
+        "_event_time string, epoch long",
+    )
+    out = tumbling_agg(
+        df,
+        F.timestamp_seconds(F.col("epoch")),  # Column ts, name collision
+        "60 seconds",
+        ["_event_time"],  # user column with the old private name
+        [F.count("*").alias("n")],
+    )
+    rows = {r["_event_time"]: r["n"] for r in out.collect()}
+    # Pre-fix the user column was overwritten by the timestamp expression
+    # and the groups became per-second timestamps instead of {'a','b'}.
+    assert rows == {"a": 10, "b": 10}
+
+
+def test_interval_join_outer_preserves_key_from_right(spark) -> None:
+    """ADVICE r9: for right/full outer interval joins an unmatched RIGHT
+    row has a NULL left key, so dropping the right copy of the equi-key
+    lost the key. The coalesced output must keep it for every row.
+    (Batch frames: withWatermark is a no-op in batch, and the join
+    semantics under test are join-type key handling, not state.)"""
+    from maxscale_cdc_connector_spark.streaming.ops import stream_stream_interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00"), (2, "2026-01-01 00:00:00")],
+        "k int, lts string",
+    ).select("k", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:30"), (9, "2026-01-01 00:00:30")],
+        "k int, rts string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"))
+
+    for how in ("right_outer", "full_outer"):
+        out = stream_stream_interval_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            watermark="10 seconds", max_delay_seconds=60, how=how,
+        )
+        assert out.columns.count("k") == 1
+        keys = {r["k"] for r in out.collect()}
+        # Unmatched right key 9 must survive; pre-fix it came back NULL.
+        want = {1, 9} if how == "right_outer" else {1, 2, 9}
+        assert keys == want, (how, keys)
+
+    # inner/left_outer: unchanged fast path, single key column.
+    inner = stream_stream_interval_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        watermark="10 seconds", max_delay_seconds=60, how="inner",
+    )
+    assert inner.columns.count("k") == 1
+    assert {r["k"] for r in inner.collect()} == {1}
