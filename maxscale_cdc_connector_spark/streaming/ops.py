@@ -338,18 +338,34 @@ class SnapshotSink:
     Multi-server note (r9): when the partitioned reader stamps
     ``_source_id``, replay dedup keys on it automatically (dedup_exact),
     so two servers sharing (domain, server_id, sequence) ranges cannot
-    collapse distinct events in one sink. The MERGE ordering, however,
-    stays (sequence, event_number) — meaningful only within one GTID
-    space — so for active-active sources include ``_source_id`` in
-    ``key_cols`` (per-source current state) unless the sources' GTID
-    sequences are actually comparable.
+    collapse distinct events in one sink. The default MERGE ordering,
+    however, is (sequence, event_number) — meaningful only within one
+    GTID space — so for active-active sources either include
+    ``_source_id`` in ``key_cols`` (per-source current state) or pass
+    an explicit cross-source ``order_cols`` (r10, VERDICT r9 item 5):
+    ``("event_ts", "_source_id", "sequence", "event_number")`` is the
+    documented last-writer-wins rule (event time, ties broken by
+    source then envelope — the same total order
+    cdc_multi_source_reconcile applies in batch), giving ONE reconciled
+    row per key across conflicting writers. The ordering is pinned in
+    the sink's meta marker like n_buckets/key_cols: changing it on live
+    state silently changes merge identity, so a mismatch is refused.
     """
 
     BUCKET_COL = "_bucket"
+    # The single-GTID-space default (cdc_connector.h:199-208 envelope).
+    DEFAULT_ORDER = ("sequence", "event_number")
 
-    def __init__(self, path: str, key_cols: Sequence[str], n_buckets: int = 16) -> None:
+    def __init__(
+        self,
+        path: str,
+        key_cols: Sequence[str],
+        n_buckets: int = 16,
+        order_cols: Sequence[str] = DEFAULT_ORDER,
+    ) -> None:
         self.path = path
         self.key_cols = list(key_cols)
+        self.order_cols = list(order_cols)
         self.n_buckets = n_buckets
         # Shared by _recover and the swap loop (ADVICE r8): a monitoring
         # thread calling current()/snapshot() on THIS instance can never
@@ -371,13 +387,21 @@ class SnapshotSink:
         import json as _json
 
         meta_path = os.path.join(self.path, ".sink-meta.json")
-        want = {"n_buckets": self.n_buckets, "key_cols": list(self.key_cols)}
+        want = {
+            "n_buckets": self.n_buckets,
+            "key_cols": list(self.key_cols),
+            "order_cols": list(self.order_cols),
+        }
         if os.path.isfile(meta_path):
             try:
                 with open(meta_path) as fh:
                     have = _json.load(fh)
             except (OSError, ValueError):
                 have = None
+            if have is not None:
+                # Pre-r10 markers predate order_cols; they were written
+                # by sinks that always merged on the default.
+                have.setdefault("order_cols", list(self.DEFAULT_ORDER))
             if have is not None and have != want:
                 raise ValueError(
                     f"SnapshotSink parameters do not match the existing "
@@ -556,7 +580,7 @@ class SnapshotSink:
             # versa) — union the schemas and NULL-fill, the same backfill
             # MariaDB applies to rows predating an ADD COLUMN.
             incoming = incoming.unionByName(prev_touched, allowMissingColumns=True)
-        ord_key = F.struct(F.col("sequence"), F.col("event_number"))
+        ord_key = F.struct(*[F.col(c) for c in self.order_cols])
         merged = incoming.groupBy(*self.key_cols, self.BUCKET_COL).agg(
             *[
                 F.max_by(F.col(c), ord_key).alias(c)
@@ -611,9 +635,10 @@ def write_snapshot_stream(
     checkpoint_dir: str,
     trigger: dict | None = None,
     n_buckets: int = 16,
+    order_cols: Sequence[str] = SnapshotSink.DEFAULT_ORDER,
 ):
     """Wire a CDC event stream into a SnapshotSink via foreachBatch."""
-    sink = SnapshotSink(path, key_cols, n_buckets)
+    sink = SnapshotSink(path, key_cols, n_buckets, order_cols)
     writer = events.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )

@@ -1,4 +1,10 @@
-"""Full oracle sweep at sf0.01 (the driver's scale) for every oracle-bearing key."""
+"""Full oracle sweep for every oracle-bearing key (or a named subset).
+
+Usage: python scripts/full_sweep.py [key ...]
+Env:   SWEEP_SF_DIR (default /root/testdata/sf0.01 — the driver's scale;
+       point it at an sf1-equivalent corpus from
+       `stress_x10.py --corpus-dir` for the 100× oracle pass).
+"""
 import sys, time
 import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -8,7 +14,12 @@ from tests.oracle import compare_query
 load_all()
 SF = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
 spark = get_session("sweep001")
+wanted = sys.argv[1:]
 keys = [k for k, e in REGISTRY.items() if e.oracle is not None]
+if wanted:
+    unknown = [k for k in wanted if k not in REGISTRY]
+    assert not unknown, f"unknown keys: {unknown}"
+    keys = [k for k in wanted if REGISTRY[k].oracle is not None]
 fails = []
 t00 = time.time()
 for i, k in enumerate(keys):

@@ -79,8 +79,21 @@ def _python_worker_pids() -> list[int]:
 class StreamState:
     """One stream's server handle + full pushed history (for restarts)."""
 
-    def __init__(self, idx: int, shared_gtid_space: bool = False) -> None:
+    def __init__(
+        self,
+        idx: int,
+        shared_gtid_space: bool = False,
+        key_space: int | None = None,
+        seed: int = 0,
+    ) -> None:
         self.shared_gtid_space = shared_gtid_space
+        # --conflict: writes land on a SHARED bounded key space so
+        # streams genuinely update the same rows; ids are drawn from a
+        # per-stream RNG and every pushed event is kept in self.events,
+        # so the expected reconciled winner per key is computed from
+        # the recorded history, not from replaying the randomness.
+        self.key_space = key_space
+        self.rng = random.Random(seed * 1000 + idx)
         # Current schema record (mutated by --alter mid-chaos); restarts
         # recreate the server serving THIS version as the leading record
         # (avrorouter announces the current version on connect).
@@ -112,9 +125,20 @@ class StreamState:
                 # --shared-gtid-space inverts this deliberately: ALL
                 # streams emit IDENTICAL triples, and the stamped
                 # sourceId discriminator must keep them apart (r9).
-                ev = make_event(
-                    self.next_seq, id_=self.next_seq, name=f"s{self.idx}"
-                )
+                if self.key_space is not None:
+                    # Conflicting write: a shared key, updated by every
+                    # stream; the payload names the exact writer+seq so
+                    # the end-state check can assert the WINNER's value.
+                    ev = make_event(
+                        self.next_seq,
+                        event_type="update_after",
+                        id_=self.rng.randint(1, self.key_space),
+                        name=f"s{self.idx}.{self.next_seq}",
+                    )
+                else:
+                    ev = make_event(
+                        self.next_seq, id_=self.next_seq, name=f"s{self.idx}"
+                    )
                 if not self.shared_gtid_space:
                     ev["server_id"] = 3000 + self.idx
                 if self.alter_seq is not None:
@@ -180,12 +204,28 @@ def main() -> int:
         "the stamped _source_id discriminator must keep every colliding "
         "envelope apart in the shared sink (r9, VERDICT r8 item 5)",
     )
+    ap.add_argument(
+        "--conflict",
+        action="store_true",
+        help="active-active CONFLICTING writes (r10, VERDICT r9 item 5): "
+        "every stream updates the SAME bounded key space (ids 1..500) "
+        "while also sharing one GTID space (identical envelope triples, "
+        "implies --shared-gtid-space); the sink reconciles with the "
+        "documented cross-source last-writer-wins order (timestamp, "
+        "_source_id, sequence, event_number) and the end state is "
+        "asserted exactly: every key holds its computed winner's value",
+    )
     args = ap.parse_args()
     if args.single:
         args.streams = 1
+    if args.conflict:
+        args.shared_gtid_space = True
     if args.single and args.shared_gtid_space:
-        ap.error("--shared-gtid-space needs the partitioned reader")
+        ap.error("--shared-gtid-space/--conflict needs the partitioned reader")
+    if args.conflict and args.alter:
+        ap.error("--conflict end-state math does not model --alter; run separately")
     rng = random.Random(args.seed)
+    KEY_SPACE = 500
 
     from pyspark.sql import SparkSession
 
@@ -205,11 +245,25 @@ def main() -> int:
     spark.dataSource.register(MaxScaleCDCDataSource)
 
     streams = [
-        StreamState(i, shared_gtid_space=args.shared_gtid_space)
+        StreamState(
+            i,
+            shared_gtid_space=args.shared_gtid_space,
+            key_space=KEY_SPACE if args.conflict else None,
+            seed=args.seed,
+        )
         for i in range(args.streams)
     ]
     scratch = tempfile.mkdtemp(prefix="cdc_soak_")
-    snap = SnapshotSink(os.path.join(scratch, "snapshot"), ["name", "id"])
+    if args.conflict:
+        # ONE reconciled row per key across all writers: key on id only,
+        # merge by the documented cross-source LWW total order.
+        snap = SnapshotSink(
+            os.path.join(scratch, "snapshot"),
+            ["id"],
+            order_cols=("timestamp", "_source_id", "sequence", "event_number"),
+        )
+    else:
+        snap = SnapshotSink(os.path.join(scratch, "snapshot"), ["name", "id"])
     ckpt = os.path.join(scratch, "ckpt")
 
     options = {
@@ -365,6 +419,53 @@ def main() -> int:
               f"{counters['workers_killed']} workers killed, "
               f"{counters['bursts']} bursts; draining...", flush=True)
         drain_deadline = time.time() + float(os.environ.get("SOAK_DRAIN_S", "420"))
+        if args.conflict:
+            # Expected reconciled winner per key, computed from the FULL
+            # recorded push history across every stream under the same
+            # total order the sink merges with.
+            best: dict[int, tuple] = {}
+            for st in streams:
+                src = f"src{st.idx}"
+                for ev in st.events:
+                    ordk = (ev["timestamp"], src, ev["sequence"], ev["event_number"])
+                    k = ev["id"]
+                    if k not in best or ordk > best[k][0]:
+                        best[k] = (ordk, ev["name"], src)
+            expected_map = {k: (v[1], v[2]) for k, v in best.items()}
+            got_map: dict[int, tuple] = {}
+            while time.time() < drain_deadline and "error" not in result:
+                time.sleep(5.0)
+                try:
+                    cur = snap.snapshot(spark)
+                    rows = cur.select("id", "name", "_source_id").collect()
+                    got_map = {r["id"]: (r["name"], r["_source_id"]) for r in rows}
+                    diff = sum(
+                        1 for k, v in expected_map.items() if got_map.get(k) != v
+                    )
+                    print(
+                        f"[soak] conflict drain poll: {len(got_map)} keys, "
+                        f"{diff} of {len(expected_map)} not yet at winner",
+                        flush=True,
+                    )
+                    if got_map == expected_map:
+                        break
+                except FileNotFoundError:
+                    continue
+                except Exception:  # noqa: BLE001 — racing the live sink
+                    continue
+            ok = got_map == expected_map and "error" not in result
+            if not ok:
+                losers = [
+                    (k, got_map.get(k), v)
+                    for k, v in sorted(expected_map.items())
+                    if got_map.get(k) != v
+                ]
+                print(f"[soak] conflict mismatches (first 20): {losers[:20]}",
+                      flush=True)
+            counters["conflict_keys"] = len(expected_map)
+            done.set()
+            threads[0].join(60)
+            return _finish(ok, t0, expected, counters, result)
         got: dict[str, set[int]] = {}
         while time.time() < drain_deadline and "error" not in result:
             time.sleep(5.0)
@@ -458,6 +559,11 @@ def main() -> int:
         for s in streams:
             s.stop()
 
+    return _finish(ok, t0, expected, counters, result)
+
+
+def _finish(ok, t0, expected, counters, result) -> int:
+    """Print the one-line summary and map ok → exit code."""
     print(json.dumps({
         "soak_ok": ok,
         "duration_s": round(time.time() - t0, 1),
@@ -469,6 +575,7 @@ def main() -> int:
         "query_restarts": result.get("restarts"),
         "alters": counters.get("alters", 0),
         "extra_violations": counters.get("extra_violations"),
+        "conflict_keys": counters.get("conflict_keys"),
         "error": result.get("error"),
     }), flush=True)
     return 0 if ok else 1

@@ -39,10 +39,19 @@ SHIFT_COLS = {
 COPY_TABLES = ("region", "nation", "supplier", "part")
 
 
-def build_x10(spark, sf_dir: str, tables: list[str]) -> str:
+def build_x10(spark, sf_dir: str, tables: list[str], out: str | None = None) -> str:
     from pyspark.sql import functions as F
 
-    out = tempfile.mkdtemp(prefix="stress_x10_")
+    if out is not None:
+        # Reusable corpus (r10 sf1 protocol: ×10 of sf0.1 = sf1-equivalent,
+        # 100× the driver's sf0.01): if every requested table already
+        # exists there, reuse it — the build itself is ~a minute of IO.
+        need = set(tables) | set(COPY_TABLES)
+        if all(os.path.exists(f"{out}/{t}.parquet") for t in need):
+            return out
+        os.makedirs(out, exist_ok=True)
+    else:
+        out = tempfile.mkdtemp(prefix="stress_x10_")
     for t in tables:
         src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in SHIFT_COLS:
@@ -71,6 +80,13 @@ def main() -> int:
         default="lineitem,orders,customer,events,documents,embeddings",
         help="comma-separated tables to clone ×10 (rest copied as-is)",
     )
+    ap.add_argument(
+        "--corpus-dir",
+        default=None,
+        help="materialize (or reuse) the ×10 corpus at this path instead "
+        "of a throwaway tempdir — lets one sf1-equivalent corpus serve "
+        "both the stress timings and an oracle sweep (SWEEP_SF_DIR)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -88,7 +104,7 @@ def main() -> int:
     from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
 
     load_all()
-    x10 = build_x10(spark, args.sf_dir, args.tables.split(","))
+    x10 = build_x10(spark, args.sf_dir, args.tables.split(","), args.corpus_dir)
 
     def best_of_2(key: str, sf_dir: str) -> tuple[float, int]:
         best, rows = None, 0
@@ -109,7 +125,8 @@ def main() -> int:
                 flush=True,
             )
     finally:
-        shutil.rmtree(x10, ignore_errors=True)
+        if args.corpus_dir is None:  # keep a named corpus for reuse
+            shutil.rmtree(x10, ignore_errors=True)
         spark.stop()
     return 0
 
