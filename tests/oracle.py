@@ -11,6 +11,7 @@ checks green.
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 import pandas as pd
@@ -21,8 +22,13 @@ from maxscale_cdc_connector_spark.session import TABLES
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        # Driver testdata ships one file per table; Spark-written corpora
+        # (scripts/stress_x10.py --corpus-dir) are DIRECTORIES of part
+        # files — glob those so the sf1 oracle pass reads the same bytes.
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
     return con
 
