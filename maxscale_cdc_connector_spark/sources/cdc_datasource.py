@@ -156,6 +156,12 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)
         )
         self._poll_seconds = float(options.get("pollseconds", DEFAULT_POLL_SECONDS))
+        # Handshake deadline, decoupled from the idle poll (r10): the
+        # client defaults it to max(pollSeconds, 10 s); the option exists
+        # for tests that wedge a server and want the hung phase to cycle
+        # fast, and for genuinely slow links.
+        hs = options.get("handshakeseconds")
+        self._handshake_seconds = float(hs) if hs is not None else None
         self._max_batch_seconds = float(
             options.get("maxbatchseconds", DEFAULT_MAX_BATCH_SECONDS)
         )
@@ -191,6 +197,7 @@ class CDCSimpleStreamReader(SimpleDataSourceStreamReader):
             table=self._options["table"],
             gtid=gtid or None,
             timeout=self._poll_seconds,
+            handshake_timeout=self._handshake_seconds,
         )
         client.connect()
         # Compare the leading schema record to the query's fixed schema,
@@ -326,7 +333,16 @@ class MaxScaleCDCDataSource(DataSource):
             user=self.options.get("user", ""),
             password=self.options.get("password", ""),
             table=table,
-            timeout=float(self.options.get("pollseconds", DEFAULT_POLL_SECONDS)) + 5.0,
+            # The probe is pure handshake — connect() consumes the
+            # leading schema record and exits. The +5.0 pad that lived
+            # here pre-r10 was compensating for the poll/handshake
+            # conflation the client has since dropped.
+            timeout=float(self.options.get("pollseconds", DEFAULT_POLL_SECONDS)),
+            handshake_timeout=(
+                float(self.options["handshakeseconds"])
+                if "handshakeseconds" in self.options
+                else None
+            ),
         ) as client:
             assert client.schema_record is not None
             return finish(schema_record_to_struct(client.schema_record))

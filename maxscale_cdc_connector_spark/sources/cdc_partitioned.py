@@ -240,6 +240,7 @@ class CDCStreamPartition(InputPartition):
         null_missing: bool,
         max_batch_seconds: float = 10.0,
         run_id: str = "",
+        handshake_seconds: float | None = None,
     ) -> None:
         self.config = config
         self.gtid = gtid
@@ -250,6 +251,7 @@ class CDCStreamPartition(InputPartition):
         self.null_missing = null_missing
         self.max_batch_seconds = max_batch_seconds
         self.run_id = run_id
+        self.handshake_seconds = handshake_seconds
 
 
 class CDCPartitionedStreamReader(DataSourceStreamReader):
@@ -334,6 +336,14 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             options.get("maxrecordsperbatch", DEFAULT_MAX_RECORDS_PER_BATCH)
         )
         self._poll_seconds = float(options.get("pollseconds", DEFAULT_POLL_SECONDS))
+        # Handshake deadline, decoupled from the idle poll (r10): connect
+        # + auth + REGISTER + REQUEST-DATA answer in milliseconds on a
+        # healthy server, but 32+ executors dialing at once exceed a
+        # pollSeconds-sized budget on scheduling noise alone. Defaults in
+        # the client to max(pollSeconds, 10 s — the reference's session
+        # timeout, cdc_connector.h:58).
+        hs = options.get("handshakeseconds")
+        self._handshake_seconds = float(hs) if hs is not None else None
         self._null_missing = options.get("nullmissingcolumns", "false").lower() == "true"
         self._max_batch_seconds = float(
             options.get("maxbatchseconds", DEFAULT_MAX_BATCH_SECONDS)
@@ -426,6 +436,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     null_missing=self._null_missing,
                     max_batch_seconds=self._max_batch_seconds,
                     run_id=self._run_id,
+                    handshake_seconds=self._handshake_seconds,
                 )
             )
         return parts
@@ -705,6 +716,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             table=cfg["table"],
             gtid=partition.gtid or None,
             timeout=partition.poll_seconds,
+            handshake_timeout=getattr(partition, "handshake_seconds", None),
         )
         client.connect()
         try:

@@ -95,6 +95,7 @@ class CDCClient:
         table: str,
         gtid: str | None = None,
         timeout: float = DEFAULT_TIMEOUT,
+        handshake_timeout: float | None = None,
     ) -> None:
         self.host = host
         self.port = port
@@ -103,6 +104,20 @@ class CDCClient:
         self.table = table
         self.start_gtid = gtid
         self.timeout = timeout
+        # The handshake (dial, auth, REGISTER, REQUEST-DATA, leading
+        # schema record) answers in milliseconds on a healthy server, so
+        # its deadline is a FAILURE detector — the reference gives it the
+        # full session timeout (cdc_connector.h:58). ``timeout`` doubles
+        # as the micro-batch IDLE POLL in the streaming readers (0.1 s is
+        # a reasonable poll), and conflating the two made every connect
+        # race a hair-trigger deadline: 32+ executors dialing at once
+        # blew the 100 ms budget on scheduling noise alone (r10 bench).
+        # Default: never tighter than the reference's 10 s.
+        self.handshake_timeout = (
+            handshake_timeout
+            if handshake_timeout is not None
+            else max(timeout, DEFAULT_TIMEOUT)
+        )
         self._sock: socket.socket | None = None
         self._buf = bytearray()
         self._pos = 0  # consumed prefix of _buf (compacted lazily)
@@ -115,7 +130,9 @@ class CDCClient:
         """Dial, authenticate, register, request the stream, and consume
         the leading schema record (connect() pre-reads it so callers see
         data records only — parity with cdc_connector.cpp:214)."""
-        self._sock = socket.create_connection((self.host, self.port), timeout=self.timeout)
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.handshake_timeout
+        )
         # A replaying avrorouter can push hundreds of MB/s; a deep
         # receive buffer lets the server run ahead of decode stalls and
         # makes each recv() return near-MB chunks (fewer syscall
@@ -140,6 +157,10 @@ class CDCClient:
             )
         self.schema_record = first
         self._streaming = True
+        # Streaming reads use the idle-poll timeout: a quiet socket is a
+        # normal condition there (timeout-as-idle, cdc_connector.cpp:
+        # 487-491), not the failure the handshake deadline detects.
+        self._sock.settimeout(self.timeout)
 
     def close(self) -> None:
         """Best-effort CLOSE + socket teardown; idempotent

@@ -39,6 +39,7 @@ class FakeMaxScale:
         err_on_request: str | None = None,
         err_no_newline: bool = False,
         port: int = 0,
+        auth_delay_seconds: float = 0.0,
     ) -> None:
         self.schema_record = schema_record
         self.user = user
@@ -47,6 +48,9 @@ class FakeMaxScale:
         self.fail_auth = fail_auth
         self.err_on_request = err_on_request
         self.err_no_newline = err_no_newline
+        # Delay before the auth OK — models a loaded-but-healthy server
+        # (the handshake-vs-idle-poll timeout decoupling test).
+        self.auth_delay_seconds = auth_delay_seconds
         # The outbound stream: each item is ("event"|"schema", dict).
         self._items: list[tuple[str, dict[str, Any]]] = [("event", e) for e in events]
         self._cond = threading.Condition()
@@ -110,6 +114,8 @@ class FakeMaxScale:
             if self.fail_auth or got != expected:
                 sock.sendall(b"ERR access denied\n")
                 return
+            if self.auth_delay_seconds:
+                time.sleep(self.auth_delay_seconds)
             sock.sendall(b"OK\n")
 
             reg = self._recv_exact(sock, len(REGISTER_MESSAGE.encode()))

@@ -41,6 +41,11 @@ def _client(server: FakeMaxScale, gtid: str | None = None, timeout: float = 0.3)
         table=server.table,
         gtid=gtid,
         timeout=timeout,
+        # Tests want TIGHT deadlines everywhere (the no-newline ERR path
+        # surfaces on handshake-read timeout); production defaults this
+        # to max(timeout, 10 s) — pinned by
+        # test_handshake_timeout_decoupled_from_idle_poll.
+        handshake_timeout=timeout,
     )
 
 
@@ -103,6 +108,37 @@ def test_err_without_trailing_newline_surfaces_message() -> None:
     ) as srv:
         with pytest.raises(CDCProtocolError, match="stream denied"):
             _client(srv).connect()
+
+
+def test_handshake_timeout_decoupled_from_idle_poll() -> None:
+    """``timeout`` is the IDLE POLL (a quiet socket is normal,
+    cdc_connector.cpp:487-491); the handshake deadline is a FAILURE
+    detector and defaults to the reference's full 10 s session timeout
+    (cdc_connector.h:58) rather than inheriting the poll. Pre-r10 the
+    two were conflated: a 0.1 s poll gave connect+auth a 0.1 s budget,
+    which 32+ executors dialing at once blew on scheduling noise alone
+    (r10 bench, 64-stream idle-trigger row)."""
+    with FakeMaxScale(
+        TEST_SCHEMA_RECORD, [make_event(1)], auth_delay_seconds=0.5
+    ) as srv:
+        c = CDCClient(
+            host="127.0.0.1",
+            port=srv.port,
+            user=srv.user,
+            password=srv.password,
+            table=srv.table,
+            timeout=0.1,  # idle poll far below the server's auth delay
+        )
+        assert c.handshake_timeout == 10.0  # max(timeout, DEFAULT_TIMEOUT)
+        with c:
+            # Handshake survived the slow auth; data reads then run on
+            # the 0.1 s idle-poll timeout.
+            assert c._sock.gettimeout() == 0.1
+            assert c.read_record()["sequence"] == 1
+    # An explicit session timeout ABOVE the default is respected.
+    assert (
+        CDCClient("h", 1, "u", "p", "t", timeout=30.0).handshake_timeout == 30.0
+    )
 
 
 def test_unknown_table_err() -> None:
@@ -1398,8 +1434,10 @@ def test_supervision_retries_hung_server_handshake(spark, tmp_path) -> None:
                     "streams": _json.dumps([{"table": "test.t", "port": port}]),
                     "frontierDir": str(tmp_path / "frontier"),
                     "schemaRecord": _json.dumps(TEST_SCHEMA_RECORD),
-                    # Short handshake timeout so the hung phase cycles fast.
+                    # Short handshake timeout so the hung phase cycles
+                    # fast (decoupled from pollSeconds in r10).
                     "pollseconds": "0.5",
+                    "handshakeseconds": "0.5",
                 },
                 attach_sink,
                 max_restarts=50,
