@@ -27,16 +27,28 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 10: EMPTY, deliberately (VERDICT r9 item 2) — 55 keys still
-    # carry r2/r3 driver evidence (set ops, fn packs, the CDC family),
-    # so every prefix slot goes to stalest-first drainage. The round-10
-    # code changes are all OUTSIDE the oracle-checked plans:
-    # restart.py's persisted backfill state, the interval join's
-    # outer-key coalesce and _event_time's collision-proof naming
-    # (ADVICE r9) only alter behavior on inputs the registered queries
-    # never produce (Column ts with a colliding user column; right/full
-    # outer stream-stream joins) — the registered keys' plans are
-    # byte-identical, pinned by pytest, so no fresh driver row is owed.
+    # Round 10: the sf1 (100×-gate) oracle pass caught tpch_q10_returned
+    # flipping a cent — round(sum(float), 2) is summation-order-dependent
+    # at the half-unit lattice, and Spark's partial-agg order diverges
+    # from DuckDB's once enough rows accumulate. The whole
+    # money-float-sum family was converted to exact integer-unit sums
+    # (round each row's product to its exact 1e-2/1e-4 units, sum BIGINT
+    # through decimal(38,0)); these keys owe fresh driver rows. The
+    # other round-10 code changes (persisted backfill state, interval
+    # join outer keys, _event_time naming, handshake-timeout decoupling)
+    # are OUTSIDE the oracle-checked plans — pytest-pinned, no row owed.
+    "tpch_q10_returned",  # the observed sf1 divergence
+    "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q14_promo_revenue",
+    "tpch_q19_disjunctive_filter",
+    "join_broadcast",
+    "join_range_theta",
+    "layout_bucketed_join_agg",
+    # agg_hash is also converted but is a _SENTINELS member (always in
+    # the window), so it is deliberately NOT listed here — listing it
+    # would double-count its slot.
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

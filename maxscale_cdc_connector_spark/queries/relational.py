@@ -101,7 +101,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_broadcast",
     oracle="""
-SELECT p.p_brand, count(*) AS n_items, round(sum(l.l_extendedprice), 2) AS revenue
+SELECT p.p_brand, count(*) AS n_items, round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """,
@@ -117,7 +117,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            _cents_sum().alias("revenue"),
         )
     )
 
@@ -222,7 +222,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_range_theta",
     oracle="""
 SELECT o.o_orderpriority, count(*) AS n_late,
-       round(sum(l.l_extendedprice), 2) AS late_revenue
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS late_revenue
 FROM lineitem l JOIN orders o
   ON l.l_orderkey = o.o_orderkey
  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
@@ -243,7 +243,7 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_late"),
-            F.round(F.sum("l_extendedprice"), 2).alias("late_revenue"),
+            _cents_sum().alias("late_revenue"),
         )
     )
 
@@ -301,14 +301,53 @@ def join_asof_prev_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Aggregation
 # ---------------------------------------------------------------------------
 
+# Exact revenue summation (r10 — the sf1 oracle pass caught
+# tpch_q10_returned flipping a cent): l_extendedprice carries 2 decimals
+# and l_discount 2, so the true per-row revenue has exactly 4 — rounding
+# the float product to the nearest 1e-4 unit recovers that exact integer
+# identically in Spark and DuckDB (per-row, order-independent), and a
+# BIGINT-unit sum is exact at ANY parallelism/accumulation order, where
+# round(sum(float), 2) sits on a half-cent lattice that enough rows
+# eventually cross (a 1000-executor plan reorders partials freely, so
+# float-sum-then-round is not scale-safe). Summed through decimal(38,0)
+# because Spark's sum(bigint) wraps silently on unbounded groups at very
+# large SF (DuckDB's sum(BIGINT) already widens to int128).
+_REV_E4 = "cast(round(l_extendedprice * (1 - l_discount) * 10000) as bigint)"
+
+
+def _rev_sum():
+    # HALF-UP to cents in INTEGER arithmetic before leaving exact space:
+    # a true half-cent tie (unit sum ≡ 50 mod 100) rounds differently
+    # once it passes through a double — Spark's round() works on the
+    # exact decimal expansion of the double while DuckDB computes
+    # floor(x*100 + 0.5) on the float — seen at sf1 on tpch_q10 even
+    # after exact-unit summation. (+50) div 100 is deterministic in
+    # both engines (DuckDB's sum(BIGINT) widens to int128; // floors);
+    # dividing the identical integer cents by 100.0 yields the identical
+    # double on both sides.
+    return (
+        F.expr(f"(sum(cast({_REV_E4} as decimal(38,0))) + 50) div 100") / 100.0
+    )
+
+
+def _cents_sum(col: str = "l_extendedprice"):
+    """Exact sum of a 2-decimal money column (same lattice argument)."""
+    return F.round(
+        F.expr(f"sum(cast(cast(round({col} * 100) as bigint) as decimal(38,0)))")
+        / 100.0,
+        2,
+    )
+
 
 @register(
     "agg_hash",
     oracle="""
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS sum_base_price,
+       ((sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS sum_disc_price,
        round(avg(l_quantity), 4) AS avg_qty,
        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100
             // count(*) AS BIGINT) AS avg_price_e4,
@@ -321,9 +360,10 @@ GROUP BY l_returnflag, l_linestatus
     doc="TPC-H Q1-shaped hash aggregate: 7 aggregates over 2 grouping keys; "
     "partial aggregation collapses each scan partition to ≤|groups| rows "
     "before the shuffle. avg_qty rounds safely (integer-valued source, "
-    "exact float sums at any order); the price average is integer 1e-4 "
-    "units from an exact cents sum — round(avg(float),4) is summation-"
-    "order-dependent at the .00005 lattice (see agg_skew_salted).",
+    "exact float sums at any order); the price sums and average are "
+    "exact integer units (cents / 1e-4) — round(sum-or-avg(float)) is "
+    "summation-order-dependent at the half-unit lattice (see "
+    "agg_skew_salted; the r10 sf1 pass caught tpch_q10 crossing it).",
 )
 def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, "lineitem", sf_dir).filter(
@@ -331,10 +371,15 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "sum_disc_price"
-        ),
+        F.round(
+            F.expr(
+                "sum(cast(cast(round(l_extendedprice * 100) as bigint)"
+                " as decimal(38,0)))"
+            )
+            / 100.0,
+            2,
+        ).alias("sum_base_price"),
+        _rev_sum().alias("sum_disc_price"),
         F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
         F.expr(
             "(sum(cast(round(l_extendedprice * 100) as bigint)) * 100)"
@@ -1249,7 +1294,8 @@ def fn_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping",
     oracle="""
 SELECT l.l_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
        o.o_orderdate, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1279,9 +1325,7 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_sum().alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -1293,7 +1337,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier",
     oracle="""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1325,9 +1370,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_sum().alias("revenue")
         )
     )
 
@@ -1336,7 +1379,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q10_returned",
     oracle="""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1361,9 +1405,7 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_sum().alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -1374,10 +1416,12 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q14_promo_revenue",
     oracle="""
-SELECT round(sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0 END), 2) AS promo_revenue,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+SELECT ((sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                  THEN CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT)
+                  ELSE 0 END) + 50) // 100) / 100.0 AS promo_revenue,
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS total_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 """,
@@ -1389,15 +1433,17 @@ JOIN part p ON l.l_partkey = p.p_partkey
 def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, "lineitem", sf_dir)
     p = t(spark, "part", sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))),
-                2,
+            (
+                F.expr(
+                    "(sum(cast(case when p_type like 'PROMO%' then "
+                    f"{_REV_E4} else 0 end as decimal(38,0))) + 50) div 100"
+                )
+                / 100.0
             ).alias("promo_revenue"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            _rev_sum().alias("total_revenue"),
         )
     )
 
@@ -1447,7 +1493,8 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q19_disjunctive_filter",
     oracle="""
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+SELECT ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue,
        count(*) AS n_rows
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -1488,9 +1535,7 @@ def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _rev_sum().alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
@@ -1878,7 +1923,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       ((sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                      AS BIGINT)) + 50) // 100) / 100.0 AS revenue
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1920,9 +1966,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _rev_sum().alias("revenue")
         )
     )
 
@@ -4469,7 +4513,8 @@ def events_rolling_zscore_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total
+       round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """,
@@ -4513,7 +4558,7 @@ def layout_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.round(F.sum("l_extendedprice"), 2).alias("total"),
+                _cents_sum().alias("total"),
             )
         )
         out = joined.localCheckpoint(eager=True)

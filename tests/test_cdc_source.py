@@ -850,7 +850,10 @@ def test_snapshot_sink_schema_evolution_across_restart(spark, tmp_path) -> None:
         t = threading.Thread(target=run, daemon=True)
         t.start()
         # Pre-ALTER state must be on disk (old schema) before the ALTER.
-        deadline = time.time() + 45
+        # 90 s matches the wrapper's own timeout: the happy path takes
+        # ~30 s (streaming startup + first batch + bucket swap), so 45 s
+        # missed under concurrent full-load sweeps (r10 flake).
+        deadline = time.time() + 90
         while time.time() < deadline and not set(range(1, 6)) <= set(snap()):
             time.sleep(0.2)
         assert set(range(1, 6)) <= set(snap()), "pre-ALTER snapshot never landed"
