@@ -48,6 +48,11 @@ def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Explicit (it is the default, but the bench's Arrow-stage timing
+        # stability depends on it): keep python workers alive between
+        # Arrow stages so a long session doesn't re-pay spawn cost in
+        # timed mapInPandas rows (VERDICT r10 item 4).
+        .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
