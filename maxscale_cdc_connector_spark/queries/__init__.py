@@ -27,28 +27,26 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 10: the sf1 (100×-gate) oracle pass caught tpch_q10_returned
-    # flipping a cent — round(sum(float), 2) is summation-order-dependent
-    # at the half-unit lattice, and Spark's partial-agg order diverges
-    # from DuckDB's once enough rows accumulate. The whole
-    # money-float-sum family was converted to exact integer-unit sums
-    # (round each row's product to its exact 1e-2/1e-4 units, sum BIGINT
-    # through decimal(38,0)); these keys owe fresh driver rows. The
-    # other round-10 code changes (persisted backfill state, interval
-    # join outer keys, _event_time naming, handshake-timeout decoupling)
-    # are OUTSIDE the oracle-checked plans — pytest-pinned, no row owed.
-    "tpch_q10_returned",  # the observed sf1 divergence
-    "tpch_q3_shipping",
-    "tpch_q5_local_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q14_promo_revenue",
-    "tpch_q19_disjunctive_filter",
-    "join_broadcast",
-    "join_range_theta",
-    "layout_bucketed_join_agg",
-    # agg_hash is also converted but is a _SENTINELS member (always in
-    # the window), so it is deliberately NOT listed here — listing it
-    # would double-count its slot.
+    # Round 11: the REMAINING money-float sums (ADVICE r10 medium — the
+    # r10 conversion covered the l_extendedprice revenue family but left
+    # tpch_q6 plus the o_totalprice / acctbal / p_retailprice sums on
+    # the round(sum(float), 2) half-cent lattice). All nine are now
+    # exact integer-unit sums — cents (or 1e-4 units for q6's
+    # price×discount) summed through decimal(38,0), oracle SQL changed
+    # in lockstep — so their previous green rows vouch for retired SQL
+    # and they owe fresh driver rows. Signed sums (acctbal can be
+    # negative) use the plain cents form, which is sign-safe; only the
+    # half-up (+50) div form requires non-negative sums (documented on
+    # _rev_sum).
+    "tpch_q6_forecast_revenue",
+    "agg_rollup",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "sql_api_join_agg",
+    "win_frame_running",
+    "win_range_frame",
+    "cdc_snapshot_join_agg",
+    "cdc_incremental_agg",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -193,12 +193,16 @@ snap AS (
     FROM ranked WHERE rn = 1 AND event_type <> 'delete'
 )
 SELECT n.n_name, count(*) AS n_customers,
-       round(sum(s.c_acctbal), 2) AS total_acctbal
+       round(sum(CAST(round(s.c_acctbal * 100) AS BIGINT)) / 100.0, 2)
+         AS total_acctbal
 FROM snap s JOIN nation n ON s.c_nationkey = n.n_nationkey
 GROUP BY n.n_name
 """,
     doc="Flagship: change log → latest snapshot → broadcast join to nation → "
-    "aggregate. Exercises decode semantics, snapshot, join, agg in one plan.",
+    "aggregate. Exercises decode semantics, snapshot, join, agg in one "
+    "plan. The balance total is an exact integer cents sum (r11 — "
+    "acctbal can be negative, which the sign-safe cents pattern carries; "
+    "only the half-up (+50) div form needs non-negative sums).",
 )
 def cdc_snapshot_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = synthetic_customer_events(spark, sf_dir)
@@ -209,7 +213,14 @@ def cdc_snapshot_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.round(
+                F.expr(
+                    "sum(cast(cast(round(c_acctbal * 100) as bigint)"
+                    " as decimal(38,0)))"
+                )
+                / 100.0,
+                2,
+            ).alias("total_acctbal"),
         )
     )
 
@@ -393,11 +404,11 @@ WITH {CDC_EVENTS_SQL},
 deltas AS (
     SELECT c_nationkey,
            CASE event_type
-                WHEN 'insert' THEN c_acctbal
-                WHEN 'update_after' THEN c_acctbal
-                WHEN 'update_before' THEN -c_acctbal
-                WHEN 'delete' THEN -c_acctbal
-           END AS d_acctbal,
+                WHEN 'insert' THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                WHEN 'update_after' THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                WHEN 'update_before' THEN -CAST(round(c_acctbal * 100) AS BIGINT)
+                WHEN 'delete' THEN -CAST(round(c_acctbal * 100) AS BIGINT)
+           END AS d_cents,
            CASE event_type
                 WHEN 'insert' THEN 1
                 WHEN 'update_after' THEN 1
@@ -408,7 +419,7 @@ deltas AS (
 )
 SELECT c_nationkey,
        CAST(sum(d_rows) AS BIGINT) AS n_rows,
-       round(sum(d_acctbal), 2) AS total_acctbal
+       round(sum(d_cents) / 100.0, 2) AS total_acctbal
 FROM deltas GROUP BY c_nationkey
 """,
     doc="Incremental aggregate maintenance from the change log: every event "
@@ -427,16 +438,21 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type").isin("insert", "update_after"), F.lit(1))
         .when(F.col("event_type").isin("update_before", "delete"), F.lit(-1))
     )
+    # Signed deltas in exact integer cents (r11): cancellation makes the
+    # float form WORSE than a plain sum — the net total is small while
+    # the positive/negative partials are large, so relative error is
+    # unbounded; integer cents cancel exactly at any accumulation order.
+    cents = F.expr("cast(round(c_acctbal * 100) as bigint)")
     return (
         events.select(
             "c_nationkey",
-            (sign * F.col("c_acctbal")).alias("d_acctbal"),
+            (sign * cents).cast("decimal(38,0)").alias("d_cents"),
             sign.alias("d_rows"),
         )
         .groupBy("c_nationkey")
         .agg(
             F.sum("d_rows").cast("bigint").alias("n_rows"),
-            F.round(F.sum("d_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.sum("d_cents") / 100.0, 2).alias("total_acctbal"),
         )
     )
 
