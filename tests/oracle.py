@@ -26,9 +26,15 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
         # Driver testdata ships one file per table; Spark-written corpora
         # (scripts/stress_x10.py --corpus-dir) are DIRECTORIES of part
         # files — glob those so the sf1 oracle pass reads the same bytes.
-        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        # Recursive glob (ADVICE r10): a partitioned layout (key=value
+        # subdirs) would match zero files under a flat glob (`**` also
+        # matches zero directories, so flat output still resolves), and
+        # single quotes in sf_dir are SQL-escaped by doubling — DuckDB
+        # rejects bound parameters in DDL, so escaping is the option.
+        pattern = f"{path}/**/*.parquet" if os.path.isdir(path) else path
+        quoted = pattern.replace("'", "''")
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{quoted}')"
         )
     return con
 
