@@ -47,6 +47,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "win_range_frame",
     "cdc_snapshot_join_agg",
     "cdc_incremental_agg",
+    # r11 sf1 sweep catch: the oracle's string_agg within-tie order was
+    # engine-defined once the ×10 corpus made transaction sequences
+    # collide; tie-break added to match array_sort's total order.
+    "cdc_txn_manifest",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -1134,7 +1134,7 @@ def cdc_incremental_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {CDC_EVENTS_SQL}
 SELECT domain, server_id, sequence,
        CAST(count(*) AS BIGINT) AS n_events,
-       string_agg(event_type, ',' ORDER BY event_number) AS event_chain,
+       string_agg(event_type, ',' ORDER BY event_number, event_type) AS event_chain,
        CAST(min(c_custkey) AS BIGINT) AS first_key,
        CAST(max(event_number) AS BIGINT) AS last_event_number
 FROM cdc_events
@@ -1150,7 +1150,13 @@ HAVING count(*) > 1
     "to confirm transactional atomicity survived transport: a chain "
     "that is not 'update_before,update_after' means a half-applied "
     "transaction. One hash aggregate keyed on the GTID triple; "
-    "map-side partials collapse each transaction before the shuffle.",
+    "map-side partials collapse each transaction before the shuffle. "
+    "The chain order tie-breaks on event_type (array_sort over the "
+    "(event_number, event_type) struct is total): the r11 sf1 sweep "
+    "caught the oracle's bare ORDER BY event_number leaving within-tie "
+    "order engine-defined once the ×10 id-shifted corpus made distinct "
+    "transactions' sequences collide — a divergence invisible at "
+    "sf0.01 where every (triple, event_number) is unique.",
 )
 def cdc_txn_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = synthetic_customer_events(spark, sf_dir)

@@ -175,11 +175,394 @@ class StreamState:
             self.server.stop()
 
 
+def _child_main(cfg_path: str) -> int:
+    """Supervisor child process for ``--kill-supervisor``: owns its own
+    SparkSession + the supervised query, and NOTHING else — servers,
+    feeders and chaos live in the parent, so SIGKILLing this process
+    (and its process group: JVM, daemons, workers) is exactly a driver
+    host loss. Every incarnation resumes from the shared checkpoint and
+    the persisted ``schema_cache`` ({schema, null_missing} — the r10
+    fix this mode exists to soak)."""
+    with open(cfg_path) as fh:
+        cfg = json.load(fh)
+    from pyspark.sql import SparkSession
+
+    from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+    from maxscale_cdc_connector_spark.streaming.restart import run_supervised
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .appName("cdc_soak_supervisor_child")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.dataSource.register(MaxScaleCDCDataSource)
+    snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+    stop_file = cfg["stop_file"]
+
+    def attach(df):
+        return (
+            df.writeStream.foreachBatch(snap)
+            .option("checkpointLocation", cfg["ckpt"])
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+
+    try:
+        restarts = run_supervised(
+            spark,
+            cfg["options"],
+            attach,
+            max_restarts=1000,
+            initial_backoff=0.3,
+            max_backoff=5.0,
+            stop_when=lambda: os.path.exists(stop_file),
+            timeout=cfg["timeout"],
+            schema_cache=cfg["schema_cache"],
+        )
+    except Exception as exc:  # noqa: BLE001 — surfaced to the parent
+        print(
+            f"[soak-child] supervisor error: {type(exc).__name__}: "
+            f"{str(exc)[:2000]}",
+            flush=True,
+        )
+        return 1
+    try:
+        with open(cfg["result_file"], "w") as fh:
+            json.dump({"restarts": restarts}, fh)
+    except OSError:
+        pass
+    return 0
+
+
+class _ChildSupervisor:
+    """Spawn/kill handle for the supervisor child process. The child is
+    its own session leader, so SIGKILL to the process GROUP takes the
+    python driver, the JVM it launched, and every pyspark daemon/worker
+    under it — the whole driver host, atomically."""
+
+    def __init__(self, cfg_path: str) -> None:
+        self.cmd = [sys.executable, os.path.abspath(__file__), "--child-config", cfg_path]
+        self.lock = threading.Lock()
+        self.proc: subprocess.Popen | None = None
+        self.last_spawn = 0.0
+
+    def spawn(self) -> None:
+        with self.lock:
+            if self.proc is not None and self.proc.poll() is None:
+                return  # one supervisor at a time — two would share a checkpoint
+            self.proc = subprocess.Popen(self.cmd, start_new_session=True)
+            self.last_spawn = time.time()
+
+    def kill(self) -> None:
+        with self.lock:
+            # Also restarts the monitor's grace window: the ~1 s gap
+            # between a SCHEDULED kill and its respawn must not read as
+            # an unplanned exit (that race double-spawned, briefly
+            # running two supervisors against one checkpoint).
+            self.last_spawn = time.time()
+            if self.proc is not None and self.proc.poll() is None:
+                try:
+                    os.killpg(self.proc.pid, signal.SIGKILL)
+                except OSError:
+                    pass
+                try:
+                    self.proc.wait(30)
+                except subprocess.TimeoutExpired:
+                    pass
+
+    def exited(self) -> bool:
+        with self.lock:
+            return self.proc is None or self.proc.poll() is not None
+
+
+def _run_kill_supervisor(args) -> int:
+    """Parent side of ``--kill-supervisor``: servers + feeders + chaos
+    here, the supervised query in a killable child process. The exact
+    end-state assertion is unchanged from the in-process soak — every
+    pushed (stream, id) present exactly once, and with ``--alter`` the
+    widened-column value/NULL-backfill contract on every row — but now
+    it must hold across whole-driver SIGKILLs, including ones landing
+    between the schema-cache write and the checkpoint passing the ALTER
+    boundary (the ADVICE r9 hole the r10 cache closes)."""
+    rng = random.Random(args.seed)
+    streams = [StreamState(i, seed=args.seed) for i in range(args.streams)]
+    scratch = tempfile.mkdtemp(prefix="cdc_soak_ks_")
+    stop_file = os.path.join(scratch, "stop")
+    cfg = {
+        "snapshot_dir": os.path.join(scratch, "snapshot"),
+        "key_cols": ["name", "id"],
+        "ckpt": os.path.join(scratch, "ckpt"),
+        "stop_file": stop_file,
+        "result_file": os.path.join(scratch, "child_result.json"),
+        "schema_cache": os.path.join(scratch, "schema_cache.json"),
+        "timeout": args.duration + 900.0,
+        "options": {
+            "host": "127.0.0.1",
+            "user": "soak",
+            "password": "soak",
+            "schemaRecord": json.dumps(TEST_SCHEMA_RECORD),
+            "pollseconds": "0.3",
+            "maxbatchseconds": "2",
+            "streams": json.dumps(
+                [{"table": s.table, "port": s.port} for s in streams]
+            ),
+            "frontierDir": os.path.join(scratch, "frontier"),
+        },
+    }
+    cfg_path = os.path.join(scratch, "child_config.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(cfg, fh)
+    child = _ChildSupervisor(cfg_path)
+    child.spawn()
+
+    chaos_until = time.time() + args.duration
+    t0 = time.time()
+    counters = {
+        "restarts_injected": 0,
+        "workers_killed": 0,
+        "bursts": 0,
+        "supervisor_kills": 0,
+        "supervisor_respawns_unplanned": 0,
+    }
+
+    def feeder(st: StreamState) -> None:
+        while time.time() < chaos_until:
+            t_end = min(time.time() + 4.0, chaos_until)
+            while time.time() < t_end:
+                st.push(1)
+                time.sleep(0.1)
+            if time.time() >= chaos_until:
+                break
+            st.push(2000)
+            counters["bursts"] += 1
+            time.sleep(1.0)
+
+    def server_chaos() -> None:
+        while time.time() < chaos_until:
+            time.sleep(rng.uniform(12.0, 22.0))
+            if time.time() >= chaos_until:
+                break
+            st = rng.choice(streams)
+            print(f"[soak] t={time.time()-t0:.1f}s restarting server "
+                  f"s{st.idx} (head seq {st.next_seq - 1})", flush=True)
+            st.restart(downtime=rng.uniform(0.3, 1.0))
+            counters["restarts_injected"] += 1
+
+    def worker_chaos() -> None:
+        while time.time() < chaos_until:
+            time.sleep(rng.uniform(10.0, 18.0))
+            if time.time() >= chaos_until:
+                break
+            victims = _python_worker_pids()
+            if victims:
+                pid = rng.choice(victims)
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    print(f"[soak] t={time.time()-t0:.1f}s killed worker {pid}",
+                          flush=True)
+                    counters["workers_killed"] += 1
+                except OSError:
+                    pass
+
+    def alter_chaos() -> None:
+        time.sleep(args.duration / 2.0)
+        if time.time() >= chaos_until:
+            return
+        new_schema = dict(TEST_SCHEMA_RECORD)
+        new_schema["fields"] = TEST_SCHEMA_RECORD["fields"] + [
+            {"name": "extra", "type": "string", "real_type": "varchar",
+             "length": 16}
+        ]
+        for st in streams:
+            st.alter(new_schema)
+        counters["alters"] = 1
+        print(
+            f"[soak] t={time.time()-t0:.1f}s ALTER pushed to all streams "
+            f"(boundaries { {f's{st.idx}': st.alter_seq for st in streams} })",
+            flush=True,
+        )
+
+    def supervisor_chaos() -> None:
+        # Fixed fractions, not a random interval: with --alter at 50%,
+        # the 35% kill lands BEFORE the boundary (plain checkpoint
+        # resume) and 55%/80% land AFTER it, when the schema cache +
+        # checkpoint replay interplay is the thing under test.
+        for frac in (0.35, 0.55, 0.80):
+            target = t0 + frac * args.duration
+            while time.time() < min(target, chaos_until):
+                time.sleep(0.5)
+            if time.time() >= chaos_until:
+                break
+            print(f"[soak] t={time.time()-t0:.1f}s SIGKILL supervisor "
+                  f"process group (pid {child.proc.pid})", flush=True)
+            child.kill()
+            counters["supervisor_kills"] += 1
+            time.sleep(1.0)
+            child.spawn()
+
+    drain_deadline = time.time() + args.duration + float(
+        os.environ.get("SOAK_DRAIN_S", "420")
+    )
+
+    def child_monitor() -> None:
+        # A child that died on its OWN (not a scheduled kill — those
+        # respawn within ~1 s) is respawned so the drain can finish,
+        # and counted: an unplanned exit is itself a finding.
+        while not os.path.exists(stop_file) and time.time() < drain_deadline:
+            time.sleep(2.0)
+            if (
+                child.exited()
+                and not os.path.exists(stop_file)
+                and time.time() - child.last_spawn > 6.0
+            ):
+                print(f"[soak] t={time.time()-t0:.1f}s child exited "
+                      "unplanned; respawning", flush=True)
+                counters["supervisor_respawns_unplanned"] += 1
+                child.spawn()
+
+    feeders = [
+        threading.Thread(target=feeder, args=(s,), daemon=True) for s in streams
+    ]
+    threads = feeders + [
+        threading.Thread(target=server_chaos, daemon=True),
+        threading.Thread(target=worker_chaos, daemon=True),
+        threading.Thread(target=supervisor_chaos, daemon=True),
+        threading.Thread(target=child_monitor, daemon=True),
+    ]
+    if args.alter:
+        threads.append(threading.Thread(target=alter_chaos, daemon=True))
+    for th in threads:
+        th.start()
+
+    ok = False
+    expected: dict[str, set[int]] = {}
+    try:
+        while time.time() < chaos_until:
+            time.sleep(2.0)
+        for th in feeders:
+            th.join(30.0)
+        expected = {f"s{s.idx}": set(range(1, s.next_seq)) for s in streams}
+        total = sum(len(v) for v in expected.values())
+        print(f"[soak] chaos window closed: {total} events pushed, "
+              f"{counters['restarts_injected']} server restarts, "
+              f"{counters['workers_killed']} workers killed, "
+              f"{counters['supervisor_kills']} supervisor kills, "
+              f"{counters['bursts']} bursts; draining...", flush=True)
+
+        # Parent-side polling session (created only now, so the two
+        # drivers never compete during the chaos window): the sink's
+        # snapshot is parquet on disk, readable from any session.
+        from pyspark.sql import SparkSession
+        from pyspark.sql import functions as F
+
+        from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+
+        pspark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.shuffle.partitions", "8")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .appName("cdc_soak_ks_parent")
+            .getOrCreate()
+        )
+        pspark.sparkContext.setLogLevel("ERROR")
+        snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+
+        got: dict[str, set[int]] = {}
+        while time.time() < drain_deadline:
+            time.sleep(5.0)
+            try:
+                cur = snap.snapshot(pspark)
+                rows = cur.groupBy("name").agg({"id": "count"}).collect()
+                sizes = {r["name"]: r["count(id)"] for r in rows}
+                print(f"[soak] drain poll: have {sizes} want "
+                      f"{ {k: len(v) for k, v in expected.items()} }",
+                      flush=True)
+                if sizes == {k: len(v) for k, v in expected.items()}:
+                    got = {
+                        name: {
+                            r["id"]
+                            for r in cur.filter(cur.name == name)
+                            .select("id").collect()
+                        }
+                        for name in expected
+                    }
+                    break
+            except FileNotFoundError:
+                continue
+            except Exception:  # noqa: BLE001 — racing the live sink
+                continue
+        ok = got == expected
+        if ok and args.alter and counters.get("alters"):
+            viol = None
+            for _attempt in range(5):
+                try:
+                    cur = snap.snapshot(pspark)
+                    v = 0
+                    for st in streams:
+                        sub = cur.filter(F.col("name") == f"s{st.idx}")
+                        b = st.alter_seq
+                        v += sub.filter(
+                            (F.col("id") >= b)
+                            & (
+                                F.col("extra").isNull()
+                                | (F.col("extra")
+                                   != F.concat(F.lit("x"), F.col("id")))
+                            )
+                        ).count()
+                        v += sub.filter(
+                            (F.col("id") < b) & F.col("extra").isNotNull()
+                        ).count()
+                    viol = v
+                    break
+                except Exception:  # noqa: BLE001 — racing the live sink
+                    time.sleep(2.0)
+            counters["extra_violations"] = viol
+            ok = viol == 0
+    finally:
+        with open(stop_file, "w") as fh:
+            fh.write("stop")
+        try:
+            if child.proc is not None:
+                child.proc.wait(90)
+        except subprocess.TimeoutExpired:
+            child.kill()
+        for s in streams:
+            s.stop()
+
+    result: dict = {}
+    try:
+        with open(cfg["result_file"]) as fh:
+            # Restart count of the FINAL incarnation only — earlier
+            # incarnations died without reporting, by design.
+            result["restarts"] = json.load(fh)["restarts"]
+    except (OSError, ValueError, KeyError):
+        pass
+    return _finish(ok, t0, expected, counters, result)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=300.0)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument("--child-config", help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--kill-supervisor",
+        action="store_true",
+        help="run the supervised query in a CHILD process (own Spark "
+        "driver) and SIGKILL its whole process group at ~35%%/55%%/80%% "
+        "of the chaos window — with --alter the 55%%/80%% kills land "
+        "AFTER the ALTER boundary while the checkpoint may still replay "
+        "pre-ALTER rows, soaking the r10 persisted {schema, "
+        "null_missing} cache (streaming/restart.py) that pytest pins "
+        "but no chaos run had exercised (VERDICT r10 item 6)",
+    )
     ap.add_argument(
         "--single",
         action="store_true",
@@ -216,6 +599,8 @@ def main() -> int:
         "asserted exactly: every key holds its computed winner's value",
     )
     args = ap.parse_args()
+    if args.child_config:
+        return _child_main(args.child_config)
     if args.single:
         args.streams = 1
     if args.conflict:
@@ -224,6 +609,10 @@ def main() -> int:
         ap.error("--shared-gtid-space/--conflict needs the partitioned reader")
     if args.conflict and args.alter:
         ap.error("--conflict end-state math does not model --alter; run separately")
+    if args.kill_supervisor and (args.single or args.conflict or args.shared_gtid_space):
+        ap.error("--kill-supervisor runs the partitioned reader (optionally with --alter)")
+    if args.kill_supervisor:
+        return _run_kill_supervisor(args)
     rng = random.Random(args.seed)
     KEY_SPACE = 500
 
@@ -573,6 +962,8 @@ def _finish(ok, t0, expected, counters, result) -> int:
         "workers_killed": counters["workers_killed"],
         "bursts": counters["bursts"],
         "query_restarts": result.get("restarts"),
+        "supervisor_kills": counters.get("supervisor_kills"),
+        "supervisor_respawns_unplanned": counters.get("supervisor_respawns_unplanned"),
         "alters": counters.get("alters", 0),
         "extra_violations": counters.get("extra_violations"),
         "conflict_keys": counters.get("conflict_keys"),
