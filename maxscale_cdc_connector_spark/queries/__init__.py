@@ -51,6 +51,22 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # engine-defined once the ×10 corpus made transaction sequences
     # collide; tie-break added to match array_sort's total order.
     "cdc_txn_manifest",
+    # r11: the events.value sums (cent lattice like the money columns)
+    # converted to exact integer cents — this closes the float-sum
+    # hazard class across the whole registry; stream_session_window
+    # additionally got the (ts, event_id) tie-break its islands prefix
+    # sum was missing (second r11 sf1 catch: 6 of 95k sessions split
+    # under tied clone timestamps).
+    "events_user_features",
+    "events_first_touch_attribution",
+    "join_interval_bucketed",
+    "layout_partition_pruned_scan",
+    "stream_tumbling_agg",
+    "stream_sliding_agg",
+    "stream_session_window",
+    "stream_enrich_static",
+    "join_left_outer",
+    "agg_pivot",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

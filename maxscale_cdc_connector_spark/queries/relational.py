@@ -126,7 +126,8 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_left_outer",
     oracle="""
 SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
-       round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+       round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+             / 100.0, 2) AS total_spend
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 """,
@@ -140,7 +141,17 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.round(
+                F.coalesce(
+                    F.expr(
+                        "sum(cast(cast(round(o_totalprice * 100) as bigint)"
+                        " as decimal(38,0)))"
+                    ),
+                    F.lit(0),
+                )
+                / 100.0,
+                2,
+            ).alias("total_spend"),
         )
     )
 
@@ -1080,9 +1091,15 @@ def subq_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
 SELECT o_orderpriority,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-       round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             / 100.0, 2) AS F,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'O'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             / 100.0, 2) AS O,
+       round(coalesce(sum(CASE WHEN o_orderstatus = 'P'
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT) END), 0)
+             / 100.0, 2) AS P
 FROM orders GROUP BY o_orderpriority
 """,
     doc="Pivot with an explicit value list (no extra distinct-values "
@@ -1094,11 +1111,21 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
-        .agg(F.sum("o_totalprice"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(cast(round(o_totalprice * 100) as bigint)"
+                    " as decimal(38,0))"
+                )
+            )
+        )
     )
     return out.select(
         "o_orderpriority",
-        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(0)) / 100.0, 2).alias(c)
+            for c in ("F", "O", "P")
+        ],
     )
 
 
@@ -2268,7 +2295,7 @@ SELECT user_id,
        count(*) AS n_events,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
             AS BIGINT) AS n_purchases,
-       round(sum(value), 2) AS sum_value,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value,
        max(ts_us) AS last_seen_us,
        CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT) AS n_active_days
 FROM e GROUP BY user_id
@@ -2288,7 +2315,7 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
         .cast("bigint")
         .alias("n_purchases"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        _cents_sum("value").alias("sum_value"),
         F.max("ts_us").alias("last_seen_us"),
         F.countDistinct(F.expr("ts_us DIV 86400000000")).cast("bigint").alias("n_active_days"),
     )
@@ -3080,7 +3107,7 @@ firsts AS (SELECT user_id, event_type AS first_touch FROM ranked WHERE rk = 1),
 purch AS (SELECT user_id, value FROM events WHERE event_type = 'purchase')
 SELECT f.first_touch,
        CAST(count(*) AS BIGINT) AS n_purchases,
-       round(sum(p.value), 2) AS attributed_value
+       round(sum(CAST(round(p.value * 100) AS BIGINT)) / 100.0, 2) AS attributed_value
 FROM purch p JOIN firsts f USING (user_id)
 GROUP BY f.first_touch
 """,
@@ -3106,7 +3133,7 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("first_touch")
         .agg(
             F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("attributed_value"),
+            _cents_sum("value").alias("attributed_value"),
         )
     )
 
@@ -3294,7 +3321,7 @@ hits AS (
     FROM purch p JOIN wins w ON p.ts_us BETWEEN w.s AND w.e2
 )
 SELECT CAST(count(*) AS BIGINT) AS n_purchases_in_error_windows,
-       round(sum(value), 2) AS value_at_risk
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS value_at_risk
 FROM hits
 """,
     doc="PURE interval join (no equi key) via time-bucketization — the "
@@ -3341,7 +3368,7 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hits.agg(
         F.count("*").alias("n_purchases_in_error_windows"),
-        F.round(F.sum("value"), 2).alias("value_at_risk"),
+        _cents_sum("value").alias("value_at_risk"),
     )
 
 
@@ -4397,7 +4424,7 @@ def orders_open_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS value_sum
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS value_sum
 FROM events WHERE event_type IN ('purchase', 'signup')
 GROUP BY event_type
 """,
@@ -4425,7 +4452,7 @@ def layout_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        _cents_sum("value").alias("value_sum"),
     )
 
 

@@ -31,6 +31,22 @@ from maxscale_cdc_connector_spark.streaming.ops import (
 )
 
 
+def _value_cents_sum(ndigits: int):
+    """Exact sum of the 2-decimal ``value`` column in integer cents
+    (r11 — same half-unit-lattice hazard as the money sums; rounding to
+    4 digits does NOT snap a drifted float sum back to the source's
+    1e-2 lattice, and windowed groups grow with corpus size). Works
+    identically under streaming partial aggregation: the cents cast is
+    per-row, the sum is decomposable."""
+    return F.round(
+        F.expr(
+            "sum(cast(cast(round(value * 100) as bigint) as decimal(38,0)))"
+        )
+        / 100.0,
+        ndigits,
+    ).alias("value_sum")
+
+
 def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_ts_timestamp(t(spark, "events", sf_dir))
 
@@ -41,7 +57,7 @@ def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS win_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_sum
 FROM events
 GROUP BY 1, 2
 """,
@@ -56,7 +72,7 @@ def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         "10 minutes",
         ["event_type"],
-        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum")],
+        [F.count("*").alias("n"), _value_cents_sum(4)],
     )
     return out.select(F.col("win.start").alias("win_start"), "event_type", "n", "value_sum")
 
@@ -71,7 +87,8 @@ exploded AS (
     SELECT unnest([tb, tb - INTERVAL 5 MINUTE]) AS win_start, event_id, value
     FROM buckets
 )
-SELECT win_start, count(*) AS n, round(sum(value), 4) AS value_sum
+SELECT win_start, count(*) AS n,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_sum
 FROM exploded GROUP BY win_start
 """,
     doc="Sliding windows 10 min long every 5 min: each event lands in "
@@ -85,7 +102,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "10 minutes",
         "5 minutes",
         [],
-        [F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("value_sum")],
+        [F.count("*").alias("n"), _value_cents_sum(4)],
     )
     return out.select(F.col("win.start").alias("win_start"), "n", "value_sum")
 
@@ -94,7 +111,7 @@ def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
 WITH ordered AS (
-    SELECT user_id, ts, value,
+    SELECT user_id, ts, value, event_id,
            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 30 MINUTE
                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -104,7 +121,7 @@ WITH ordered AS (
 numbered AS (
     SELECT user_id, ts, value,
            sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
     FROM ordered
 )
@@ -112,12 +129,17 @@ SELECT user_id,
        min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
        count(*) AS n_events,
-       round(sum(value), 4) AS value_sum
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 4) AS value_sum
 FROM numbered GROUP BY user_id, session_no
 """,
     doc="Session windows with a 30-minute inactivity gap per user — "
     "Spark's session_window in batch mode vs the classic SQL islands "
     "formulation (session end = last event + gap on both engines). "
+    "The islands prefix sum orders by (ts, event_id): with bare ts, "
+    "tied timestamps straddling a session boundary get engine-defined "
+    "session numbers (r11 sf1 catch — the ×10 corpus clones events at "
+    "identical ts, and 6 of 95k sessions split off; gap semantics "
+    "put a whole tie group in the boundary row's session). "
     "Streaming form: the same operator under a watermark merges "
     "in-flight sessions in the state store.",
 )
@@ -127,7 +149,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_us",
         "30 minutes",
         ["user_id"],
-        [F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("value_sum")],
+        [F.count("*").alias("n_events"), _value_cents_sum(4)],
     )
     return out.select(
         "user_id",
@@ -574,7 +596,7 @@ def stream_stateful_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c.c_mktsegment AS segment,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(e.value), 2) AS value_sum
+       round(sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0, 2) AS value_sum
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY segment
 """,
@@ -598,7 +620,7 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = enrich_static(e, dim, ["c_custkey"])
     return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("value_sum"),
+        _value_cents_sum(2),
     )
 
 
