@@ -72,6 +72,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # id space is sparse; rewritten over the edge set to match the
     # engine's (correct) edge-based hierarchy semantics.
     "graph_hierarchy_rollup",
+    # r11: oracle text gained MATERIALIZED hints (semantics unchanged —
+    # DuckDB was re-inlining the edge build into all 10 unrolled
+    # power-iteration rounds, a >50-min runaway at sf1; 289 s after).
+    "graph_pagerank_parts",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -2335,7 +2335,7 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
     rounds = []
     for i in range(1, iters + 1):
         rounds.append(
-            f"""r{i} AS (
+            f"""r{i} AS MATERIALIZED (
     SELECT n.node,
            (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
            + CAST(0.85 AS DOUBLE) * COALESCE(c.inflow, CAST(0.0 AS DOUBLE)) AS rank
@@ -2347,26 +2347,26 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
         )
     chain = ",\n".join(rounds)
     return f"""
-WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-und AS (
+WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS MATERIALIZED (
     SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(count(*) AS DOUBLE) AS weight
     FROM items a JOIN items b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT u AS src, v AS dst, weight FROM und
     UNION ALL
     SELECT v AS src, u AS dst, weight FROM und
 ),
-nodes AS (
+nodes AS MATERIALIZED (
     SELECT DISTINCT node FROM (
         SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
     )
 ),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-outw AS (SELECT src AS node, sum(weight) AS out_w FROM edges GROUP BY 1),
-norm AS (
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS MATERIALIZED (SELECT src AS node, sum(weight) AS out_w FROM edges GROUP BY 1),
+norm AS MATERIALIZED (
     SELECT e.src AS e_src, e.dst AS e_dst, e.weight / o.out_w AS p
     FROM edges e JOIN outw o ON e.src = o.node
 ),
