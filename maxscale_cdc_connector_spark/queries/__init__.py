@@ -73,9 +73,12 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # engine's (correct) edge-based hierarchy semantics.
     "graph_hierarchy_rollup",
     # r11: oracle text gained MATERIALIZED hints (semantics unchanged —
-    # DuckDB was re-inlining the edge build into all 10 unrolled
-    # power-iteration rounds, a >50-min runaway at sf1; 289 s after).
+    # DuckDB was re-inlining heavy CTEs per reference: the pagerank
+    # edge build into all 10 unrolled rounds (>50-min sf1 runaway,
+    # 289 s after), the triangle census's pair graph into all 6 of its
+    # references (153 s after)).
     "graph_pagerank_parts",
+    "graph_triangle_count",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -1824,13 +1824,13 @@ def text_token_percentiles_by_lang(spark: SparkSession, sf_dir: str) -> DataFram
     "graph_triangle_count",
     oracle=f"""
 WITH {_DUP_DOCS_SQL}, {_SHINGLES_SQL},
-sizes AS (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
-common AS (
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS set_size FROM shingles GROUP BY doc_id),
+common AS MATERIALIZED (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
     FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
     SELECT doc_a, doc_b FROM common
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
