@@ -79,6 +79,14 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     # references (153 s after)).
     "graph_pagerank_parts",
     "graph_triangle_count",
+    # r11 full-registry sf1 sweep catch #4 — a REAL engine robustness
+    # bug: stateful_session_ttl crashed the whole query
+    # (INVALID_TIMEOUT_TIMESTAMP) when a key's entire history arrived
+    # behind the watermark, because EventTimeTimeout cannot be armed in
+    # the past. Late groups now finalize inline (emit the provably-
+    # closed session, keep no state) — the behavior the timeout path
+    # would have produced. Plan bytes changed → fresh driver row owed.
+    "stream_session_ttl_finalize",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -777,9 +777,32 @@ def stateful_session_ttl(
             first_us = lo if first_us is None else min(first_us, lo)
             last_us = hi if last_us is None else max(last_us, hi)
         if n:
+            timeout_ms = last_us // 1000 + gap_ms
+            # LATE-GROUP finalization: when every event of this key sits
+            # behind the current watermark (late data, or a key whose
+            # whole history arrives in one replayed batch after other
+            # keys advanced the watermark), the session is already
+            # provably closed — and arming the timeout is impossible:
+            # EventTimeTimeout must be strictly ahead of the watermark
+            # (Spark raises INVALID_TIMEOUT_TIMESTAMP and fails the
+            # QUERY, seen at sf1 where replica keys' insert waves landed
+            # behind the update-wave watermark). Emit the closed session
+            # inline and keep no state, exactly as the timeout path
+            # would have.
+            if state.getCurrentWatermarkMs() >= timeout_ms:
+                if state.exists:
+                    state.remove()
+                yield _pd.DataFrame(
+                    {
+                        key_name: [key[0]],
+                        "n_events": [int(n)],
+                        "duration_us": [int(last_us - first_us)],
+                    }
+                )
+                return
             state.update((int(n), int(first_us), int(last_us)))
             # re-arm: expire when event time passes last event + gap
-            state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+            state.setTimeoutTimestamp(timeout_ms)
         return
 
     return events.groupBy(key_col).applyInPandasWithState(

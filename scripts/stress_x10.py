@@ -27,10 +27,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Tables cloned by default, with the id column shifted per replica so
 # joins/groupBys see 10× distinct keys, not 10 copies of one key space.
+#
+# customer's stride MUST NOT alias the synthetic CDC event-sequence
+# offsets (operators/cdc.py: update sequence = custkey + 10M, delete =
+# custkey + 20M). The original 10M stride made replica-N INSERT
+# sequences collide with replica-(N-1) UPDATE/DELETE sequences —
+# distinct events sharing one (domain, server_id, sequence,
+# event_number) envelope identity, which violates the CDC protocol
+# invariant the engine's dedup correctly relies on (GTID sequences are
+# unique per server). Found by the r11 full-registry sf1 sweep:
+# stream_dedup_within_watermark lost exactly the 20,250 collision rows.
+# 100M keeps every replica's {insert, +10M update, +20M delete} bands
+# disjoint (custkey ≤ ~15k per replica at sf0.1).
 SHIFT_COLS = {
     "lineitem": ("l_orderkey", 100_000_000),
     "orders": ("o_orderkey", 100_000_000),
-    "customer": ("c_custkey", 10_000_000),
+    "customer": ("c_custkey", 100_000_000),
     "events": ("event_id", 1_000_000_000),
     "documents": ("doc_id", 10_000_000),
     "embeddings": ("vec_id", 10_000_000),

@@ -943,6 +943,65 @@ def test_stateful_session_ttl_emits_only_watermark_closed_sessions(spark, tmp_pa
     assert got == {1: (2, 5_000_000), 2: (2, 5_000_000)}, got
 
 
+def test_stateful_session_ttl_finalizes_late_groups_inline(spark, tmp_path):
+    """A key whose ENTIRE history arrives behind the watermark (late
+    data, or a replayed shard landing after other keys advanced the
+    watermark) cannot arm an EventTimeTimeout — Spark requires the
+    timeout to be ahead of the watermark and fails the whole query with
+    INVALID_TIMEOUT_TIMESTAMP otherwise (seen at the sf1 sweep: replica
+    keys' insert waves landed behind the update-wave watermark). The
+    operator must treat 'timeout would already have expired' as 'the
+    session is provably closed' and emit it inline with no state."""
+    import json
+
+    from maxscale_cdc_connector_spark.streaming.ops import stateful_session_ttl
+
+    def ev(user, sec, eid):
+        return {"user_id": user, "ts": f"2026-01-01 00:{sec // 60:02d}:{sec % 60:02d}", "event_id": eid}
+
+    log = tmp_path / "ttl_late_log"
+    log.mkdir()
+    batches = [
+        # batch 1: user 3's traffic at t=600 advances the watermark to 590s
+        [ev(3, 600, 1)],
+        # batch 2: user 7's whole session is at t=0..5 — entirely behind
+        # the 590s watermark; its would-be timeout (5s + 30s gap) is in
+        # the past. Old behavior: PySparkValueError kills the query.
+        [ev(7, 0, 2), ev(7, 5, 3)],
+        # batch 3: more user-3 traffic keeps its session open at the end
+        [ev(3, 610, 4)],
+    ]
+    for i, rows in enumerate(batches):
+        with open(log / f"part-{i:03d}.jsonl", "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(log / f"part-{i:03d}.jsonl", (1_700_000_000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema("user_id bigint, ts string, event_id bigint")
+        .json(str(log))
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_id")
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        stateful_session_ttl(stream, gap="30 seconds")
+        .writeStream.format("memory")
+        .queryName("ttl_late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.duration_us)
+        for r in spark.sql("SELECT * FROM ttl_late_sessions").collect()
+    }
+    # user 7 emitted closed despite arriving wholly late; user 3 open.
+    assert got == {7: (2, 5_000_000)}, got
+
+
 def test_dedup_exact_rejects_missing_identity_columns(spark) -> None:
     """r9 review: deduping on a silently-narrowed key collapses
     distinct events (update halves share a GTID); missing identity
