@@ -201,7 +201,14 @@ def _child_main(cfg_path: str) -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     spark.dataSource.register(MaxScaleCDCDataSource)
-    snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+    # order_cols present = --conflict mode: one reconciled row per key
+    # under the documented cross-source last-writer-wins total order.
+    if cfg.get("order_cols"):
+        snap = SnapshotSink(
+            cfg["snapshot_dir"], cfg["key_cols"], order_cols=tuple(cfg["order_cols"])
+        )
+    else:
+        snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
     stop_file = cfg["stop_file"]
 
     def attach(df):
@@ -290,12 +297,30 @@ def _run_kill_supervisor(args) -> int:
     between the schema-cache write and the checkpoint passing the ALTER
     boundary (the ADVICE r9 hole the r10 cache closes)."""
     rng = random.Random(args.seed)
-    streams = [StreamState(i, seed=args.seed) for i in range(args.streams)]
+    KEY_SPACE = 500
+    streams = [
+        StreamState(
+            i,
+            shared_gtid_space=args.conflict,
+            key_space=KEY_SPACE if args.conflict else None,
+            seed=args.seed,
+        )
+        for i in range(args.streams)
+    ]
     scratch = tempfile.mkdtemp(prefix="cdc_soak_ks_")
     stop_file = os.path.join(scratch, "stop")
     cfg = {
         "snapshot_dir": os.path.join(scratch, "snapshot"),
-        "key_cols": ["name", "id"],
+        # --conflict: one reconciled row per key across all writers,
+        # merged by the documented cross-source LWW total order — the
+        # same sink the in-process --conflict soak asserts, now under
+        # whole-driver SIGKILLs.
+        "key_cols": ["id"] if args.conflict else ["name", "id"],
+        "order_cols": (
+            ["timestamp", "_source_id", "sequence", "event_number"]
+            if args.conflict
+            else None
+        ),
         "ckpt": os.path.join(scratch, "ckpt"),
         "stop_file": stop_file,
         "result_file": os.path.join(scratch, "child_result.json"),
@@ -309,7 +334,11 @@ def _run_kill_supervisor(args) -> int:
             "pollseconds": "0.3",
             "maxbatchseconds": "2",
             "streams": json.dumps(
-                [{"table": s.table, "port": s.port} for s in streams]
+                [
+                    {"table": s.table, "port": s.port}
+                    | ({"sourceId": f"src{s.idx}"} if args.conflict else {})
+                    for s in streams
+                ]
             ),
             "frontierDir": os.path.join(scratch, "frontier"),
         },
@@ -471,10 +500,66 @@ def _run_kill_supervisor(args) -> int:
             .getOrCreate()
         )
         pspark.sparkContext.setLogLevel("ERROR")
-        snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+        if cfg.get("order_cols"):
+            snap = SnapshotSink(
+                cfg["snapshot_dir"], cfg["key_cols"],
+                order_cols=tuple(cfg["order_cols"]),
+            )
+        else:
+            snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+
+        if args.conflict:
+            # Expected reconciled winner per key from the FULL recorded
+            # push history, under the sink's LWW total order — identical
+            # assertion to the in-process --conflict soak, but it must
+            # now hold across whole-driver SIGKILLs (checkpoint + sink
+            # bucket-swap atomicity across process death, not just
+            # query restarts inside one JVM).
+            best: dict[int, tuple] = {}
+            for st in streams:
+                src = f"src{st.idx}"
+                for ev in st.events:
+                    ordk = (ev["timestamp"], src, ev["sequence"], ev["event_number"])
+                    k = ev["id"]
+                    if k not in best or ordk > best[k][0]:
+                        best[k] = (ordk, ev["name"], src)
+            expected_map = {k: (v[1], v[2]) for k, v in best.items()}
+            got_map: dict[int, tuple] = {}
+            while time.time() < drain_deadline:
+                time.sleep(5.0)
+                try:
+                    cur = snap.snapshot(pspark)
+                    rows = cur.select("id", "name", "_source_id").collect()
+                    got_map = {r["id"]: (r["name"], r["_source_id"]) for r in rows}
+                    diff = sum(
+                        1 for k, v in expected_map.items() if got_map.get(k) != v
+                    )
+                    print(
+                        f"[soak] conflict drain poll: {len(got_map)} keys, "
+                        f"{diff} of {len(expected_map)} not yet at winner",
+                        flush=True,
+                    )
+                    if got_map == expected_map:
+                        break
+                except FileNotFoundError:
+                    continue
+                except Exception:  # noqa: BLE001 — racing the live sink
+                    continue
+            ok = got_map == expected_map
+            if not ok:
+                losers = [
+                    (k, got_map.get(k), v)
+                    for k, v in sorted(expected_map.items())
+                    if got_map.get(k) != v
+                ]
+                print(f"[soak] conflict mismatches (first 20): {losers[:20]}",
+                      flush=True)
+            counters["conflict_keys"] = len(expected_map)
 
         got: dict[str, set[int]] = {}
-        while time.time() < drain_deadline:
+        # (--conflict already resolved ok above; the per-stream id-set
+        # drain below is the disjoint-key mode's end state.)
+        while not args.conflict and time.time() < drain_deadline:
             time.sleep(5.0)
             try:
                 cur = snap.snapshot(pspark)
@@ -497,7 +582,8 @@ def _run_kill_supervisor(args) -> int:
                 continue
             except Exception:  # noqa: BLE001 — racing the live sink
                 continue
-        ok = got == expected
+        if not args.conflict:
+            ok = got == expected
         if ok and args.alter and counters.get("alters"):
             viol = None
             for _attempt in range(5):
@@ -609,8 +695,11 @@ def main() -> int:
         ap.error("--shared-gtid-space/--conflict needs the partitioned reader")
     if args.conflict and args.alter:
         ap.error("--conflict end-state math does not model --alter; run separately")
-    if args.kill_supervisor and (args.single or args.conflict or args.shared_gtid_space):
-        ap.error("--kill-supervisor runs the partitioned reader (optionally with --alter)")
+    if args.kill_supervisor and (args.single or (args.shared_gtid_space and not args.conflict)):
+        ap.error(
+            "--kill-supervisor runs the partitioned reader "
+            "(composes with --alter or --conflict)"
+        )
     if args.kill_supervisor:
         return _run_kill_supervisor(args)
     rng = random.Random(args.seed)
