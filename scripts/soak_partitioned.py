@@ -54,9 +54,38 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.fake_maxscale import TEST_SCHEMA_RECORD, FakeMaxScale, make_event  # noqa: E402
 
 
-def _python_worker_pids() -> list[int]:
+def _ppid(pid: int) -> int | None:
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            return int(fh.read().split(")")[-1].split()[1])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _descends_from(pid: int, root_pid: int, max_hops: int = 32) -> bool:
+    """True iff ``root_pid`` is an ancestor of ``pid`` (walk /proc ppids)."""
+    cur: int | None = pid
+    for _ in range(max_hops):
+        if cur is None or cur <= 1:
+            return False
+        if cur == root_pid:
+            return True
+        cur = _ppid(cur)
+    return False
+
+
+def _python_worker_pids(root_pid: int | None = None) -> list[int]:
     """PIDs of pyspark python WORKER processes (forked children of the
-    pyspark.daemon process — same cmdline, so distinguish by parent)."""
+    pyspark.daemon process — same cmdline, so distinguish by parent).
+
+    ``root_pid`` scopes the hunt to workers whose ancestry traces to
+    THAT process (this soak's own driver, or its killable child) — a
+    bare pgrep would also murder workers belonging to any OTHER Spark
+    session on the host. Found the hard way in r11: a soak running
+    beside a bench run SIGKILLed the bench's workers and inflated its
+    idle-trigger rows ~100×. Default (None) scopes to this process."""
+    if root_pid is None:
+        root_pid = os.getpid()
     try:
         out = subprocess.run(
             ["pgrep", "-f", "pyspark.daemon"], capture_output=True, text=True
@@ -66,12 +95,10 @@ def _python_worker_pids() -> list[int]:
     pids = {int(p) for p in out.split() if p.strip()}
     workers = []
     for pid in pids:
-        try:
-            with open(f"/proc/{pid}/stat") as fh:
-                ppid = int(fh.read().split(")")[-1].split()[1])
-        except (OSError, ValueError, IndexError):
-            continue
-        if ppid in pids:  # forked from a daemon → a worker mid-task
+        ppid = _ppid(pid)
+        if ppid is None or ppid not in pids:
+            continue  # a daemon itself, not a forked worker
+        if _descends_from(pid, root_pid):
             workers.append(pid)
     return workers
 
@@ -387,7 +414,13 @@ def _run_kill_supervisor(args) -> int:
             time.sleep(rng.uniform(10.0, 18.0))
             if time.time() >= chaos_until:
                 break
-            victims = _python_worker_pids()
+            # Scope victims to the killable CHILD's process tree (pid
+            # read at call time -- it changes across respawns): workers
+            # of any other Spark session on this host are off-limits.
+            proc = child.proc
+            if proc is None or proc.poll() is not None:
+                continue
+            victims = _python_worker_pids(proc.pid)
             if victims:
                 pid = rng.choice(victims)
                 try:
