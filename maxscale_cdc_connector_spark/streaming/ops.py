@@ -783,13 +783,16 @@ def stateful_session_ttl(
             # whole history arrives in one replayed batch after other
             # keys advanced the watermark), the session is already
             # provably closed — and arming the timeout is impossible:
-            # EventTimeTimeout must be strictly ahead of the watermark
-            # (Spark raises INVALID_TIMEOUT_TIMESTAMP and fails the
-            # QUERY, seen at sf1 where replica keys' insert waves landed
-            # behind the update-wave watermark). Emit the closed session
-            # inline and keep no state, exactly as the timeout path
-            # would have.
-            if state.getCurrentWatermarkMs() >= timeout_ms:
+            # Spark rejects timeout < watermark (INVALID_TIMEOUT_TIMESTAMP
+            # fails the QUERY, seen at sf1 where replica keys' insert
+            # waves landed behind the update-wave watermark). Emit the
+            # closed session inline and keep no state, exactly as the
+            # timeout path would have. STRICT >: arming AT the watermark
+            # is legal and an armed timeout fires only once the watermark
+            # passes it, so closing inline at equality would diverge from
+            # the timeout path (a data-less key at equality stays open
+            # and may still absorb later events).
+            if state.getCurrentWatermarkMs() > timeout_ms:
                 if state.exists:
                     state.remove()
                 yield _pd.DataFrame(

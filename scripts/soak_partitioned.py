@@ -103,6 +103,34 @@ def _python_worker_pids(root_pid: int | None = None) -> list[int]:
     return workers
 
 
+def _sink_from_cfg(cfg: dict):
+    """SnapshotSink with IDENTICAL parameters on both sides of the
+    kill-supervisor soak (child writer, parent drain reader) — the sink
+    refuses mismatched parameters at merge time, so one shared
+    constructor keeps the two sides from drifting."""
+    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
+
+    if cfg.get("order_cols"):
+        return SnapshotSink(
+            cfg["snapshot_dir"], cfg["key_cols"], order_cols=tuple(cfg["order_cols"])
+        )
+    return SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+
+
+def _join_feeders_or_die(feeders: list[threading.Thread], deadline_s: float = 120.0) -> None:
+    """Join every feeder, LOUDLY. A bounded join that times out silently
+    would let the end-state math read a still-mutating push history
+    (st.events / next_seq) — freezing an expected map the sink then
+    rightfully disagrees with: a false chaos failure. A feeder stuck
+    past the deadline is a harness bug worth failing on, not hiding."""
+    end = time.time() + deadline_s
+    for th in feeders:
+        th.join(max(0.1, end - time.time()))
+    stuck = [th.name for th in feeders if th.is_alive()]
+    if stuck:
+        raise RuntimeError(f"feeder thread(s) still running at end-state time: {stuck}")
+
+
 class StreamState:
     """One stream's server handle + full pushed history (for restarts)."""
 
@@ -215,7 +243,6 @@ def _child_main(cfg_path: str) -> int:
     from pyspark.sql import SparkSession
 
     from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
-    from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
     from maxscale_cdc_connector_spark.streaming.restart import run_supervised
 
     spark = (
@@ -230,12 +257,7 @@ def _child_main(cfg_path: str) -> int:
     spark.dataSource.register(MaxScaleCDCDataSource)
     # order_cols present = --conflict mode: one reconciled row per key
     # under the documented cross-source last-writer-wins total order.
-    if cfg.get("order_cols"):
-        snap = SnapshotSink(
-            cfg["snapshot_dir"], cfg["key_cols"], order_cols=tuple(cfg["order_cols"])
-        )
-    else:
-        snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+    snap = _sink_from_cfg(cfg)
     stop_file = cfg["stop_file"]
 
     def attach(df):
@@ -506,8 +528,7 @@ def _run_kill_supervisor(args) -> int:
     try:
         while time.time() < chaos_until:
             time.sleep(2.0)
-        for th in feeders:
-            th.join(30.0)
+        _join_feeders_or_die(feeders)
         expected = {f"s{s.idx}": set(range(1, s.next_seq)) for s in streams}
         total = sum(len(v) for v in expected.values())
         print(f"[soak] chaos window closed: {total} events pushed, "
@@ -522,8 +543,6 @@ def _run_kill_supervisor(args) -> int:
         from pyspark.sql import SparkSession
         from pyspark.sql import functions as F
 
-        from maxscale_cdc_connector_spark.streaming.ops import SnapshotSink
-
         pspark = (
             SparkSession.builder.master("local[8]")
             .config("spark.sql.shuffle.partitions", "8")
@@ -533,13 +552,7 @@ def _run_kill_supervisor(args) -> int:
             .getOrCreate()
         )
         pspark.sparkContext.setLogLevel("ERROR")
-        if cfg.get("order_cols"):
-            snap = SnapshotSink(
-                cfg["snapshot_dir"], cfg["key_cols"],
-                order_cols=tuple(cfg["order_cols"]),
-            )
-        else:
-            snap = SnapshotSink(cfg["snapshot_dir"], cfg["key_cols"])
+        snap = _sink_from_cfg(cfg)
 
         if args.conflict:
             # Expected reconciled winner per key from the FULL recorded
@@ -919,8 +932,7 @@ def main() -> int:
         # drain's exact-equality check then chases a snapshot that is
         # legitimately one row AHEAD of `expected` forever (r9 fix: the
         # single-stream soak hit exactly this off-by-one).
-        for t in feeders:
-            t.join(30.0)
+        _join_feeders_or_die(feeders)
         expected = {
             f"s{s.idx}": set(range(1, s.next_seq)) for s in streams
         }

@@ -54,14 +54,36 @@ COPY_TABLES = ("region", "nation", "supplier", "part")
 def build_x10(spark, sf_dir: str, tables: list[str], out: str | None = None) -> str:
     from pyspark.sql import functions as F
 
+    # Reuse is gated on a meta marker recording the strides the corpus
+    # was built with: a bare existence check silently served corpora
+    # built under RETIRED strides (found in review of the r11
+    # customer-stride fix — a pre-fix /tmp/sf1_corpus would have kept
+    # the envelope-identity collisions the fix removes, and the
+    # resulting sweep failures would read as an engine regression).
+    meta = {"shift_cols": {t: list(v) for t, v in SHIFT_COLS.items()}}
     if out is not None:
         # Reusable corpus (r10 sf1 protocol: ×10 of sf0.1 = sf1-equivalent,
         # 100× the driver's sf0.01): if every requested table already
-        # exists there, reuse it — the build itself is ~a minute of IO.
+        # exists there AND was built with the current strides, reuse it —
+        # the build itself is ~a minute of IO.
+        import json as _json
+        import shutil as _shutil
+
         need = set(tables) | set(COPY_TABLES)
-        if all(os.path.exists(f"{out}/{t}.parquet") for t in need):
+        meta_path = f"{out}/x10_meta.json"
+        have_meta = False
+        try:
+            with open(meta_path) as fh:
+                have_meta = _json.load(fh) == meta
+        except (OSError, ValueError):
+            pass
+        if have_meta and all(os.path.exists(f"{out}/{t}.parquet") for t in need):
             return out
+        if os.path.exists(out):  # stale strides (or partial build): rebuild
+            _shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            _json.dump(meta, fh)
     else:
         out = tempfile.mkdtemp(prefix="stress_x10_")
     for t in tables:
