@@ -415,6 +415,67 @@ def _measure_row(out: dict, key: str, fn, reps: int, agg) -> None:
     _snapshot(out)
 
 
+# Hard cap on the final stdout line (VERDICT r11 item 1): the driver
+# archives only the last ~2000 chars of stdout and parses the final
+# JSON line inside that window. r9's 1,780-char line parsed; r11's
+# >2,000-char line did not (parsed:null despite rc=0), so two straight
+# rounds had no driver-parsed bench of record. The budget is 1500 to
+# leave headroom for value drift (e.g. a 6-digit worst_sec).
+COMPACT_MAX_CHARS = 1500
+
+
+def _compact_qkey(label: str) -> str:
+    """"q23_dedup_cluster_cc" -> "q23". Full names cost ~1,470 chars
+    for 42 queries — over budget on their own — so the final line keys
+    queries by ordinal; the label->name map is stable in HEADLINE and
+    the full-name timings live in bench_partial.json."""
+    head = label.split("_", 1)[0]
+    return head if head[:1] == "q" and head[1:].isdigit() else label
+
+
+def _compact_line(out: dict) -> str:
+    """Render the single final stdout line: headline total, worst
+    query, sf, replay/ingest/idle throughput and error count, with the
+    per-query dict compressed to ordinal keys at 2 decimals. The full
+    detail (full-name 3-decimal timings, load provenance, methodology,
+    error tracebacks) is in bench_partial.json, snapshotted row-by-row
+    during the run. Guaranteed <= COMPACT_MAX_CHARS: if a pathological
+    out dict ever overflows, the queries dict is dropped from the line
+    (never the headline metric) rather than exceeding the window."""
+    queries = out.get("queries") or {}
+    timed = {k: v for k, v in queries.items() if isinstance(v, (int, float))}
+    worst = max(timed, key=timed.get) if timed else None
+    compact: dict = {
+        "metric": out.get("metric", "headline_total"),
+        "value": out.get("value"),
+        "unit": out.get("unit", "sec"),
+        "sf": out.get("sf"),
+        "queries": {_compact_qkey(k): round(v, 2) for k, v in timed.items()},
+        "queries_n": len(timed),
+        "worst_query": worst,
+        "worst_sec": round(timed[worst], 3) if worst is not None else None,
+        "errors_n": len(out.get("errors") or {}),
+    }
+    for key in (
+        "stream_replay_events_per_s",
+        "cdc_ingest_1stream_events_per_s",
+        "cdc_ingest_4stream_events_per_s",
+        "cdc_ingest_idle_trigger_ms_16stream",
+        "cdc_ingest_idle_trigger_ms_32stream",
+        "cdc_ingest_idle_trigger_ms_64stream",
+        "cc_rounds",
+    ):
+        if key in out:
+            compact[key] = out[key]
+    compact["detail"] = "bench_partial.json"
+    line = json.dumps(compact)
+    if len(line) > COMPACT_MAX_CHARS:
+        compact["queries"] = {}
+        line = json.dumps(compact)
+    assert len(line) <= COMPACT_MAX_CHARS, len(line)
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -440,7 +501,10 @@ def main() -> None:
         out["errors"]["harness"] = traceback.format_exc()[-800:]
     finally:
         _snapshot(out)
-        print(json.dumps(out))
+        # ONE compact line, LAST on stdout, <= COMPACT_MAX_CHARS so it
+        # always fits the driver's tail/parse window (VERDICT r11 item
+        # 1). Full detail is in bench_partial.json, not stdout.
+        print(_compact_line(out))
 
 
 def _run_bench(out: dict, sf_dir: str) -> None:

@@ -96,6 +96,7 @@ events per stream.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import tempfile
@@ -128,6 +129,72 @@ from maxscale_cdc_connector_spark.typemap import schema_record_to_struct
 # per-batch fixed cost dominating fast_decode; 65536 × ~120 B wire rows is
 # still only ~8 MiB per batch.
 ARROW_BATCH_RECORDS = 65536
+
+# --- Trigger sizing (VERDICT r11 item 4) -------------------------------
+# Every trigger re-dials every stream (that is also how ALTER is
+# detected), so an EMPTY micro-batch has a cost floor of one handshake
+# wave: handshakes parallelize across cores, and once streams exceed
+# cores they queue in waves. Measured on the bench host (32 cores,
+# quiet, min across repeats — the permanent 16/32/64-stream bench rows
+# plus the r11 96/128-stream probe, SURVEY "Idle-trigger scaling"):
+#   16 -> 473 ms, 32 -> 512 ms, 64 -> 871 ms, 96 -> 1424 ms,
+#   128 -> 2061 ms — linear ~16 ms/stream past the core count.
+# The model below (one wave = IDLE_TRIGGER_WAVE_MS, scaled by
+# streams/cores once oversubscribed) reproduces all five measurements
+# within 20% (pinned in tests/test_cdc_partitioned.py). On a real
+# cluster the handshakes spread across executors, so ``cores`` is the
+# TOTAL executor-core count and the per-trigger floor drops with
+# parallelism — which is exactly this reader's design.
+IDLE_TRIGGER_WAVE_MS = 512.0
+
+
+def estimate_idle_trigger_ms(streams: int, cores: int) -> float:
+    """Predicted wall-clock cost of an EMPTY trigger: one handshake
+    wave while streams fit in the core budget, scaling linearly with
+    the oversubscription ratio past it (128 sockets on 32 cores queue
+    handshakes 4 deep)."""
+    if streams < 1 or cores < 1:
+        raise ValueError("streams and cores must be >= 1")
+    return IDLE_TRIGGER_WAVE_MS * max(1.0, streams / cores)
+
+
+def recommend_trigger(
+    streams: int,
+    cores: int,
+    *,
+    max_idle_overhead: float = 0.15,
+    events_per_stream_per_s: float | None = None,
+    target_events_per_stream: int = 100_000,
+) -> dict:
+    """The README's trigger-interval rule as code: size the
+    ``processingTime`` trigger so the fixed re-dial cost stays under
+    ``max_idle_overhead`` of each trigger (default 15%), i.e.
+    interval >= estimate_idle_trigger_ms / max_idle_overhead.
+
+    When the expected per-stream event rate is known, also returns the
+    ``maxRecordsPerBatch`` that moves ``target_events_per_stream``
+    (default ~100k, the alternative arm of the README rule) per
+    trigger, and stretches the interval to reach it if the rate is low.
+    Returns {"trigger_interval_s", "idle_trigger_ms",
+    "max_records_per_batch"}.
+    """
+    if not 0 < max_idle_overhead < 1:
+        raise ValueError("max_idle_overhead must be in (0, 1)")
+    idle_ms = estimate_idle_trigger_ms(streams, cores)
+    interval_s = round(idle_ms / 1000.0 / max_idle_overhead, 3)
+    max_records = None
+    if events_per_stream_per_s is not None:
+        if events_per_stream_per_s <= 0:
+            raise ValueError("events_per_stream_per_s must be > 0")
+        interval_s = max(
+            interval_s, round(target_events_per_stream / events_per_stream_per_s, 3)
+        )
+        max_records = int(math.ceil(interval_s * events_per_stream_per_s))
+    return {
+        "trigger_interval_s": interval_s,
+        "idle_trigger_ms": round(idle_ms, 1),
+        "max_records_per_batch": max_records,
+    }
 
 
 def _arrow_type(dt: T.DataType):

@@ -77,15 +77,20 @@ def build_x10(spark, sf_dir: str, tables: list[str], out: str | None = None) -> 
                 have_meta = _json.load(fh) == meta
         except (OSError, ValueError):
             pass
-        if have_meta and all(os.path.exists(f"{out}/{t}.parquet") for t in need):
+        # Reuse gate: meta matches AND every table dir carries Spark's
+        # _SUCCESS marker. Bare os.path.exists would accept a directory
+        # truncated by a crash mid-write (ADVICE r11).
+        if have_meta and all(
+            os.path.exists(f"{out}/{t}.parquet/_SUCCESS") for t in need
+        ):
             return out
         if os.path.exists(out):  # stale strides (or partial build): rebuild
             _shutil.rmtree(out, ignore_errors=True)
         os.makedirs(out, exist_ok=True)
-        with open(meta_path, "w") as fh:
-            _json.dump(meta, fh)
+        meta_pending = meta_path  # written AFTER the build loop succeeds
     else:
         out = tempfile.mkdtemp(prefix="stress_x10_")
+        meta_pending = None
     for t in tables:
         src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in SHIFT_COLS:
@@ -102,6 +107,15 @@ def build_x10(spark, sf_dir: str, tables: list[str], out: str | None = None) -> 
             p = f"{sf_dir}/{t}.parquet"
             if os.path.exists(p):
                 spark.read.parquet(p).write.parquet(f"{out}/{t}.parquet")
+    if meta_pending is not None:
+        # Meta is the commit record: written only once every table in
+        # the loop above landed, so a crash mid-build can never leave a
+        # corpus that passes the reuse gate (ADVICE r11). Any partial
+        # state fails the meta check next run and is rebuilt.
+        import json as _json
+
+        with open(meta_pending, "w") as fh:
+            _json.dump(meta, fh)
     return out
 
 

@@ -13,7 +13,18 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import pytest
+
 import bench
+
+
+@pytest.fixture(autouse=True)
+def _redirect_partial_path(tmp_path, monkeypatch):
+    """Every _measure_row/_snapshot call writes PARTIAL_PATH; without
+    this redirect the test suite clobbers the repo's committed
+    bench_partial.json — which since r12 is the ONLY home of the full
+    per-query bench detail (the stdout line is compact-only)."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "partial.json"))
 
 
 def test_transient_worker_failure_gets_one_retry():
@@ -85,7 +96,8 @@ def test_snapshot_roundtrip(tmp_path, monkeypatch):
 
 
 def test_main_emits_json_even_when_harness_explodes(monkeypatch, capsys, tmp_path):
-    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "partial.json"))
+    partial = tmp_path / "partial.json"
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(partial))
 
     def boom(out, sf_dir):
         out["queries"]["q1_agg_hash"] = 1.23
@@ -95,5 +107,107 @@ def test_main_emits_json_even_when_harness_explodes(monkeypatch, capsys, tmp_pat
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     parsed = json.loads(line)
-    assert parsed["queries"]["q1_agg_hash"] == 1.23
-    assert "total harness failure" in parsed["errors"]["harness"]
+    # Final stdout line is the COMPACT form (VERDICT r11 item 1):
+    # ordinal query keys, error COUNT; full detail in bench_partial.
+    assert parsed["queries"]["q1"] == 1.23
+    assert parsed["errors_n"] == 1
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+    detail = json.loads(partial.read_text())
+    assert detail["queries"]["q1_agg_hash"] == 1.23
+    assert "total harness failure" in detail["errors"]["harness"]
+
+
+# --- Compact final-line contract (VERDICT r11 item 1) -----------------
+# The driver archives only the last ~2000 chars of stdout and parses
+# the final JSON line inside it. r9's 1,780-char line parsed; r11's
+# >2,000-char line gave parsed:null despite rc=0. These pins guarantee
+# the final line can never outgrow the window again.
+
+
+def _full_out_fixture() -> dict:
+    """An out dict at least as large as r11's real one: 42 headline
+    rows with the real (long) labels, throughput + idle rows, load
+    provenance and methodology prose."""
+    out = {
+        "metric": "headline_total",
+        "value": 40.832,
+        "unit": "sec",
+        "sf": 0.1,
+        "queries": {label: 0.123 + i for i, (label, _) in enumerate(bench.HEADLINE)},
+        "errors": {},
+        "stream_replay_events_per_s": 592209,
+        "cdc_ingest_1stream_events_per_s": 465643,
+        "cdc_ingest_4stream_events_per_s": 1674047,
+        "cdc_ingest_idle_trigger_ms_16stream": 462.1,
+        "cdc_ingest_idle_trigger_ms_32stream": 668.4,
+        "cdc_ingest_idle_trigger_ms_64stream": 1170.0,
+        "cc_rounds": 2,
+        "load": {
+            "preflight": {"loadavg_1m": 4.24, "steal_pct": 0.287},
+            "post_queries": {"loadavg_1m": 2.25, "steal_pct": 0.006},
+            "loud": False,
+            "query_passes": 2,
+        },
+        "methodology": (
+            "2-pass min per query; replay/ingest max of 2; warm session; "
+            "pre-flight+post load sampled (loud => +1 pass); per-row "
+            "guarded (rep failures degrade to errors, never void other rows)"
+        ),
+    }
+    return out
+
+
+def test_compact_line_fits_driver_window_with_full_headline_set():
+    line = bench._compact_line(_full_out_fixture())
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_total"
+    assert parsed["value"] == 40.832
+    assert parsed["queries_n"] == len(bench.HEADLINE)
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    # Worst query keeps its FULL label so the artifact is readable
+    # without cross-referencing bench_partial.json.
+    assert parsed["worst_query"] == bench.HEADLINE[-1][0]
+    assert parsed["stream_replay_events_per_s"] == 592209
+    assert parsed["cdc_ingest_idle_trigger_ms_64stream"] == 1170.0
+    assert parsed["errors_n"] == 0
+
+
+def test_compact_line_survives_nulls_and_errors():
+    out = _full_out_fixture()
+    out["queries"]["q7_dedup_minhash_lsh"] = None  # failed row
+    out["errors"] = {"q7_dedup_minhash_lsh": "tb tail", "harness": "tb"}
+    out["value"] = None
+    line = bench._compact_line(out)
+    parsed = json.loads(line)
+    assert parsed["errors_n"] == 2
+    assert "q7" not in parsed["queries"]
+    assert parsed["queries_n"] == len(bench.HEADLINE) - 1
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+
+
+def test_compact_line_never_exceeds_cap_even_with_pathological_input():
+    out = _full_out_fixture()
+    # 400 extra absurdly-long query labels — the degradation path must
+    # drop the queries dict rather than bust the window.
+    for i in range(400):
+        out["queries"][f"q{100 + i}_" + "x" * 80] = 1.0
+    line = bench._compact_line(out)
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+    parsed = json.loads(line)
+    assert parsed["value"] == 40.832  # headline metric survives
+    assert parsed["queries"] == {}
+
+
+def test_compact_line_empty_out():
+    line = bench._compact_line({"errors": {}})
+    parsed = json.loads(line)
+    assert parsed["worst_query"] is None
+    assert parsed["queries"] == {}
+    assert len(line) <= bench.COMPACT_MAX_CHARS
+
+
+def test_compact_qkey():
+    assert bench._compact_qkey("q23_dedup_cluster_cc") == "q23"
+    assert bench._compact_qkey("q1_agg_hash") == "q1"
+    assert bench._compact_qkey("not_ordinal_label") == "not_ordinal_label"

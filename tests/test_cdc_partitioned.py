@@ -13,6 +13,8 @@ import json
 import os
 import time
 
+import pytest
+
 from maxscale_cdc_connector_spark.sources.cdc_datasource import MaxScaleCDCDataSource
 from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
     CDCPartitionedStreamReader,
@@ -1043,3 +1045,71 @@ def test_unpinned_schema_alter_during_downtime_backfills(spark, tmp_path) -> Non
             srv_b.stop()
     finally:
         srv_a.stop()
+
+
+# --- Trigger sizing helper (VERDICT r11 item 4) ------------------------
+# Spark-free: the formula is plain arithmetic; the pins hold it to the
+# five measured idle-trigger rows (quiet-host minimums, 32 cores) so
+# drift in either the code or the measured reality is visible.
+
+MEASURED_IDLE_MS = {16: 473.0, 32: 512.0, 64: 871.0, 96: 1424.0, 128: 2061.0}
+
+
+def test_idle_trigger_estimate_matches_all_measured_rows_within_20pct():
+    from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
+        estimate_idle_trigger_ms,
+    )
+
+    for streams, measured in MEASURED_IDLE_MS.items():
+        est = estimate_idle_trigger_ms(streams, 32)
+        assert abs(est - measured) / measured <= 0.20, (streams, est, measured)
+
+
+def test_idle_trigger_estimate_shape():
+    from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
+        IDLE_TRIGGER_WAVE_MS,
+        estimate_idle_trigger_ms,
+    )
+
+    # Sub-core-count stream counts all pay one wave (parallel dials).
+    assert estimate_idle_trigger_ms(1, 32) == IDLE_TRIGGER_WAVE_MS
+    assert estimate_idle_trigger_ms(32, 32) == IDLE_TRIGGER_WAVE_MS
+    # Past the core count the cost is linear in the oversubscription.
+    assert estimate_idle_trigger_ms(128, 32) == 4 * IDLE_TRIGGER_WAVE_MS
+    # More cores (a real cluster's total executor cores) -> lower floor.
+    assert estimate_idle_trigger_ms(128, 128) == IDLE_TRIGGER_WAVE_MS
+    with pytest.raises(ValueError):
+        estimate_idle_trigger_ms(0, 32)
+
+
+def test_recommend_trigger_encodes_readme_rule():
+    from maxscale_cdc_connector_spark.sources.cdc_partitioned import (
+        recommend_trigger,
+    )
+
+    # README: ">= ~5 s trigger interval keeps idle overhead under ~15%
+    # even at 64 streams" — the helper must land in that band.
+    r64 = recommend_trigger(64, 32)
+    assert 4.0 <= r64["trigger_interval_s"] <= 8.0
+    assert r64["max_records_per_batch"] is None
+    # Idle overhead actually is <= the requested cap.
+    assert r64["idle_trigger_ms"] / 1000.0 <= 0.15 * r64["trigger_interval_s"] + 1e-9
+
+    # With a known rate, the interval stretches until a trigger moves
+    # ~100k events/stream and maxRecordsPerBatch covers the interval.
+    r = recommend_trigger(16, 32, events_per_stream_per_s=5_000)
+    assert r["trigger_interval_s"] == 20.0  # 100k / 5k ev/s
+    assert r["max_records_per_batch"] == 100_000
+    # A fast stream is governed by the idle-overhead arm instead.
+    fast = recommend_trigger(16, 32, events_per_stream_per_s=500_000)
+    assert fast["trigger_interval_s"] == recommend_trigger(16, 32)["trigger_interval_s"]
+    import math
+
+    assert fast["max_records_per_batch"] == int(
+        math.ceil(fast["trigger_interval_s"] * 500_000)
+    )
+
+    with pytest.raises(ValueError):
+        recommend_trigger(16, 32, max_idle_overhead=0.0)
+    with pytest.raises(ValueError):
+        recommend_trigger(16, 32, events_per_stream_per_s=-1.0)
