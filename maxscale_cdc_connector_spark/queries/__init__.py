@@ -27,66 +27,18 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 11: the REMAINING money-float sums (ADVICE r10 medium — the
-    # r10 conversion covered the l_extendedprice revenue family but left
-    # tpch_q6 plus the o_totalprice / acctbal / p_retailprice sums on
-    # the round(sum(float), 2) half-cent lattice). All nine are now
-    # exact integer-unit sums — cents (or 1e-4 units for q6's
-    # price×discount) summed through decimal(38,0), oracle SQL changed
-    # in lockstep — so their previous green rows vouch for retired SQL
-    # and they owe fresh driver rows. Signed sums (acctbal can be
-    # negative) use the plain cents form, which is sign-safe; only the
-    # half-up (+50) div form requires non-negative sums (documented on
-    # _rev_sum).
-    "tpch_q6_forecast_revenue",
-    "agg_rollup",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "sql_api_join_agg",
-    "win_frame_running",
-    "win_range_frame",
-    "cdc_snapshot_join_agg",
-    "cdc_incremental_agg",
-    # r11 sf1 sweep catch: the oracle's string_agg within-tie order was
-    # engine-defined once the ×10 corpus made transaction sequences
-    # collide; tie-break added to match array_sort's total order.
-    "cdc_txn_manifest",
-    # r11: the events.value sums (cent lattice like the money columns)
-    # converted to exact integer cents — this closes the float-sum
-    # hazard class across the whole registry; stream_session_window
-    # additionally got the (ts, event_id) tie-break its islands prefix
-    # sum was missing (second r11 sf1 catch: 6 of 95k sessions split
-    # under tied clone timestamps).
-    "events_user_features",
-    "events_first_touch_attribution",
-    "join_interval_bucketed",
-    "layout_partition_pruned_scan",
-    "stream_tumbling_agg",
-    "stream_sliding_agg",
-    "stream_session_window",
-    "stream_enrich_static",
-    "join_left_outer",
-    "agg_pivot",
-    # r11 sf1 catch #3: the hierarchy-rollup oracle recursed on raw
-    # anc//2 arithmetic, walking ids that exist in no row once the
-    # id space is sparse; rewritten over the edge set to match the
-    # engine's (correct) edge-based hierarchy semantics.
-    "graph_hierarchy_rollup",
-    # r11: oracle text gained MATERIALIZED hints (semantics unchanged —
-    # DuckDB was re-inlining heavy CTEs per reference: the pagerank
-    # edge build into all 10 unrolled rounds (>50-min sf1 runaway,
-    # 289 s after), the triangle census's pair graph into all 6 of its
-    # references (153 s after)).
-    "graph_pagerank_parts",
-    "graph_triangle_count",
-    # r11 full-registry sf1 sweep catch #4 — a REAL engine robustness
-    # bug: stateful_session_ttl crashed the whole query
-    # (INVALID_TIMEOUT_TIMESTAMP) when a key's entire history arrived
-    # behind the watermark, because EventTimeTimeout cannot be armed in
-    # the past. Late groups now finalize inline (emit the provably-
-    # closed session, keep no state) — the behavior the timeout path
-    # would have produced. Plan bytes changed → fresh driver row owed.
-    "stream_session_ttl_finalize",
+    # Round 12: one query changed — embedding_pca's projection moved
+    # from the pandas-UDF path into whole-stage codegen (zip_with +
+    # aggregate with centering folded to a scalar; VERDICT r11 item 5),
+    # so it owes a fresh driver row. Everything else this round is
+    # bench-artifact plumbing, the trigger-sizing helper, and the
+    # invariants report. Every r11-changed key received its fresh green
+    # driver row in CORRECTNESS_r11, so the rest of the window goes to
+    # tier 3: the stale-oldest cohort (r4/r5 keys — funnel/retention/
+    # interval-join/embedding-normalize/quantize and the r5 simsearch
+    # family) rotates through for its second freshness lap (VERDICT
+    # r11 item 2).
+    "embedding_pca",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

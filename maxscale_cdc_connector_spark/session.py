@@ -36,8 +36,29 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    """Python workers re-import this package when they unpickle
+    DataSource/Pandas-UDF closures; if the session was launched from a
+    cwd outside the repo, the workers' sys.path lacks the repo root and
+    every Python-data-source query dies with
+    PYTHON_DATA_SOURCE_ERROR/ModuleNotFoundError (observed: r12's
+    16-stream soak launched from /tmp respawned its supervisor child
+    every ~10 s for a full chaos window). Local-mode workers inherit
+    the driver process env, so prepending the repo root to PYTHONPATH
+    before the JVM starts fixes every entry point at once; on a real
+    cluster the package ships via --py-files/pip instead."""
+    existing = os.environ.get("PYTHONPATH", "")
+    parts = existing.split(os.pathsep) if existing else []
+    if _REPO_ROOT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_REPO_ROOT, *parts])
+
+
 def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
     """Build (or reuse) a local SparkSession tuned for this engine."""
+    _ensure_worker_pythonpath()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")

@@ -51,6 +51,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The supervised query runs a Python DataSource: executors' python
+# workers must be able to import the package from ANY launch cwd (r12:
+# a /tmp-launched soak crash-looped its child on ModuleNotFoundError).
+# Covers both this process and the --child-config subprocess, which
+# inherits the env.
+from maxscale_cdc_connector_spark.session import _ensure_worker_pythonpath  # noqa: E402
+
+_ensure_worker_pythonpath()
+
 from tests.fake_maxscale import TEST_SCHEMA_RECORD, FakeMaxScale, make_event  # noqa: E402
 
 

@@ -51,8 +51,18 @@ class FakeMaxScale:
         # Delay before the auth OK — models a loaded-but-healthy server
         # (the handshake-vs-idle-poll timeout decoupling test).
         self.auth_delay_seconds = auth_delay_seconds
-        # The outbound stream: each item is ("event"|"schema", dict).
-        self._items: list[tuple[str, dict[str, Any]]] = [("event", e) for e in events]
+        # The outbound stream: each item is ("event"|"schema", dict,
+        # gtid_key|None, wire_bytes). The key and wire form are computed
+        # ONCE at push time: r12's 16-stream soak showed the old
+        # per-dial shape (re-acquire the condition lock per item and
+        # json.dumps on the way out) collapsing drain redelivery to
+        # ~220 ev/s/stream — 16 handler threads each GIL-stepping
+        # through a 120k-item history from index 0 on EVERY trigger's
+        # re-dial. Serving is now: one locked scan to find the resume
+        # point, then chunked lock-free sends of pre-serialized bytes.
+        self._items: list[tuple[str, dict[str, Any], tuple | None, bytes]] = [
+            self._wrap("event", e) for e in events
+        ]
         self._cond = threading.Condition()
         self._closed = False
 
@@ -91,17 +101,28 @@ class FakeMaxScale:
 
     # -- test hooks ---------------------------------------------------------
 
+    @staticmethod
+    def _wrap(kind: str, obj: dict[str, Any]) -> tuple[str, dict[str, Any], tuple | None, bytes]:
+        key = (
+            (obj["domain"], obj["server_id"], obj["sequence"])
+            if kind == "event"
+            else None
+        )
+        return (kind, obj, key, (json.dumps(obj) + "\n").encode())
+
     def push_event(self, event: dict[str, Any]) -> None:
+        item = self._wrap("event", event)
         with self._cond:
-            self._items.append(("event", event))
+            self._items.append(item)
             self._cond.notify_all()
 
     def push_schema_change(self, schema_record: dict[str, Any]) -> None:
         """ALTER TABLE: in-flight connections get a mid-stream schema
         record; connections opened afterwards get the new schema as
         their leading record (avrorouter serves the current version)."""
+        item = self._wrap("schema", schema_record)
         with self._cond:
-            self._items.append(("schema", schema_record))
+            self._items.append(item)
             self.schema_record = schema_record
             self._cond.notify_all()
 
@@ -145,26 +166,46 @@ class FakeMaxScale:
             leading = self.schema_record
             sock.sendall((json.dumps(leading) + "\n").encode())
             sent = 0
+            if resume is not None:
+                # One locked pass to the resume point instead of a
+                # per-item lock/skip loop on every dial: events are
+                # appended in key order, so everything before the first
+                # key >= resume is skippable wholesale. Mid-history
+                # schema records inside the skipped prefix are
+                # irrelevant to a resuming client — it already holds
+                # the CURRENT schema from the leading record. Resume
+                # replays FROM the given GTID inclusive — at-least-once,
+                # per cdc_connector.h:62-69.
+                with self._cond:
+                    items = self._items
+                    n = len(items)
+                    while sent < n and (
+                        items[sent][2] is None or items[sent][2] < resume
+                    ):
+                        sent += 1
             while True:
                 with self._cond:
                     while sent >= len(self._items) and not self._closed:
                         self._cond.wait(timeout=0.2)
                     if self._closed and sent >= len(self._items):
                         return
-                    kind, obj = self._items[sent]
-                sent += 1
-                if kind == "schema" and obj == leading:
-                    # Already announced as this connection's leading
-                    # record — only a *different* version mid-stream is
-                    # a schema change.
-                    continue
-                if kind == "event" and resume is not None:
-                    key = (obj["domain"], obj["server_id"], obj["sequence"])
-                    # Resume replays FROM the given GTID inclusive —
-                    # at-least-once, per cdc_connector.h:62-69.
-                    if key < resume:
+                    # Chunked hand-off: grab a slice under the lock,
+                    # serialize/send outside it (the bytes are already
+                    # on the items).
+                    chunk = self._items[sent : sent + 2048]
+                sent += len(chunk)
+                out: list[bytes] = []
+                for kind, obj, key, raw in chunk:
+                    if kind == "schema" and obj == leading:
+                        # Already announced as this connection's leading
+                        # record — only a *different* version mid-stream
+                        # is a schema change.
                         continue
-                sock.sendall((json.dumps(obj) + "\n").encode())
+                    if key is not None and resume is not None and key < resume:
+                        continue
+                    out.append(raw)
+                if out:
+                    sock.sendall(b"".join(out))
         except (BrokenPipeError, ConnectionResetError, OSError):
             pass
         finally:

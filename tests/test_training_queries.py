@@ -299,6 +299,46 @@ def test_pca_deterministic_across_runs(spark, sf_dir) -> None:
     assert m1.tolist() == m2.tolist()
 
 
+def test_pca_query_jvm_projection_matches_pandas_path(spark, sf_dir) -> None:
+    """The r12 embedding_pca query projects JVM-side (zip_with +
+    aggregate, centering folded into a scalar) instead of the generic
+    pandas-UDF ``project``. Its left-fold sum order differs from
+    NumPy's pairwise dot, so parity is pinned ON THE QUERY'S OWN x1e4
+    floor lattice: every coordinate within 1 lattice unit of the
+    pandas path and ≥99% exactly equal (drift past that means the
+    fast path no longer computes the same projection)."""
+    from pyspark.sql import functions as F
+
+    from maxscale_cdc_connector_spark.operators.pca import pca_fit, project
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+    from maxscale_cdc_connector_spark.session import load_table
+
+    load_all()
+    got = {
+        r["vec_id"]: (r["pc1_e4"], r["pc2_e4"])
+        for r in REGISTRY["embedding_pca"].fn(spark, sf_dir).collect()
+    }
+    emb = load_table(spark, "embeddings", sf_dir)
+    _, comps, mean, _ = pca_fit(emb, k=2)
+    ref = {
+        r["vec_id"]: (r["pc1_e4"], r["pc2_e4"])
+        for r in project(emb, comps, mean)
+        .select(
+            "vec_id",
+            F.floor(F.col("pc")[0] * 1e4).cast("long").alias("pc1_e4"),
+            F.floor(F.col("pc")[1] * 1e4).cast("long").alias("pc2_e4"),
+        )
+        .collect()
+    }
+    assert set(got) == set(ref)
+    exact = 0
+    for vid, (a1, a2) in ref.items():
+        b1, b2 = got[vid]
+        assert abs(b1 - a1) <= 1 and abs(b2 - a2) <= 1, (vid, (a1, a2), (b1, b2))
+        exact += (a1, a2) == (b1, b2)
+    assert exact >= 0.99 * len(ref)
+
+
 def test_connected_components_empty_edges(spark) -> None:
     """No edges → empty labeling with the right schema, no errors."""
     from maxscale_cdc_connector_spark.operators.graph import connected_components
