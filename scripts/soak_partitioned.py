@@ -259,6 +259,15 @@ def _child_main(cfg_path: str) -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # The default 1g heap survives 4-16 streams but OOMs at 48: a
+        # post-SIGKILL catch-up batch carries every stream's replayed
+        # tail at once, and the sink's merge rewrites a multi-million-
+        # row snapshot (r12 finding — the OOM looped the supervised
+        # query forever while frontiers stood still).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SOAK_CHILD_DRIVER_MEMORY", "8g"),
+        )
         .appName("cdc_soak_supervisor_child")
         .getOrCreate()
     )
@@ -391,6 +400,12 @@ def _run_kill_supervisor(args) -> int:
             "schemaRecord": json.dumps(TEST_SCHEMA_RECORD),
             "pollseconds": "0.3",
             "maxbatchseconds": "2",
+            # Bound catch-up batches: after a supervisor SIGKILL every
+            # stream replays its tail in ONE batch unless capped, and
+            # at 48 streams that is a ~5M-row batch the sink must
+            # localCheckpoint + merge (the README's production guidance
+            # — size maxRecordsPerBatch — applies to the soak too).
+            "maxrecordsperbatch": str(args.max_records_per_batch),
             "streams": json.dumps(
                 [
                     {"table": s.table, "port": s.port}
@@ -692,6 +707,16 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=300.0)
     ap.add_argument("--streams", type=int, default=4)
     ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument(
+        "--max-records-per-batch",
+        type=int,
+        default=30_000,
+        help="per-stream micro-batch cap passed to the reader "
+        "(kill-supervisor mode): bounds the post-SIGKILL catch-up "
+        "batch so sink memory scales with the cap, not with "
+        "streams x downtime (r12: 48 uncapped streams OOM-looped a "
+        "1g child heap)",
+    )
     ap.add_argument("--child-config", help=argparse.SUPPRESS)
     ap.add_argument(
         "--kill-supervisor",
