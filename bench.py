@@ -503,8 +503,25 @@ def main() -> None:
         _snapshot(out)
         # ONE compact line, LAST on stdout, <= COMPACT_MAX_CHARS so it
         # always fits the driver's tail/parse window (VERDICT r11 item
-        # 1). Full detail is in bench_partial.json, not stdout.
-        print(_compact_line(out))
+        # 1). Full detail is in bench_partial.json, not stdout. A
+        # rendering bug must not recreate the r10 failure mode (no
+        # parseable line at all), so the renderer itself is guarded
+        # with a minimal always-valid fallback.
+        try:
+            line = _compact_line(out)
+        except Exception:
+            line = json.dumps(
+                {
+                    "metric": out.get("metric", "headline_total"),
+                    "value": out.get("value"),
+                    "unit": "sec",
+                    "sf": out.get("sf"),
+                    "queries": {},
+                    "compact_line_error": True,
+                    "detail": "bench_partial.json",
+                }
+            )
+        print(line)
 
 
 def _run_bench(out: dict, sf_dir: str) -> None:

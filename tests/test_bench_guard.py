@@ -211,3 +211,22 @@ def test_compact_qkey():
     assert bench._compact_qkey("q23_dedup_cluster_cc") == "q23"
     assert bench._compact_qkey("q1_agg_hash") == "q1"
     assert bench._compact_qkey("not_ordinal_label") == "not_ordinal_label"
+
+
+def test_main_falls_back_when_compact_renderer_raises(monkeypatch, capsys, tmp_path):
+    """A bug in _compact_line must not recreate r10's no-line-at-all
+    failure: main's finally guards the renderer with a minimal valid
+    JSON fallback carrying the headline metric."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "partial.json"))
+    monkeypatch.setattr(bench, "_run_bench", lambda out, sf_dir: out.update(value=7.5))
+
+    def broken(out):
+        raise RuntimeError("renderer bug")
+
+    monkeypatch.setattr(bench, "_compact_line", broken)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(line)
+    assert parsed["value"] == 7.5
+    assert parsed["compact_line_error"] is True
+    assert len(line) <= bench.COMPACT_MAX_CHARS
