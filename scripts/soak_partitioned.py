@@ -268,6 +268,12 @@ def _child_main(cfg_path: str) -> int:
             "spark.driver.memory",
             os.environ.get("SOAK_CHILD_DRIVER_MEMORY", "8g"),
         )
+        # The 128-stream soak hit a JVM StackOverflowError inside
+        # java.util.regex (Spark's plan-string redaction walking a
+        # recursive alternation over a very large plan/error string
+        # while a writer job aborted). run_supervised recovered it,
+        # but a deeper thread stack removes the crash class entirely.
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         .appName("cdc_soak_supervisor_child")
         .getOrCreate()
     )
@@ -626,6 +632,25 @@ def _run_kill_supervisor(args) -> int:
                       flush=True)
             counters["conflict_keys"] = len(expected_map)
 
+        def quiesce_child() -> None:
+            """Counts have converged: stop the supervised child BEFORE
+            the multi-sweep end-state verification. At 128 streams the
+            id-set + ALTER sweeps take minutes of parent Spark jobs,
+            and a live sink swapping buckets mid-sweep turns every
+            pass into a retry until the drain deadline expires (r12:
+            the first 128-stream soak 'failed' with have == want on
+            every stream). Verifying the FINAL quiesced snapshot is
+            exactly what a deployment reads after stopping a query;
+            stopping after convergence can lose nothing — later
+            batches could only re-upsert replayed supersets."""
+            with open(stop_file, "w") as fh:
+                fh.write("stop")
+            try:
+                if child.proc is not None:
+                    child.proc.wait(90)
+            except subprocess.TimeoutExpired:
+                child.kill()
+
         got: dict[str, set[int]] = {}
         # (--conflict already resolved ok above; the per-stream id-set
         # drain below is the disjoint-key mode's end state.)
@@ -639,19 +664,21 @@ def _run_kill_supervisor(args) -> int:
                       f"{ {k: len(v) for k, v in expected.items()} }",
                       flush=True)
                 if sizes == {k: len(v) for k, v in expected.items()}:
+                    quiesce_child()
+                    # One Arrow pass instead of one filter+collect job
+                    # per stream (128 sequential jobs at high counts).
+                    pdf = snap.snapshot(pspark).select("name", "id").toPandas()
                     got = {
-                        name: {
-                            r["id"]
-                            for r in cur.filter(cur.name == name)
-                            .select("id").collect()
-                        }
-                        for name in expected
+                        str(name): set(g["id"].tolist())
+                        for name, g in pdf.groupby("name")
                     }
                     break
             except FileNotFoundError:
                 continue
             except Exception:  # noqa: BLE001 — racing the live sink
                 continue
+        if args.conflict and ok:
+            quiesce_child()  # resolved — no reason to keep replaying
         if not args.conflict:
             ok = got == expected
         if ok and args.alter and counters.get("alters"):
