@@ -141,9 +141,14 @@ ARROW_BATCH_RECORDS = 65536
 #   128 -> 2061 ms — linear ~16 ms/stream past the core count.
 # The model below (one wave = IDLE_TRIGGER_WAVE_MS, scaled by
 # streams/cores once oversubscribed) reproduces all five measurements
-# within 20% (pinned in tests/test_cdc_partitioned.py). On a real
-# cluster the handshakes spread across executors, so ``cores`` is the
-# TOTAL executor-core count and the per-trigger floor drops with
+# within 20% (pinned in tests/test_cdc_partitioned.py). A re-probe
+# after the r12 test-harness rework measured 96 -> 1385 ms and
+# 128 -> 1489 ms (part of the old linear tail was the fake server's
+# per-dial history scan, not client handshake cost), so past the core
+# count the estimate is CONSERVATIVE — it over-reserves trigger
+# interval, the safe direction for a sizing rule. On a real cluster
+# the handshakes spread across executors, so ``cores`` is the TOTAL
+# executor-core count and the per-trigger floor drops with
 # parallelism — which is exactly this reader's design.
 IDLE_TRIGGER_WAVE_MS = 512.0
 
