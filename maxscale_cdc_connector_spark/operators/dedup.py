@@ -197,13 +197,29 @@ def jaccard_pairs_prefix(
     plen = (F.col("set_size") - F.ceil(t_dec * F.col("set_size")) + 1).cast("int")
     prefixes = arrs.select(
         F.col(id_col),
+        F.col("set_size"),
         F.explode(F.slice(F.col("shingles"), F.lit(1), plen)).alias("shingle"),
     )
-    a = prefixes.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = prefixes.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = prefixes.select(
+        F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    # Length filter (AllPairs lemma 2, lossless): J(A,B) ≥ t forces
+    # |B| ≥ ceil(t·|A|) — if |B| < t·|A| then J ≤ |B|/|A| < t — so
+    # size-mismatched candidates die AT the prefix join, before the
+    # distinct and the array_intersect verification ever see them.
+    # Same DECIMAL ceil as the prefix length: double 0.8·5 =
+    # 4.0000000000000004 would reject a true |A|=5,|B|=4 pair (J can
+    # be exactly 0.8 there), the one direction that loses pairs.
     cand = (
         a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("size_b") >= F.ceil(t_dec * F.col("size_a")))
+            & (F.col("size_a") >= F.ceil(t_dec * F.col("size_b")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
