@@ -27,18 +27,29 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 12: one query changed — embedding_pca's projection moved
-    # from the pandas-UDF path into whole-stage codegen (zip_with +
-    # aggregate with centering folded to a scalar; VERDICT r11 item 5),
-    # so it owes a fresh driver row. Everything else this round is
-    # bench-artifact plumbing, the trigger-sizing helper, and the
-    # invariants report. Every r11-changed key received its fresh green
-    # driver row in CORRECTNESS_r11, so the rest of the window goes to
-    # tier 3: the stale-oldest cohort (r4/r5 keys — funnel/retention/
-    # interval-join/embedding-normalize/quantize and the r5 simsearch
-    # family) rotates through for its second freshness lap (VERDICT
-    # r11 item 2).
+    # Round 12 changed keys, owing fresh driver rows:
+    # - embedding_pca: projection moved from the pandas-UDF path into
+    #   whole-stage codegen (zip_with + aggregate with centering folded
+    #   to a scalar; VERDICT r11 item 5).
+    # - the 7 keys downstream of jaccard_pairs_prefix: the AllPairs
+    #   LENGTH filter now prunes size-mismatched candidates at the
+    #   prefix join (lossless by the J >= t => ceil(t|A|) <= |B| lemma;
+    #   verified hash-exact at sf0.01 AND on the x10 sf1 corpus, but
+    #   the plan bytes changed so the old driver rows vouch for the
+    #   old plan).
+    # Everything else this round is bench-artifact plumbing, the
+    # trigger-sizing helper, soak hardening, and the invariants report.
+    # The rest of the window goes to tier 3: the stale-oldest r4/r5
+    # cohort rotates through for its second freshness lap (VERDICT r11
+    # item 2).
     "embedding_pca",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    "dedup_rewrite_corpus",
+    "graph_triangle_count",
+    "dedup_rate_by_source",
+    "dedup_threshold_sensitivity",
+    "dedup_component_size_histogram",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY
