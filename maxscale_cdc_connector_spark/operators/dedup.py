@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.functions.text_fns import normalize, word_shingles, words
-from maxscale_cdc_connector_spark.operators.cache import finalize
+from maxscale_cdc_connector_spark.operators.cache import eager_persist, finalize
 
 N_MINHASHES = 32
 LSH_BANDS = 8  # 8 bands × 4 rows per band
@@ -132,7 +132,10 @@ def jaccard_pairs(
     # Persist an internal alias, not the caller's object: persist/
     # unpersist key on the plan, and unpersisting the caller's own frame
     # here would silently evict a cache the caller still relies on.
-    shingles = shingles.select("*").persist()
+    # eager_persist, not bare persist: three branches of one action read
+    # this — a lazy cache is a concurrent-stage population race under
+    # AQE (see cache.eager_persist).
+    shingles = eager_persist(shingles.select("*"))
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -188,10 +191,14 @@ def jaccard_pairs_prefix(
     verification sides), so it is persisted and released via
     :func:`cache.finalize` — same contract as :func:`jaccard_pairs`.
     """
-    arrs = (
+    # eager_persist, not bare persist: the prefix index and both
+    # verification sides fan out of this frame inside ONE action, and a
+    # lazily-populated cache makes those concurrent AQE stages each
+    # compute the full shingle pipeline (measured 20-38 s vs 2-4 s at
+    # sf0.1 — see cache.eager_persist).
+    arrs = eager_persist(
         shingle_arrays(_ensure_parallelism(docs), text_col, id_col, k)
         .withColumn("shingles", F.array_sort("shingles"))
-        .persist()
     )
     t_dec = F.lit(min_jaccard).cast("decimal(10,6)")
     plen = (F.col("set_size") - F.ceil(t_dec * F.col("set_size")) + 1).cast("int")
@@ -314,13 +321,14 @@ def lsh_candidate_pairs(
             for j in range(LSH_BANDS)
         ]
     )
-    # Persisted: the self-join below would otherwise compute the banded
-    # signatures twice (once per side) — at scale that is two full passes
-    # over the corpus instead of one.
-    banded = (
+    # Eagerly persisted: the self-join below would otherwise compute the
+    # banded signatures twice (once per side) — at scale that is two full
+    # passes over the corpus instead of one — and with a LAZY cache the
+    # two sides are concurrent AQE stages racing to populate it, which is
+    # strictly worse (see cache.eager_persist).
+    banded = eager_persist(
         signatures.select(F.col(id_col), F.explode(bands).alias("b"))
         .select(id_col, F.col("b.band").alias("band"), F.col("b.h").alias("h"))
-        .persist()
     )
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "h")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "h")
@@ -362,8 +370,13 @@ def minhash_dedup_pairs(
     # Persisting the signatures inserts a materialization barrier between
     # the signature expression and the banding projection — without it,
     # projection collapse substitutes the full 32-hash expression into
-    # every band slice (8× the hashing work).
-    sig = minhash_signatures(sh, id_col).persist()
+    # every band slice (8× the hashing work). The eager_persist here
+    # populates BOTH caches in one job (sig reads through sh), so the
+    # banding branches and the sh-side verification branches below all
+    # land on warm caches instead of racing to build them concurrently
+    # (see cache.eager_persist). sh itself can stay a bare persist — the
+    # sig materialization is the single action that first touches it.
+    sig = eager_persist(minhash_signatures(sh, id_col))
     caches = [sh, sig]
     cand = lsh_candidate_pairs(sig, id_col, caches)
     a = sh.select(

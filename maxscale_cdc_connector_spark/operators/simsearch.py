@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.functions.vectors import dot
-from maxscale_cdc_connector_spark.operators.cache import finalize
+from maxscale_cdc_connector_spark.operators.cache import eager_persist, finalize
 
 CENTROID_STRIDE = 40
 NPROBE = 3
@@ -332,7 +332,10 @@ def srp_lsh_pairs(
     verified with the exact dot product, so precision is exact; only
     recall is approximate (identical vectors always collide).
     """
-    banded = srp_signature_bands(embeddings, dim, id_col).persist()
+    # eager_persist: both self-join sides read this in one action — a
+    # lazy cache is a concurrent-stage population race under AQE (see
+    # cache.eager_persist).
+    banded = eager_persist(srp_signature_bands(embeddings, dim, id_col))
     caches = [banded]
     a = banded.select(
         F.col(id_col).alias("vec_a"), F.col("embedding").alias("emb_a"), "band", "bucket"
@@ -475,7 +478,9 @@ def knn_graph_lsh(
     so duplicate edges have recall 1 — pinned by test, as is a recall
     floor against the exact graph.
     """
-    banded = srp_signature_bands(embeddings, dim, id_col).persist()
+    # eager_persist: both self-join sides read this in one action (see
+    # cache.eager_persist for the AQE cache-population race).
+    banded = eager_persist(srp_signature_bands(embeddings, dim, id_col))
     a = banded.select(
         F.col(id_col).alias("vec_id"), F.col("embedding").alias("emb_a"), "band", "bucket"
     )
