@@ -50,6 +50,20 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dedup_rate_by_source",
     "dedup_threshold_sensitivity",
     "dedup_component_size_histogram",
+    # - the continuation session's eager_persist fix (cache.eager_persist:
+    #   multi-branch persisted fan-outs now materialize before the branch
+    #   stages race the cache) touches 7 more keys beyond the overlap with
+    #   the length-filter list above (8 listed here); outputs are
+    #   plan-identical but the
+    #   materialization order changed, so they owe fresh rows too.
+    "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
+    "simsearch_knn_graph_lsh",
+    "simsearch_lsh_recall_report",
+    "graph_degree_distribution",
+    "graph_kcore_stats",
+    "dedup_keep_best",
+    "pipeline_curation_funnel",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY
