@@ -722,3 +722,31 @@ def test_pagerank_rejects_dangling_and_handles_empty(spark, sf_dir):
 
     empty = spark.createDataFrame([], "src long, dst long, weight double")
     assert pagerank(empty, iters=2).count() == 0
+
+
+def test_eager_persist_populates_cache_before_return(spark):
+    """r12 continuation: a lazily-persisted frame fanned into several
+    branches of one action is a cache-population race under AQE — each
+    branch stage found the cache empty and recomputed the full upstream
+    pipeline concurrently (dedup_cluster_cc swung 3 s → 68 s run-to-run).
+    cache.eager_persist must return with the cache POPULATED (cached
+    partitions materialized), not merely marked for caching, so every
+    later branch is a cache read.
+    """
+    from maxscale_cdc_connector_spark.operators.cache import eager_persist
+
+    def cached_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos if i.numCachedPartitions() > 0}
+
+    before = cached_ids()
+    df = spark.range(0, 1000, 1, 4).selectExpr("id", "id * 2 AS v")
+    out = eager_persist(df)
+    try:
+        assert out.storageLevel.useMemory or out.storageLevel.useDisk
+        assert cached_ids() - before, (
+            "eager_persist returned with zero NEWLY materialized cache "
+            "partitions — the fan-out race it exists to prevent is open"
+        )
+    finally:
+        out.unpersist()
