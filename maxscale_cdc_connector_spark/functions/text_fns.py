@@ -44,12 +44,28 @@ def word_shingles(text: str | Column, k: int = 5) -> Column:
 
     Documents with fewer than k words yield an empty array — guarded
     explicitly because Spark's ``sequence(0, n)`` counts *down* when n<0.
+
+    The tokenized array is BOUND ONCE per row through a 1-element
+    ``transform`` wrapper before the per-position lambda runs. Spark
+    evaluates higher-order functions interpreted (never whole-stage
+    codegen) with NO common-subexpression elimination, so the naive
+    form — ``split(text)`` referenced inside the per-position lambda —
+    re-tokenizes the document once per shingle: ~50 splits × 54-token
+    allocations per doc, the hottest CPU path in the engine (jstack of
+    a slow ×10 run parked every executor in ``ArrayTransform.eval``).
+    A lambda ARGUMENT is evaluated once per row, and references to the
+    bound lambda variable are O(1) reads, so the wrapper makes the
+    interpreted cost linear in tokens instead of quadratic-ish —
+    identical output, same expression family.
     """
-    w = words(text)
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
-    return F.when(n >= k, mk).otherwise(F.array().cast("array<string>"))
+
+    def mk(w: Column) -> Column:
+        n = F.size(w)
+        idx = F.sequence(F.lit(1), n - (k - 1))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, k), " "))
+        return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(words(text)), mk)[0]
 
 
 def stopword_hits(text: str | Column, lang: str) -> Column:

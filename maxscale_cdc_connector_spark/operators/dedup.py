@@ -196,9 +196,14 @@ def jaccard_pairs_prefix(
     # lazily-populated cache makes those concurrent AQE stages each
     # compute the full shingle pipeline (measured 20-38 s vs 2-4 s at
     # sf0.1 — see cache.eager_persist).
+    # sort_array, not array_sort: identical ascending order for bigint
+    # arrays, but array_sort is a higher-order function whose comparator
+    # lambda evaluates INTERPRETED per comparison (~n log n lambda evals
+    # per doc); sort_array is a plain collection expression inside
+    # whole-stage codegen.
     arrs = eager_persist(
         shingle_arrays(_ensure_parallelism(docs), text_col, id_col, k)
-        .withColumn("shingles", F.array_sort("shingles"))
+        .withColumn("shingles", F.sort_array("shingles"))
     )
     t_dec = F.lit(min_jaccard).cast("decimal(10,6)")
     plen = (F.col("set_size") - F.ceil(t_dec * F.col("set_size")) + 1).cast("int")

@@ -64,6 +64,19 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "graph_kcore_stats",
     "dedup_keep_best",
     "pipeline_curation_funnel",
+    # - word_shingles was re-shaped to bind the tokenized array once per
+    #   row (higher-order functions evaluate interpreted with no CSE, so
+    #   the old form re-split the document once per shingle) and the
+    #   prefix pipeline's array_sort became codegen-friendly sort_array.
+    #   Output proven bit-identical (equivalence scan over sf0.01 + edge
+    #   cases, k=3/5/8), but the plan bytes changed for every
+    #   shingle-consuming key not already listed above:
+    "dedup_ngram_containment",
+    "dedup_simhash",
+    "pipeline_decontaminate",
+    "pipeline_eval_holdout_contamination_rate",
+    "pipeline_pretrain_filter",
+    "text_fingerprint",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY
