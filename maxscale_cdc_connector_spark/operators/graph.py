@@ -57,6 +57,7 @@ def connected_components(
     max_iters: int = 25,
     algorithm: str = "two_phase",
     rounds_out: list | None = None,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Label each node with the smallest node id in its component.
 
@@ -75,10 +76,19 @@ def connected_components(
     (node extraction + canonicalization / symmetrization), and a typical
     caller hands in an expensive upstream pipeline (the LSH/Jaccard pair
     join) that must not be re-executed per branch.
+
+    ``input_materialized=True`` skips that up-front checkpoint (and its
+    block release — the caller owns its own blocks): pass it ONLY when
+    ``edges`` is already materialized (a ``cache.finalize`` result or an
+    eager checkpoint, optionally behind a pure projection), where the
+    extra copy is a wasted job. Passing it with a lazy expensive plan
+    re-executes that plan once per reading branch — the exact recompute
+    the checkpoint exists to prevent.
     """
     if algorithm not in ("two_phase", "label_prop"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    edges0 = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
+    pruned = edges.select(F.col(src), F.col(dst))
+    edges0 = pruned if input_materialized else pruned.localCheckpoint(eager=True)
     ro = rounds_out if rounds_out is not None else []
     try:
         if algorithm == "two_phase":
@@ -91,8 +101,11 @@ def connected_components(
     finally:
         # Both algorithms return frames whose lineage stops at their own
         # checkpoints (nodes/e/labels), so the input blocks can be freed
-        # as soon as the algorithm body has materialized them.
-        _release_local_checkpoint(edges0)
+        # as soon as the algorithm body has materialized them. Only the
+        # checkpoint created HERE is freed — a caller-owned input stays
+        # the caller's to release.
+        if not input_materialized:
+            _release_local_checkpoint(edges0)
 
 
 def _two_phase(

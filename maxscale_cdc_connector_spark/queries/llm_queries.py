@@ -1101,7 +1101,11 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
-    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    # input_materialized: edges is a finalize() checkpoint behind a pure
+    # projection — skip the dispatcher's second copy (one job saved).
+    cc = connected_components(
+        edges, src="doc_a", dst="doc_b", input_materialized=True
+    )
     return cc.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("cluster_id"),
@@ -1297,7 +1301,11 @@ def dedup_rewrite_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
-    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    # input_materialized: edges is a finalize() checkpoint behind a pure
+    # projection — skip the dispatcher's second copy (one job saved).
+    cc = connected_components(
+        edges, src="doc_a", dst="doc_b", input_materialized=True
+    )
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
@@ -2140,7 +2148,11 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
-    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    # input_materialized: edges is a finalize() checkpoint behind a pure
+    # projection — skip the dispatcher's second copy (one job saved).
+    cc = connected_components(
+        edges, src="doc_a", dst="doc_b", input_materialized=True
+    )
     csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return csize.groupBy(F.col("cluster_size").cast("bigint").alias("cluster_size")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters")
@@ -2931,7 +2943,11 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).select("doc_a", "doc_b")
-    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    # input_materialized: edges is a finalize() checkpoint behind a pure
+    # projection — skip the dispatcher's second copy (one job saved).
+    cc = connected_components(
+        edges, src="doc_a", dst="doc_b", input_materialized=True
+    )
     qual = cc.join(
         corpus.select(F.col("doc_id"), F.length("text").alias("len")),
         cc["node"] == F.col("doc_id"),

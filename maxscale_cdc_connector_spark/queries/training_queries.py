@@ -714,7 +714,10 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     pairs = jaccard_pairs_prefix(q2.select("doc_id", "text"), min_jaccard=0.8)
-    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    # input_materialized: pairs is a finalize() checkpoint (see graph.py).
+    cc = connected_components(
+        pairs, src="doc_a", dst="doc_b", input_materialized=True
+    )
     dropped = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
