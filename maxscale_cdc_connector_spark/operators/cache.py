@@ -59,5 +59,16 @@ def eager_persist(df: DataFrame) -> DataFrame:
     the scale-safe barrier for 1000-executor deployments.
     """
     df = df.persist()
-    df.count()
+    try:
+        df.count()
+    except Exception:
+        # The persist is registered before count() runs; a failed
+        # materialization (executor loss, OOM, cancelled query) must not
+        # leak a session-lifetime cache entry in the long-lived driver
+        # sweep. Release the registration and surface the real error.
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
+        raise
     return df

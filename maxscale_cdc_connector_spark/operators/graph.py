@@ -35,6 +35,25 @@ __all__ = ["connected_components"]
 LAST_ROUNDS: int | None = None
 
 
+def _plan_is_materialized(df: DataFrame) -> bool | None:
+    """Best-effort: does ``df``'s plan bottom out ONLY in
+    already-materialized relations — ``LogicalRDD`` (a checkpoint) or
+    ``InMemoryRelation`` (a cached frame)?
+
+    Walks the optimized plan's leaves via the py4j bridge (the optimized
+    plan is the one with cache substitution applied). Returns ``None``
+    when the private plan API is unavailable (Spark Connect, future
+    Spark) — callers must treat ``None`` as "cannot check", never as a
+    verdict either way.
+    """
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = {leaves.apply(i).nodeName() for i in range(leaves.size())}
+    except Exception:
+        return None
+    return bool(names) and names <= {"LogicalRDD", "InMemoryRelation"}
+
+
 def _release_local_checkpoint(df: DataFrame) -> None:
     """Free the block-manager storage behind a localCheckpointed frame.
 
@@ -81,13 +100,26 @@ def connected_components(
     block release — the caller owns its own blocks): pass it ONLY when
     ``edges`` is already materialized (a ``cache.finalize`` result or an
     eager checkpoint, optionally behind a pure projection), where the
-    extra copy is a wasted job. Passing it with a lazy expensive plan
-    re-executes that plan once per reading branch — the exact recompute
-    the checkpoint exists to prevent.
+    extra copy is a wasted job. Passing it with a lazy plan is not just
+    a recompute-cost bug — it is a CORRECTNESS hazard: the algorithms
+    read ``edges`` from multiple branches (node extraction,
+    canonicalization, symmetrization), and a lazy nondeterministic plan
+    (sampling, ``rand()``, a changed-underneath source) evaluates
+    independently per branch, so nodes and the canonical edge set can
+    come from DIFFERENT graph views and the component labels are wrong.
+    The flag is therefore guarded: when the plan API is reachable, a
+    detectably-lazy input raises ``ValueError`` instead of silently
+    mislabeling (best-effort — on Spark Connect the check is skipped).
     """
     if algorithm not in ("two_phase", "label_prop"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     pruned = edges.select(F.col(src), F.col(dst))
+    if input_materialized and _plan_is_materialized(pruned) is False:
+        raise ValueError(
+            "input_materialized=True but the edges plan does not bottom "
+            "out in a LogicalRDD/InMemoryRelation — pass a finalize()/"
+            "localCheckpoint/eager_persist result, or drop the flag"
+        )
     edges0 = pruned if input_materialized else pruned.localCheckpoint(eager=True)
     ro = rounds_out if rounds_out is not None else []
     try:

@@ -735,6 +735,11 @@ def test_eager_persist_populates_cache_before_return(spark):
     """
     from maxscale_cdc_connector_spark.operators.cache import eager_persist
 
+    try:
+        spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    except Exception:
+        pytest.skip("JVM storage-info bridge unavailable (Spark Connect?)")
+
     def cached_ids():
         infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
         return {i.id() for i in infos if i.numCachedPartitions() > 0}
@@ -750,3 +755,62 @@ def test_eager_persist_populates_cache_before_return(spark):
         )
     finally:
         out.unpersist()
+
+
+def test_eager_persist_unpersists_on_failed_materialization(spark):
+    """r12 ADVICE: eager_persist registers the persist before count();
+    a failed materialization (executor loss, OOM, cancelled query) must
+    release the cache entry instead of leaking it for the session
+    lifetime of the 93-query driver sweep — and re-raise the real error.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from maxscale_cdc_connector_spark.operators.cache import eager_persist
+
+    df = spark.range(0, 10).select((F.lit(1) / F.col("id")).alias("v")).where(
+        F.raise_error(F.lit("forced materialization failure")).isNull()
+    )
+    with pytest.raises(Exception, match="forced materialization failure"):
+        eager_persist(df)
+    assert df.storageLevel == StorageLevel.NONE, (
+        "failed eager_persist leaked a registered cache entry"
+    )
+
+
+def test_connected_components_rejects_lazy_input_materialized(spark, sf_dir):
+    """VERDICT r12 item 4 / ADVICE: input_materialized=True was
+    honor-system — a lazy (worse: nondeterministic) edges plan would
+    evaluate once per reading branch, giving inconsistent graph views
+    and wrong component labels. The dispatcher now refuses a plan whose
+    leaves are not LogicalRDD/InMemoryRelation (best-effort: skipped
+    when the plan bridge is unreachable, never a false verdict)."""
+    from maxscale_cdc_connector_spark.operators.graph import (
+        _plan_is_materialized,
+        connected_components,
+    )
+
+    lazy = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id AS src", "doc_id + 1 AS dst"
+    )
+    if _plan_is_materialized(lazy) is None:
+        pytest.skip("optimized-plan bridge unavailable (Spark Connect?)")
+    assert _plan_is_materialized(lazy) is False
+    with pytest.raises(ValueError, match="input_materialized"):
+        connected_components(lazy, input_materialized=True)
+
+    # The shapes every real call site passes: a localCheckpoint behind a
+    # pure projection (cache.finalize output) and a populated cache.
+    ckpt = lazy.localCheckpoint(eager=True).select("src", "dst")
+    assert _plan_is_materialized(ckpt) is True
+    got = connected_components(ckpt.limit(50), input_materialized=False)
+    assert got.count() > 0
+
+    from maxscale_cdc_connector_spark.operators.cache import eager_persist
+
+    cached = eager_persist(lazy.limit(20))
+    try:
+        assert _plan_is_materialized(cached.select("src", "dst")) is True
+        assert connected_components(cached, input_materialized=True).count() > 0
+    finally:
+        cached.unpersist()
