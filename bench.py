@@ -78,6 +78,49 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _canary_sec(spark) -> float:
+    """Fixed-work host-speed canary (VERDICT r12 item 1): one untimed
+    warmup then min-of-3 of a calibration job whose work is CONSTANT —
+    independent of sf, the registry, and this repo's operators — so its
+    wall time measures only the host (CPU speed, contention, steal).
+    The same r12 tree benched 36.6 s on a quiet host and 45.9 s on a
+    degraded one; dividing the headline total by this number
+    (``total_per_canary``) makes rounds comparable on work ratio.
+
+    Work profile mirrors a headline query: a 32-partition scan-ish
+    range, per-row hashing (CPU / codegen), and one 100k-key hash
+    aggregate (shuffle write+read). ~1 s on the quiet r12 host.
+    """
+    from pyspark.sql import functions as F
+
+    def run() -> float:
+        df = (
+            spark.range(0, 60_000_000, 1, 32)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                # mod keeps the ANSI-mode sum far from long overflow
+                (F.xxhash64(F.xxhash64("id"), F.lit(7)) % 1_000_003).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+        )
+        t0 = time.perf_counter()
+        _materialize(df)
+        return time.perf_counter() - t0
+
+    run()  # warmup, untimed (codegen compile for this exact plan)
+    return round(min(run() for _ in range(3)), 3)
+
+
+def _derive_total_per_canary(out: dict) -> None:
+    """Headline total in canary units: seconds of headline work per
+    second of fixed calibration work — the host-invariant number a
+    judge compares across rounds. Never fabricated: requires both a
+    measured total and a nonzero measured canary."""
+    if out.get("value") and out.get("canary_sec"):
+        out["total_per_canary"] = round(out["value"] / out["canary_sec"], 2)
+
+
 def _host_load_sample(seconds: float = 5.0) -> dict:
     """Sample host contention: 1-min loadavg + /proc/stat steal% over
     ``seconds`` (VERDICT r9 item 1). On a shared VM, noisy neighbors
@@ -457,6 +500,8 @@ def _compact_line(out: dict) -> str:
         "errors_n": len(out.get("errors") or {}),
     }
     for key in (
+        "canary_sec",
+        "total_per_canary",
         "stream_replay_events_per_s",
         "cdc_ingest_1stream_events_per_s",
         "cdc_ingest_4stream_events_per_s",
@@ -541,6 +586,14 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     _materialize(registry["agg_hash"].fn(spark, sf_dir))
     _materialize(registry["pipeline_pack_sequences"].fn(spark, sf_dir))
 
+    # Host-speed canary (VERDICT r12 item 1): fixed work, min-of-3,
+    # measured BEFORE the query passes on the warm session. Cross-round
+    # comparisons should use total_per_canary (work ratio), not raw
+    # seconds — the same tree measured 36.6 s vs 45.9 s across host
+    # states in r12.
+    out["canary_sec"] = _canary_sec(spark)
+    _snapshot(out)
+
     # Two full passes, per-query MIN: the host is a shared VM and a
     # transient noisy-neighbor window can triple an individual query's
     # wall time (observed: a 1.7 s broadcast join reading 15.9 s under
@@ -591,6 +644,7 @@ def _run_bench(out: dict, sf_dir: str) -> None:
         "loud": loud,
         "query_passes": passes,
     }
+    _derive_total_per_canary(out)
     # Since round 4: per-query MIN over two passes (stream replay /
     # ingest: MAX throughput of the reps). Rounds 1-3 were single-pass —
     # cross-round deltas vs those runs include this methodology change.

@@ -135,6 +135,8 @@ def _full_out_fixture() -> dict:
         "sf": 0.1,
         "queries": {label: 0.123 + i for i, (label, _) in enumerate(bench.HEADLINE)},
         "errors": {},
+        "canary_sec": 1.234,
+        "total_per_canary": 33.09,
         "stream_replay_events_per_s": 592209,
         "cdc_ingest_1stream_events_per_s": 465643,
         "cdc_ingest_4stream_events_per_s": 1674047,
@@ -171,6 +173,33 @@ def test_compact_line_fits_driver_window_with_full_headline_set():
     assert parsed["stream_replay_events_per_s"] == 592209
     assert parsed["cdc_ingest_idle_trigger_ms_64stream"] == 1170.0
     assert parsed["errors_n"] == 0
+    # VERDICT r12 item 1: the host-speed canary and the canary-
+    # normalized headline total must ride the driver-parsed line so
+    # cross-round comparisons can be made on work ratio from the
+    # artifact alone.
+    assert parsed["canary_sec"] == 1.234
+    assert parsed["total_per_canary"] == 33.09
+
+
+def test_compact_line_carries_canary_keys_exactly_when_measured():
+    out = _full_out_fixture()
+    del out["canary_sec"], out["total_per_canary"]
+    parsed = json.loads(bench._compact_line(out))
+    assert "canary_sec" not in parsed  # absent row never fabricated
+
+
+def test_derive_total_per_canary():
+    """The ratio is computed only from measured numbers — never divides
+    by zero or fabricates when either row failed (value/canary None)."""
+    out = {"value": 40.0, "canary_sec": 1.25}
+    bench._derive_total_per_canary(out)
+    assert out["total_per_canary"] == 32.0
+    for bad in ({"value": None, "canary_sec": 1.0},
+                {"value": 40.0, "canary_sec": None},
+                {"value": 40.0, "canary_sec": 0},
+                {"value": 40.0}):
+        bench._derive_total_per_canary(bad)
+        assert "total_per_canary" not in bad
 
 
 def test_compact_line_survives_nulls_and_errors():
