@@ -375,13 +375,20 @@ def minhash_dedup_pairs(
     # Persisting the signatures inserts a materialization barrier between
     # the signature expression and the banding projection — without it,
     # projection collapse substitutes the full 32-hash expression into
-    # every band slice (8× the hashing work). The eager_persist here
-    # populates BOTH caches in one job (sig reads through sh), so the
-    # banding branches and the sh-side verification branches below all
-    # land on warm caches instead of racing to build them concurrently
-    # (see cache.eager_persist). sh itself can stay a bare persist — the
-    # sig materialization is the single action that first touches it.
-    sig = eager_persist(minhash_signatures(sh, id_col))
+    # every band slice (8× the hashing work). Even an UNPOPULATED cache
+    # is that barrier: cache substitution replaces the subtree at plan
+    # time, so projection collapse cannot cross it. And unlike the
+    # banded table below, sig has exactly ONE reader (the banding
+    # projection), so the AQE population race eager_persist exists for
+    # cannot occur here — a lazy persist suffices, and the single
+    # eager_persist(banded) count inside lsh_candidate_pairs then
+    # populates sh, sig, AND banded in ONE pass (it reads through both),
+    # instead of paying a separate materialization job per cache
+    # (r12→r13 A/B: separate eager sig cost ~16% of the query; VERDICT
+    # r12 item 2). The multi-reader caches (sh: two verification
+    # branches; banded: two self-join sides) are warm before any
+    # fan-out action runs.
+    sig = minhash_signatures(sh, id_col).persist()
     caches = [sh, sig]
     cand = lsh_candidate_pairs(sig, id_col, caches)
     a = sh.select(
