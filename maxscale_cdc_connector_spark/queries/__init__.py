@@ -27,56 +27,18 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 12 changed keys, owing fresh driver rows:
-    # - embedding_pca: projection moved from the pandas-UDF path into
-    #   whole-stage codegen (zip_with + aggregate with centering folded
-    #   to a scalar; VERDICT r11 item 5).
-    # - the 7 keys downstream of jaccard_pairs_prefix: the AllPairs
-    #   LENGTH filter now prunes size-mismatched candidates at the
-    #   prefix join (lossless by the J >= t => ceil(t|A|) <= |B| lemma;
-    #   verified hash-exact at sf0.01 AND on the x10 sf1 corpus, but
-    #   the plan bytes changed so the old driver rows vouch for the
-    #   old plan).
-    # Everything else this round is bench-artifact plumbing, the
-    # trigger-sizing helper, soak hardening, and the invariants report.
-    # The rest of the window goes to tier 3: the stale-oldest r4/r5
-    # cohort rotates through for its second freshness lap (VERDICT r11
-    # item 2).
-    "embedding_pca",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_cc",
-    "dedup_rewrite_corpus",
-    "graph_triangle_count",
-    "dedup_rate_by_source",
-    "dedup_threshold_sensitivity",
-    "dedup_component_size_histogram",
-    # - the continuation session's eager_persist fix (cache.eager_persist:
-    #   multi-branch persisted fan-outs now materialize before the branch
-    #   stages race the cache) touches 7 more keys beyond the overlap with
-    #   the length-filter list above (8 listed here); outputs are
-    #   plan-identical but the
-    #   materialization order changed, so they owe fresh rows too.
+    # Round 13 changed keys, owing fresh driver rows:
+    # - dedup_minhash_lsh: the signature cache is now materialized
+    #   through the banded-table count (one pass) instead of a separate
+    #   eager job — output unchanged (single-reader cache, no race),
+    #   but the materialization structure changed (VERDICT r12 item 2).
+    # Everything else this round is guard code (eager_persist failure
+    # cleanup, the input_materialized plan-shape check — no success-path
+    # plan changes), the trigger-sizing recalibration, the bench canary,
+    # and the composed chaos soak. The rest of the window goes to
+    # tier 3: the stale-oldest r5/r6 cohort rotates through for the
+    # third evidence-freshness lap (VERDICT r12 item 3).
     "dedup_minhash_lsh",
-    "dedup_embedding_lsh",
-    "simsearch_knn_graph_lsh",
-    "simsearch_lsh_recall_report",
-    "graph_degree_distribution",
-    "graph_kcore_stats",
-    "dedup_keep_best",
-    "pipeline_curation_funnel",
-    # - word_shingles was re-shaped to bind the tokenized array once per
-    #   row (higher-order functions evaluate interpreted with no CSE, so
-    #   the old form re-split the document once per shingle) and the
-    #   prefix pipeline's array_sort became codegen-friendly sort_array.
-    #   Output proven bit-identical (equivalence scan over sf0.01 + edge
-    #   cases, k=3/5/8), but the plan bytes changed for every
-    #   shingle-consuming key not already listed above:
-    "dedup_ngram_containment",
-    "dedup_simhash",
-    "pipeline_decontaminate",
-    "pipeline_eval_holdout_contamination_rate",
-    "pipeline_pretrain_filter",
-    "text_fingerprint",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -591,6 +591,13 @@ def _run_kill_supervisor(args) -> int:
             # now hold across whole-driver SIGKILLs (checkpoint + sink
             # bucket-swap atomicity across process death, not just
             # query restarts inside one JVM).
+            # Composed --alter (VERDICT r12 item 6): the winner tuple
+            # additionally carries the winning EVENT's recorded ``extra``
+            # (``x<sequence>`` when that event was pushed at-or-after its
+            # stream's ALTER boundary, None before it), so the exact
+            # end-state assertion covers LWW reconciliation AND the
+            # widened-column/NULL-backfill contract in one check.
+            with_extra = bool(args.alter and counters.get("alters"))
             best: dict[int, tuple] = {}
             for st in streams:
                 src = f"src{st.idx}"
@@ -598,15 +605,33 @@ def _run_kill_supervisor(args) -> int:
                     ordk = (ev["timestamp"], src, ev["sequence"], ev["event_number"])
                     k = ev["id"]
                     if k not in best or ordk > best[k][0]:
-                        best[k] = (ordk, ev["name"], src)
-            expected_map = {k: (v[1], v[2]) for k, v in best.items()}
+                        best[k] = (ordk, ev["name"], src, ev.get("extra"))
+            expected_map = {
+                k: (v[1], v[2]) + ((v[3],) if with_extra else ())
+                for k, v in best.items()
+            }
             got_map: dict[int, tuple] = {}
             while time.time() < drain_deadline:
                 time.sleep(5.0)
                 try:
                     cur = snap.snapshot(pspark)
-                    rows = cur.select("id", "name", "_source_id").collect()
-                    got_map = {r["id"]: (r["name"], r["_source_id"]) for r in rows}
+                    # The snapshot widens to include ``extra`` only once
+                    # the first post-ALTER row merges; until then every
+                    # row's extra is the NULL backfill.
+                    if with_extra and "extra" in cur.columns:
+                        rows = cur.select("id", "name", "_source_id", "extra").collect()
+                        got_map = {
+                            r["id"]: (r["name"], r["_source_id"], r["extra"])
+                            for r in rows
+                        }
+                    elif with_extra:
+                        rows = cur.select("id", "name", "_source_id").collect()
+                        got_map = {
+                            r["id"]: (r["name"], r["_source_id"], None) for r in rows
+                        }
+                    else:
+                        rows = cur.select("id", "name", "_source_id").collect()
+                        got_map = {r["id"]: (r["name"], r["_source_id"]) for r in rows}
                     diff = sum(
                         1 for k, v in expected_map.items() if got_map.get(k) != v
                     )
@@ -631,6 +656,16 @@ def _run_kill_supervisor(args) -> int:
                 print(f"[soak] conflict mismatches (first 20): {losers[:20]}",
                       flush=True)
             counters["conflict_keys"] = len(expected_map)
+            if with_extra:
+                # Diagnostic split: residual mismatches that are the
+                # ALTER contract (extra) vs the LWW winner value itself.
+                counters["extra_violations"] = sum(
+                    1
+                    for k, v in expected_map.items()
+                    if got_map.get(k) is not None
+                    and got_map[k][:2] == v[:2]
+                    and got_map[k][2] != v[2]
+                )
 
         def quiesce_child() -> None:
             """Counts have converged: stop the supervised child BEFORE
@@ -681,7 +716,9 @@ def _run_kill_supervisor(args) -> int:
             quiesce_child()  # resolved — no reason to keep replaying
         if not args.conflict:
             ok = got == expected
-        if ok and args.alter and counters.get("alters"):
+        # Disjoint-mode ALTER sweep (id == sequence there); in --conflict
+        # the extra contract is asserted inside the winner map above.
+        if ok and args.alter and counters.get("alters") and not args.conflict:
             viol = None
             for _attempt in range(5):
                 try:
@@ -800,8 +837,14 @@ def main() -> int:
         args.shared_gtid_space = True
     if args.single and args.shared_gtid_space:
         ap.error("--shared-gtid-space/--conflict needs the partitioned reader")
-    if args.conflict and args.alter:
-        ap.error("--conflict end-state math does not model --alter; run separately")
+    if args.conflict and args.alter and not args.kill_supervisor:
+        # The kill-supervisor path models the composition (r13: the
+        # winner tuple carries the winning event's recorded ``extra``);
+        # the in-process path still checks the two contracts separately.
+        ap.error(
+            "--conflict + --alter is composed only under --kill-supervisor; "
+            "run the in-process modes separately"
+        )
     if args.kill_supervisor and (args.single or (args.shared_gtid_space and not args.conflict)):
         ap.error(
             "--kill-supervisor runs the partitioned reader "
