@@ -645,6 +645,11 @@ def _run_bench(out: dict, sf_dir: str) -> None:
         "query_passes": passes,
     }
     _derive_total_per_canary(out)
+    # Second canary AFTER the passes (bench_partial.json only — the
+    # compact line carries the pre-pass one): a large pre/post delta
+    # means the host shifted mid-run and the per-query mins straddle
+    # two host states.
+    out["canary_sec_post"] = _canary_sec(spark)
     # Since round 4: per-query MIN over two passes (stream replay /
     # ingest: MAX throughput of the reps). Rounds 1-3 were single-pass —
     # cross-round deltas vs those runs include this methodology change.
