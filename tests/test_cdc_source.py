@@ -390,6 +390,25 @@ def test_streaming_checkpoint_resume(spark, tmp_path) -> None:
             deadline = time.time() + 60
             while time.time() < deadline and len(set(run_a)) < 10:
                 time.sleep(0.3)
+            # foreachBatch delivering is NOT the offset commit: stop()
+            # right after delivery can interrupt the commit and leave an
+            # empty checkpoint, making the restart legitimately replay
+            # from scratch (at-least-once) — a test race, not a source
+            # bug (r13: flaked once under a loaded host). The delivering
+            # batch's offsets file is written BEFORE its foreachBatch
+            # runs, so once commits/ catches up to the offsets/ count
+            # observed after delivery, that batch has committed.
+            import os as _os
+
+            def _entries(sub: str) -> int:
+                p = str(tmp_path / "ckpt" / sub)
+                if not _os.path.isdir(p):
+                    return 0
+                return sum(1 for f in _os.listdir(p) if not f.startswith("."))
+
+            n_planned = _entries("offsets")
+            while time.time() < deadline and _entries("commits") < n_planned:
+                time.sleep(0.2)
         finally:
             q1.stop()
         assert set(run_a) == set(range(1, 11))
