@@ -31,8 +31,22 @@ from pyspark.sql import DataFrame
 
 
 def finalize(result: DataFrame, caches: Iterable[DataFrame]) -> DataFrame:
-    """Materialize ``result`` now, then release the persisted inputs."""
-    out = result.localCheckpoint(eager=True)
+    """Materialize ``result`` now, then release the persisted inputs.
+
+    The inputs are released on the FAILURE path too (same hazard as
+    ``eager_persist``'s count: a failed materialization must not leak
+    session-lifetime cache entries in a long-lived driver sweep) —
+    the operator's contract is that ``caches`` die here either way.
+    """
+    try:
+        out = result.localCheckpoint(eager=True)
+    except Exception:
+        for c in caches:
+            try:
+                c.unpersist(blocking=False)
+            except Exception:
+                pass
+        raise
     for c in caches:
         c.unpersist()
     return out

@@ -778,6 +778,25 @@ def test_eager_persist_unpersists_on_failed_materialization(spark):
     )
 
 
+def test_finalize_releases_caches_on_failed_materialization(spark):
+    """Symmetric to the eager_persist guard: finalize's contract is
+    that the handed-in caches die with the call — including when the
+    result's materialization fails — so a failing operator cannot leak
+    its (large) intermediates for the session lifetime."""
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from maxscale_cdc_connector_spark.operators.cache import finalize
+
+    cached = spark.range(0, 100).persist()
+    bad = cached.where(F.raise_error(F.lit("forced finalize failure")).isNull())
+    with pytest.raises(Exception, match="forced finalize failure"):
+        finalize(bad, [cached])
+    assert cached.storageLevel == StorageLevel.NONE, (
+        "failed finalize leaked the caller's cache registration"
+    )
+
+
 def test_connected_components_rejects_lazy_input_materialized(spark, sf_dir):
     """VERDICT r12 item 4 / ADVICE: input_materialized=True was
     honor-system — a lazy (worse: nondeterministic) edges plan would
