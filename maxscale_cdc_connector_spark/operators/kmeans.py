@@ -210,6 +210,10 @@ def kmeans_fit(
     seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(r[0]) for r in seed_rows]
     inertias: list[float] = []
+    # Lazy persist is race-safe here (r13 audit): the first action is
+    # iteration 1's single mapInPandas chain — ONE reading branch, so
+    # the AQE population race (cache.eager_persist) cannot occur, and
+    # every later iteration reads a populated cache.
     cached = df.select(vec_col).persist()
     try:
         for _ in range(iters):

@@ -148,6 +148,10 @@ def pq_fit(
     seed = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)  # k × dim
     codebooks = [s.copy() for s in _split(seed, m)]  # m × (k × d_sub)
     mses: list[float] = []
+    # Lazy persist is race-safe here (r13 audit): the first action is
+    # iteration 1's single mapInPandas chain — ONE reading branch, so
+    # the AQE population race (cache.eager_persist) cannot occur, and
+    # every later iteration reads a populated cache.
     cached = df.select(vec_col).persist()
     try:
         n_total = None
