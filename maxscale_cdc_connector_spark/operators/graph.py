@@ -37,8 +37,10 @@ LAST_ROUNDS: int | None = None
 
 def _plan_is_materialized(df: DataFrame) -> bool | None:
     """Best-effort: does ``df``'s plan bottom out ONLY in
-    already-materialized relations — ``LogicalRDD`` (a checkpoint) or
-    ``InMemoryRelation`` (a cached frame)?
+    already-materialized relations — ``LogicalRDD`` (a checkpoint),
+    ``InMemoryRelation`` (a cached frame), or ``LocalRelation``/
+    ``OneRowRelation`` (literal driver-local data, trivially consistent
+    across reading branches)?
 
     Walks the optimized plan's leaves via the py4j bridge (the optimized
     plan is the one with cache substitution applied). Returns ``None``
@@ -51,7 +53,8 @@ def _plan_is_materialized(df: DataFrame) -> bool | None:
         names = {leaves.apply(i).nodeName() for i in range(leaves.size())}
     except Exception:
         return None
-    return bool(names) and names <= {"LogicalRDD", "InMemoryRelation"}
+    ok = {"LogicalRDD", "InMemoryRelation", "LocalRelation", "OneRowRelation"}
+    return bool(names) and names <= ok
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:

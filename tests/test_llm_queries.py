@@ -833,3 +833,9 @@ def test_connected_components_rejects_lazy_input_materialized(spark, sf_dir):
         assert connected_components(cached, input_materialized=True).count() > 0
     finally:
         cached.unpersist()
+
+    # Literal driver-local data (LocalRelation) is trivially consistent
+    # across reading branches — the guard must not refuse it.
+    local = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert _plan_is_materialized(local) is True
+    assert connected_components(local, input_materialized=True).count() == 3
