@@ -778,6 +778,64 @@ def test_eager_persist_unpersists_on_failed_materialization(spark):
     )
 
 
+@pytest.mark.parametrize(
+    "key",
+    [
+        "dedup_cluster_cc",
+        "dedup_rewrite_corpus",
+        "dedup_component_size_histogram",
+        "dedup_keep_best",
+        "pipeline_curation_funnel",
+    ],
+)
+def test_cc_call_sites_pass_materialized_edges_with_flag(spark, sf_dir, key):
+    """VERDICT r12 item 4, the explicit per-call-site pin: every query
+    that calls connected_components must (a) keep input_materialized=
+    True — dropping the flag silently reintroduces a redundant
+    checkpoint copy of the pair join — and (b) hand it edges whose plan
+    the guard verifies as materialized (a finalize() checkpoint behind
+    a pure projection). Intercepts the dispatcher, then runs the real
+    thing."""
+    from maxscale_cdc_connector_spark.operators import graph as graph_mod
+    from maxscale_cdc_connector_spark.queries.registry import REGISTRY
+
+    seen: list[tuple[bool, object]] = []
+    real = graph_mod.connected_components
+
+    def spy(edges, *args, **kwargs):
+        from pyspark.sql import functions as F
+
+        src = kwargs.get("src", "src")
+        dst = kwargs.get("dst", "dst")
+        pruned = edges.select(F.col(src), F.col(dst))
+        seen.append(
+            (kwargs.get("input_materialized", False),
+             graph_mod._plan_is_materialized(pruned))
+        )
+        return real(edges, *args, **kwargs)
+
+    # The query modules call via their own imported name; patch BOTH.
+    import maxscale_cdc_connector_spark.queries.llm_queries as llm_mod
+    import maxscale_cdc_connector_spark.queries.training_queries as tr_mod
+
+    monkey = []
+    for mod in (graph_mod, llm_mod, tr_mod):
+        if getattr(mod, "connected_components", None) is real:
+            monkey.append(mod)
+            mod.connected_components = spy
+    try:
+        REGISTRY[key].fn(spark, sf_dir).count()
+    finally:
+        for mod in monkey:
+            mod.connected_components = real
+    assert seen, f"{key} never reached connected_components"
+    for flag, materialized in seen:
+        assert flag is True, f"{key} dropped input_materialized=True"
+        assert materialized in (True, None), (
+            f"{key} passed detectably-lazy edges with the flag set"
+        )
+
+
 def test_finalize_releases_caches_on_failed_materialization(spark):
     """Symmetric to the eager_persist guard: finalize's contract is
     that the handed-in caches die with the call — including when the
