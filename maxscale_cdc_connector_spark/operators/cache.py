@@ -30,25 +30,35 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 
 
+def _release(caches: Iterable[DataFrame]) -> None:
+    """Best-effort unpersist of every cache: one failing ``unpersist``
+    (a dead executor's block-manager RPC, a torn-down context) must not
+    leak the remaining caches — each release is guarded independently.
+    Non-blocking: the caller never needs the blocks gone synchronously,
+    only deregistered."""
+    for c in caches:
+        try:
+            c.unpersist(blocking=False)
+        except Exception:
+            pass
+
+
 def finalize(result: DataFrame, caches: Iterable[DataFrame]) -> DataFrame:
     """Materialize ``result`` now, then release the persisted inputs.
 
-    The inputs are released on the FAILURE path too (same hazard as
-    ``eager_persist``'s count: a failed materialization must not leak
-    session-lifetime cache entries in a long-lived driver sweep) —
-    the operator's contract is that ``caches`` die here either way.
+    The inputs are released through the SAME guarded helper on both the
+    success and failure paths (the operator's contract is that
+    ``caches`` die here either way): a failing ``unpersist`` after a
+    successful materialization must neither leak the remaining caches
+    nor discard the already-computed result — the result's blocks are
+    its own localCheckpoint storage, independent of the input caches.
     """
     try:
         out = result.localCheckpoint(eager=True)
     except Exception:
-        for c in caches:
-            try:
-                c.unpersist(blocking=False)
-            except Exception:
-                pass
+        _release(caches)
         raise
-    for c in caches:
-        c.unpersist()
+    _release(caches)
     return out
 
 

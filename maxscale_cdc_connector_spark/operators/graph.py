@@ -38,23 +38,54 @@ LAST_ROUNDS: int | None = None
 def _plan_is_materialized(df: DataFrame) -> bool | None:
     """Best-effort: does ``df``'s plan bottom out ONLY in
     already-materialized relations — ``LogicalRDD`` (a checkpoint),
-    ``InMemoryRelation`` (a cached frame), or ``LocalRelation``/
-    ``OneRowRelation`` (literal driver-local data, trivially consistent
-    across reading branches)?
+    a POPULATED ``InMemoryRelation`` (a cached frame whose column
+    buffers are fully loaded), or ``LocalRelation``/``OneRowRelation``
+    (literal driver-local data, trivially consistent across reading
+    branches)?
+
+    ``InMemoryRelation`` alone is not enough (ADVICE r13): a lazy
+    never-populated ``.persist()`` over a nondeterministic plan still
+    computes the underlying plan independently per concurrent reading
+    branch until some action populates the cache — exactly the
+    inconsistent-graph-view hazard this guard exists to catch. So the
+    cache builder's ``isCachedColumnBuffersLoaded`` must also be true
+    (all partitions resident). An evicted/partially-loaded cache reads
+    as unmaterialized too — recomputing evicted blocks of a
+    nondeterministic plan has the same hazard, so conservative is
+    correct.
 
     Walks the optimized plan's leaves via the py4j bridge (the optimized
     plan is the one with cache substitution applied). Returns ``None``
-    when the private plan API is unavailable (Spark Connect, future
-    Spark) — callers must treat ``None`` as "cannot check", never as a
-    verdict either way.
+    when the private plan/cache API is unavailable (Spark Connect,
+    future Spark) — callers must treat ``None`` as "cannot check",
+    never as a verdict either way.
     """
     try:
-        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-        names = {leaves.apply(i).nodeName() for i in range(leaves.size())}
+        # A Dataset MEMOIZES its QueryExecution: if the caller walked
+        # this exact frame's plan before persisting/counting it, the
+        # memoized optimized plan predates cache substitution and would
+        # misreport forever. A fresh select("*") is a new Dataset with a
+        # fresh QueryExecution (the optimizer collapses the projection,
+        # leaving the leaves untouched), so the check always sees the
+        # CURRENT cache state.
+        fresh = df.select("*")
+        leaves = fresh._jdf.queryExecution().optimizedPlan().collectLeaves()
+        n = leaves.size()
+        if n == 0:
+            return False
+        for i in range(n):
+            leaf = leaves.apply(i)
+            name = leaf.nodeName()
+            if name in ("LogicalRDD", "LocalRelation", "OneRowRelation"):
+                continue
+            if name == "InMemoryRelation":
+                if not leaf.cacheBuilder().isCachedColumnBuffersLoaded():
+                    return False
+                continue
+            return False
+        return True
     except Exception:
         return None
-    ok = {"LogicalRDD", "InMemoryRelation", "LocalRelation", "OneRowRelation"}
-    return bool(names) and names <= ok
 
 
 def _release_local_checkpoint(df: DataFrame) -> None:
@@ -120,8 +151,9 @@ def connected_components(
     if input_materialized and _plan_is_materialized(pruned) is False:
         raise ValueError(
             "input_materialized=True but the edges plan does not bottom "
-            "out in a LogicalRDD/InMemoryRelation — pass a finalize()/"
-            "localCheckpoint/eager_persist result, or drop the flag"
+            "out in a LogicalRDD or a POPULATED InMemoryRelation — pass "
+            "a finalize()/localCheckpoint/eager_persist result (a lazy "
+            "unpopulated persist() does not count), or drop the flag"
         )
     edges0 = pruned if input_materialized else pruned.localCheckpoint(eager=True)
     ro = rounds_out if rounds_out is not None else []

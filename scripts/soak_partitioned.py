@@ -610,28 +610,31 @@ def _run_kill_supervisor(args) -> int:
                 k: (v[1], v[2]) + ((v[3],) if with_extra else ())
                 for k, v in best.items()
             }
+            def read_got_map() -> dict[int, tuple]:
+                """One snapshot read under the winner-tuple shape. The
+                snapshot widens to include ``extra`` only once the first
+                post-ALTER row merges; until then every row's extra is
+                the NULL backfill."""
+                cur = snap.snapshot(pspark)
+                if with_extra and "extra" in cur.columns:
+                    rows = cur.select("id", "name", "_source_id", "extra").collect()
+                    return {
+                        r["id"]: (r["name"], r["_source_id"], r["extra"])
+                        for r in rows
+                    }
+                if with_extra:
+                    rows = cur.select("id", "name", "_source_id").collect()
+                    return {
+                        r["id"]: (r["name"], r["_source_id"], None) for r in rows
+                    }
+                rows = cur.select("id", "name", "_source_id").collect()
+                return {r["id"]: (r["name"], r["_source_id"]) for r in rows}
+
             got_map: dict[int, tuple] = {}
             while time.time() < drain_deadline:
                 time.sleep(5.0)
                 try:
-                    cur = snap.snapshot(pspark)
-                    # The snapshot widens to include ``extra`` only once
-                    # the first post-ALTER row merges; until then every
-                    # row's extra is the NULL backfill.
-                    if with_extra and "extra" in cur.columns:
-                        rows = cur.select("id", "name", "_source_id", "extra").collect()
-                        got_map = {
-                            r["id"]: (r["name"], r["_source_id"], r["extra"])
-                            for r in rows
-                        }
-                    elif with_extra:
-                        rows = cur.select("id", "name", "_source_id").collect()
-                        got_map = {
-                            r["id"]: (r["name"], r["_source_id"], None) for r in rows
-                        }
-                    else:
-                        rows = cur.select("id", "name", "_source_id").collect()
-                        got_map = {r["id"]: (r["name"], r["_source_id"]) for r in rows}
+                    got_map = read_got_map()
                     diff = sum(
                         1 for k, v in expected_map.items() if got_map.get(k) != v
                     )
@@ -646,6 +649,18 @@ def _run_kill_supervisor(args) -> int:
                     continue
                 except Exception:  # noqa: BLE001 — racing the live sink
                     continue
+            if got_map != expected_map:
+                # Deadline exit (ADVICE r13): the last polled got_map can
+                # be a mid-merge snapshot, or predate the widened column
+                # (every extra reading as None) — the failure diff and
+                # the extra_violations diagnostic below would then
+                # undercount or misattribute. One final read AFTER the
+                # loop fixes the diagnostics to the snapshot actually
+                # being judged; a failing read keeps the last poll.
+                try:
+                    got_map = read_got_map()
+                except Exception:  # noqa: BLE001 — keep the last poll
+                    pass
             ok = got_map == expected_map
             if not ok:
                 losers = [

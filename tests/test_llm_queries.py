@@ -855,6 +855,27 @@ def test_finalize_releases_caches_on_failed_materialization(spark):
     )
 
 
+def test_finalize_success_path_survives_failing_unpersist(spark):
+    """ADVICE r13: the success path must be as guarded as the failure
+    path — one cache whose unpersist throws (dead executor RPC, torn
+    context) must neither leak the REMAINING caches nor discard the
+    already-materialized result."""
+    from pyspark.storagelevel import StorageLevel
+
+    from maxscale_cdc_connector_spark.operators.cache import finalize
+
+    class _Exploding:
+        def unpersist(self, blocking=False):
+            raise RuntimeError("block manager unreachable")
+
+    good = spark.range(0, 50).persist()
+    out = finalize(spark.range(0, 10), [_Exploding(), good])
+    assert out.count() == 10, "computed result was discarded"
+    assert good.storageLevel == StorageLevel.NONE, (
+        "a failing unpersist leaked the remaining caches"
+    )
+
+
 def test_connected_components_rejects_lazy_input_materialized(spark, sf_dir):
     """VERDICT r12 item 4 / ADVICE: input_materialized=True was
     honor-system — a lazy (worse: nondeterministic) edges plan would
@@ -897,3 +918,34 @@ def test_connected_components_rejects_lazy_input_materialized(spark, sf_dir):
     local = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
     assert _plan_is_materialized(local) is True
     assert connected_components(local, input_materialized=True).count() == 3
+
+
+def test_lazy_unpopulated_persist_rejected_by_guard(spark, sf_dir):
+    """ADVICE r13: an InMemoryRelation leaf is only 'materialized' when
+    its column buffers are LOADED. A lazy never-populated .persist()
+    over a nondeterministic plan computes the plan independently per
+    concurrent reading branch until something populates the cache — the
+    exact per-branch inconsistent-view hazard the guard exists to stop,
+    so it must not slip through on node name alone."""
+    from maxscale_cdc_connector_spark.operators.graph import (
+        _plan_is_materialized,
+        connected_components,
+    )
+
+    lazy = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id AS src", "doc_id + 1 AS dst"
+    )
+    if _plan_is_materialized(lazy) is None:
+        pytest.skip("optimized-plan bridge unavailable (Spark Connect?)")
+    cached = lazy.persist()  # registered but NEVER populated
+    try:
+        assert _plan_is_materialized(cached) is False
+        with pytest.raises(ValueError, match="POPULATED"):
+            connected_components(cached, input_materialized=True)
+        # One action populates every partition's buffers; the same
+        # frame then passes the guard.
+        cached.count()
+        assert _plan_is_materialized(cached) is True
+        assert connected_components(cached, input_materialized=True).count() > 0
+    finally:
+        cached.unpersist()
