@@ -121,6 +121,44 @@ def _derive_total_per_canary(out: dict) -> None:
         out["total_per_canary"] = round(out["value"] / out["canary_sec"], 2)
 
 
+# Host-state thresholds (SURVEY "Canary semantics", r13): the canary
+# measures SUSTAINED CPU speed (min-of-3 threads through steal bursts),
+# /proc/stat steal measures BURSTY hypervisor contention — a run is
+# quiet-class only when BOTH are clean. The r13 driver bench proved one
+# signal alone misclassifies: canary 0.754 s (quiet) with steal rising
+# to 0.331% mid-run on the slowest raw artifact on record.
+CANARY_QUIET_MAX_SEC = 0.9
+STEAL_QUIET_MAX_PCT = 0.1
+STEAL_LOUD_PCT = 1.0
+
+
+def _read_proc_stat() -> tuple[int, int]:
+    """(steal jiffies, total jiffies) from /proc/stat line 1."""
+    with open("/proc/stat") as fh:
+        vals = [int(v) for v in fh.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+class _StealWatch:
+    """Interval steal%% sampler with NO sleeps: each ``sample()``
+    returns hypervisor steal%% integrated since the previous call — the
+    work done between calls provides the measurement window. This is
+    what catches MID-RUN degradation (VERDICT r13 item 1): the r13
+    driver bench sampled steal only around the passes (0.006%
+    pre-flight) while bursts ran inside them, so the loud-mitigation
+    extra pass never fired on the slowest raw artifact on record."""
+
+    def __init__(self) -> None:
+        self._last = _read_proc_stat()
+
+    def sample(self) -> float:
+        s0, t0 = self._last
+        self._last = _read_proc_stat()
+        s1, t1 = self._last
+        return round(100.0 * (s1 - s0) / max(1, t1 - t0), 3)
+
+
 def _host_load_sample(seconds: float = 5.0) -> dict:
     """Sample host contention: 1-min loadavg + /proc/stat steal% over
     ``seconds`` (VERDICT r9 item 1). On a shared VM, noisy neighbors
@@ -128,16 +166,9 @@ def _host_load_sample(seconds: float = 5.0) -> dict:
     process didn't cause — the r7/r8-pass-A/r9 drift signature. The
     sample goes into the bench JSON so a judge can adjudicate a
     cross-round delta from the artifact alone."""
-
-    def read_stat() -> tuple[int, int]:
-        with open("/proc/stat") as fh:
-            vals = [int(v) for v in fh.readline().split()[1:]]
-        steal = vals[7] if len(vals) > 7 else 0
-        return steal, sum(vals)
-
-    s0, t0 = read_stat()
+    s0, t0 = _read_proc_stat()
     time.sleep(seconds)
-    s1, t1 = read_stat()
+    s1, t1 = _read_proc_stat()
     return {
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "steal_pct": round(100.0 * (s1 - s0) / max(1, t1 - t0), 3),
@@ -148,7 +179,58 @@ def _host_is_loud(sample: dict) -> bool:
     """Loud = measurable hypervisor steal, or external load over a
     quarter of the box before this process has done any work."""
     cpus = os.cpu_count() or 32
-    return sample["steal_pct"] > 1.0 or sample["loadavg_1m"] > 0.25 * cpus
+    return sample["steal_pct"] > STEAL_LOUD_PCT or sample["loadavg_1m"] > 0.25 * cpus
+
+
+def _is_loud_overall(load_before: dict, load_after: dict, midrun: list) -> bool:
+    """The +1-pass trigger (VERDICT r13 item 1): loud when the
+    pre-flight sample is loud, the post sample shows steal, OR any
+    mid-run quartile sample crossed the steal threshold — a host that
+    degrades only while the board is running now still buys the extra
+    pass. (The post sample's loadavg is inflated by our own just-
+    finished local[32] passes, so only its steal counts.)"""
+    if _host_is_loud(load_before) or load_after["steal_pct"] > STEAL_LOUD_PCT:
+        return True
+    return any(
+        isinstance(s, (int, float)) and s > STEAL_LOUD_PCT for s in midrun
+    )
+
+
+def _all_steal_samples(out: dict) -> list[float]:
+    """Every steal%% measurement in the artifact: pre-flight, post, and
+    the mid-run quartile samples."""
+    load = out.get("load") or {}
+    vals = [
+        (load.get(k) or {}).get("steal_pct")
+        for k in ("preflight", "post_queries")
+    ]
+    vals.extend(load.get("steal_midrun_pct") or [])
+    return [v for v in vals if isinstance(v, (int, float))]
+
+
+def _host_class(out: dict) -> str:
+    """Computed host-state class for cross-round joins (VERDICT r13
+    item 1): tooling must compare totals only within a class.
+
+    - ``degraded``: the canary shows sustained CPU throttling.
+    - ``mixed``: canary reads quiet but steal appeared somewhere — the
+      r13 driver-run signature (bursty contention the min-of-3 canary
+      threads through while the 15-minute board integrates it).
+    - ``quiet``: canary fast AND every steal sample ≈ 0.
+    - ``unknown``: a row needed for the verdict is missing (crashed
+      run) — never guessed.
+    """
+    canaries = [
+        out.get(k)
+        for k in ("canary_sec", "canary_sec_post")
+        if isinstance(out.get(k), (int, float))
+    ]
+    steals = _all_steal_samples(out)
+    if not canaries or not steals:
+        return "unknown"
+    if max(canaries) > CANARY_QUIET_MAX_SEC:
+        return "degraded"
+    return "mixed" if max(steals) > STEAL_QUIET_MAX_PCT else "quiet"
 
 
 def _stream_replay_events_per_s(spark, sf_dir: str) -> int:
@@ -502,6 +584,8 @@ def _compact_line(out: dict) -> str:
     for key in (
         "canary_sec",
         "total_per_canary",
+        "host_class",
+        "steal_max_pct",
         "stream_replay_events_per_s",
         "cdc_ingest_1stream_events_per_s",
         "cdc_ingest_4stream_events_per_s",
@@ -545,6 +629,18 @@ def main() -> None:
 
         out["errors"]["harness"] = traceback.format_exc()[-800:]
     finally:
+        # Host-state class computed LAST from every measured field
+        # (VERDICT r13 item 1) — also on the crash path, from whatever
+        # landed, so the artifact always says which class it is in (or
+        # "unknown", never a guess). Guarded: a classifier bug must not
+        # recreate the r10 no-line failure mode.
+        try:
+            out["host_class"] = _host_class(out)
+            steals = _all_steal_samples(out)
+            if steals:
+                out["steal_max_pct"] = max(steals)
+        except Exception:
+            out["host_class"] = "unknown"
         _snapshot(out)
         # ONE compact line, LAST on stdout, <= COMPACT_MAX_CHARS so it
         # always fits the driver's tail/parse window (VERDICT r11 item
@@ -605,10 +701,19 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # counter-run that beat r8) is exactly what this absorbs.
     timings: dict[str, float] = out["queries"]
 
+    # Load provenance (VERDICT r9 item 1, extended r14): pre-flight
+    # sample, PER-QUARTILE mid-run steal samples, post sample. Stored
+    # incrementally so a crashed run still carries whatever was
+    # measured (host_class is computed from these fields post hoc).
+    out["load"] = {"preflight": load_before}
+    midrun: list[float] = out["load"].setdefault("steal_midrun_pct", [])
+    watch = _StealWatch()
+    quartile = (len(HEADLINE) + 3) // 4
+
     def query_pass() -> None:
         import traceback
 
-        for label, name in HEADLINE:
+        for i, (label, name) in enumerate(HEADLINE):
             try:
                 t0 = time.perf_counter()
                 _materialize(registry[name].fn(spark, sf_dir))
@@ -616,6 +721,13 @@ def _run_bench(out: dict, sf_dir: str) -> None:
             except Exception:
                 out["errors"][label] = traceback.format_exc()[-600:]
                 continue
+            finally:
+                # Steal integrated over each quartile of the board
+                # (VERDICT r13 item 1): bursts INSIDE the passes are
+                # what the r13 artifact missed. No sleeps — the
+                # queries themselves are the measurement window.
+                if (i + 1) % quartile == 0 or i + 1 == len(HEADLINE):
+                    midrun.append(watch.sample())
             timings[label] = min(timings.get(label, dt), dt)
             out["errors"].pop(label, None)
         out["value"] = round(sum(timings.values()), 3)
@@ -627,23 +739,22 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # The post sample's loadavg is inflated by OUR just-finished passes
     # (local[32] work lingers in the 1-min average), so only steal — a
     # purely external signal — counts from it; loadavg gates on the
-    # pre-flight sample taken before the Spark session existed.
-    loud = _host_is_loud(load_before) or load_after["steal_pct"] > 1.0
+    # pre-flight sample taken before the Spark session existed. Any
+    # mid-run quartile sample over the threshold also counts (r13: the
+    # degradation arrived only while the board was running).
+    loud = _is_loud_overall(load_before, load_after, midrun)
     passes = 2
     if loud:
         query_pass()
         passes = 3
 
-    # Load provenance (VERDICT r9 item 1): host contention sampled over
-    # ~5 s before the Spark session existed and again after the query
-    # passes; "loud" buys every row one extra pass, and the numbers let
-    # a judge adjudicate cross-round drift from the artifact alone.
-    out["load"] = {
-        "preflight": load_before,
-        "post_queries": load_after,
-        "loud": loud,
-        "query_passes": passes,
-    }
+    out["load"].update(
+        {
+            "post_queries": load_after,
+            "loud": loud,
+            "query_passes": passes,
+        }
+    )
     _derive_total_per_canary(out)
     # Second canary AFTER the passes (bench_partial.json only — the
     # compact line carries the pre-pass one): a large pre/post delta
@@ -655,7 +766,8 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # cross-round deltas vs those runs include this methodology change.
     out["methodology"] = (
         f"{passes}-pass min per query; replay/ingest max of {2 + (1 if loud else 0)}; "
-        "warm session; pre-flight+post load sampled (loud => +1 pass); "
+        "warm session; pre-flight + per-quartile mid-run + post steal sampled "
+        "(any loud sample => +1 pass); host_class from canary AND max steal; "
         "per-row guarded (rep failures degrade to errors, never void other rows)"
     )
     _snapshot(out)
