@@ -1,0 +1,138 @@
+"""Cross-round bench comparison in canary units (VERDICT r13 item 2).
+
+Reads two bench artifacts — either a driver ``BENCH_r{N}.json`` (uses
+its ``parsed`` object) or a ``bench_partial.json``-shaped dict — and
+emits the per-key movement table the round protocol calls for:
+
+- classifies each side's host state (quiet/degraded/mixed/unknown)
+  with ``bench._host_class`` semantics, post hoc when the artifact
+  predates the ``host_class`` field;
+- computes the board-wide multiplier (median per-key ratio new/old) —
+  the host signature: when most keys move in lockstep, that lockstep
+  IS the host delta;
+- flags every key whose own ratio deviates from the board multiplier
+  by more than ``DEVIATION`` in either direction (the r12
+  fn_json_props/minhash adjudication protocol: a key that moves WITH
+  the board is host, a key that moves AGAINST it owes a code-vs-host
+  call).
+
+Usage:
+    python scripts/compare_rounds.py BENCH_r13.json bench_partial.json
+Prints a markdown table ready for SURVEY.md plus a JSON summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import statistics
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+DEVIATION = 1.5  # flag keys whose ratio strays >1.5x from the board
+
+
+def load_artifact(path: str) -> dict:
+    data = json.loads(Path(path).read_text())
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    return data
+
+
+def classify(art: dict) -> str:
+    """The artifact's own host_class when present (>= r14), else the
+    post-hoc classification from canary + whatever steal samples the
+    artifact carries (r13 artifacts carry load only in bench_partial;
+    the driver BENCH file's parsed line has canary only — classify
+    'unknown' rather than guess)."""
+    if isinstance(art.get("host_class"), str):
+        return art["host_class"]
+    return bench._host_class(art)
+
+
+def full_labels() -> dict[str, str]:
+    return {bench._compact_qkey(label): label for label, _ in bench.HEADLINE}
+
+
+def compare(old: dict, new: dict) -> dict:
+    labels = full_labels()
+    qo, qn = old.get("queries") or {}, new.get("queries") or {}
+    # Normalize to ordinal keys (bench_partial uses full labels).
+    qo = {bench._compact_qkey(k): v for k, v in qo.items()}
+    qn = {bench._compact_qkey(k): v for k, v in qn.items()}
+    shared = [
+        k
+        for k in qo
+        if k in qn
+        and isinstance(qo[k], (int, float))
+        and isinstance(qn[k], (int, float))
+        and qo[k] > 0
+    ]
+    ratios = {k: qn[k] / qo[k] for k in shared}
+    board = statistics.median(ratios.values()) if ratios else None
+    rows = []
+    for k in sorted(shared, key=lambda k: int(k[1:]) if k[1:].isdigit() else 0):
+        r = ratios[k]
+        deviates = board and (r > board * DEVIATION or r < board / DEVIATION)
+        rows.append(
+            {
+                "key": labels.get(k, k),
+                "old_sec": qo[k],
+                "new_sec": qn[k],
+                "ratio": round(r, 2),
+                "flag": bool(deviates),
+            }
+        )
+    out = {
+        "old_class": classify(old),
+        "new_class": classify(new),
+        "old_total": old.get("value"),
+        "new_total": new.get("value"),
+        "old_canary": old.get("canary_sec"),
+        "new_canary": new.get("canary_sec"),
+        "board_multiplier": round(board, 3) if board else None,
+        "same_class": classify(old) == classify(new),
+        "flagged": [r["key"] for r in rows if r["flag"]],
+        "rows": rows,
+    }
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        print(__doc__)
+        raise SystemExit(2)
+    old, new = load_artifact(sys.argv[1]), load_artifact(sys.argv[2])
+    cmp = compare(old, new)
+    canary_note = ""
+    if cmp["old_canary"] and cmp["new_canary"]:
+        canary_note = (
+            f" (canary ratio {round(cmp['new_canary'] / cmp['old_canary'], 2)})"
+        )
+    print(
+        f"host class: {cmp['old_class']} -> {cmp['new_class']}"
+        f"{' (CROSS-CLASS: compare direction only, not magnitude)' if not cmp['same_class'] else ''}"
+    )
+    print(
+        f"total: {cmp['old_total']} -> {cmp['new_total']} s; "
+        f"board multiplier (median per-key ratio): {cmp['board_multiplier']}"
+        f"{canary_note}"
+    )
+    print()
+    print("| key | old s | new s | ratio | vs board |")
+    print("|---|---|---|---|---|")
+    for r in cmp["rows"]:
+        mark = "**FLAG**" if r["flag"] else "with board"
+        print(
+            f"| {r['key']} | {r['old_sec']} | {r['new_sec']} "
+            f"| {r['ratio']} | {mark} |"
+        )
+    print()
+    print(json.dumps({k: v for k, v in cmp.items() if k != "rows"}))
+
+
+if __name__ == "__main__":
+    main()
