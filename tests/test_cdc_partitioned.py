@@ -1047,15 +1047,17 @@ def test_unpinned_schema_alter_during_downtime_backfills(spark, tmp_path) -> Non
         srv_a.stop()
 
 
-# --- Trigger sizing helper (VERDICT r11 item 4, recalibrated r13) ------
+# --- Trigger sizing helper (VERDICT r11 item 4, re-pinned r14) ---------
 # Spark-free: the formula is plain arithmetic; the pins hold it to the
-# five measured idle-trigger rows (quiet-host minimums, 32 cores) so
+# five measured idle-trigger rows (min-of-3 per count, 32 cores) so
 # drift in either the code or the measured reality is visible.
-# 96/128 are the r12 POST-harness-rework floors (the old 1424/2061 ms
-# tail included the fake server's per-dial history scan — harness cost,
-# not client handshake cost).
+# ALL FIVE rows are from the r14 single-methodology probe
+# (scripts/probe_idle_trigger.py: one warm session, the reworked fake
+# server, canary-stamped 0.437/0.389 s) — closing ADVICE r13's
+# mixed-vintage finding (16/32/64 previously pre-dated the r12 harness
+# rework while 96/128 post-dated it).
 
-MEASURED_IDLE_MS = {16: 473.0, 32: 512.0, 64: 871.0, 96: 1385.0, 128: 1489.0}
+MEASURED_IDLE_MS = {16: 448.2, 32: 513.1, 64: 823.6, 96: 1210.0, 128: 1581.6}
 
 
 def test_idle_trigger_estimate_one_sided_25pct_band():
