@@ -596,6 +596,13 @@ def _compact_line(out: dict) -> str:
     ):
         if key in out:
             compact[key] = out[key]
+    # Per-phase (per-quartile) steal samples ride the driver-parsed
+    # line too (VERDICT r13 item 1: "BENCH_r14 carries per-phase
+    # steal"): ≤16 two-decimal floats ≈ 90 chars, inside the budget;
+    # the oversized-input degradation below still guards the cap.
+    midrun = (out.get("load") or {}).get("steal_midrun_pct")
+    if midrun:
+        compact["steal_midrun_pct"] = [round(v, 2) for v in midrun[:16]]
     compact["detail"] = "bench_partial.json"
     line = json.dumps(compact)
     if len(line) > COMPACT_MAX_CHARS:

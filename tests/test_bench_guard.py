@@ -289,9 +289,15 @@ def test_steal_watch_integrates_between_calls(monkeypatch):
 
 
 def test_compact_line_carries_host_class_and_steal_max():
-    parsed = json.loads(bench._compact_line(_full_out_fixture()))
+    line = bench._compact_line(_full_out_fixture())
+    parsed = json.loads(line)
     assert parsed["host_class"] == "mixed"
     assert parsed["steal_max_pct"] == 0.287
+    # Per-phase steal rides the driver-parsed line (VERDICT r13 item 1),
+    # rounded and bounded so it can never threaten the char budget.
+    assert parsed["steal_midrun_pct"] == [0.01, 0.02, 0.01, 0.03,
+                                          0.0, 0.0, 0.0, 0.0]
+    assert len(line) <= bench.COMPACT_MAX_CHARS
 
 
 def test_main_classifies_host_even_on_crash(monkeypatch, capsys, tmp_path):
