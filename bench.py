@@ -202,9 +202,10 @@ def _all_steal_samples(out: dict) -> list[float]:
     load = out.get("load") or {}
     vals = [
         (load.get(k) or {}).get("steal_pct")
-        for k in ("preflight", "post_queries")
+        for k in ("preflight", "post_queries", "post_streaming")
     ]
     vals.extend(load.get("steal_midrun_pct") or [])
+    vals.extend(load.get("steal_streaming_pct") or [])
     return [v for v in vals if isinstance(v, (int, float))]
 
 
@@ -603,6 +604,9 @@ def _compact_line(out: dict) -> str:
     midrun = (out.get("load") or {}).get("steal_midrun_pct")
     if midrun:
         compact["steal_midrun_pct"] = [round(v, 2) for v in midrun[:16]]
+    streaming = (out.get("load") or {}).get("steal_streaming_pct")
+    if streaming:
+        compact["steal_streaming_pct"] = [round(v, 2) for v in streaming[:8]]
     compact["detail"] = "bench_partial.json"
     line = json.dumps(compact)
     if len(line) > COMPACT_MAX_CHARS:
@@ -780,11 +784,23 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     _snapshot(out)
 
     extra = 1 if loud else 0
+    # The streaming rows run AFTER the post-queries sample, so a host
+    # that degrades during THIS phase (r13: ingest is the row family
+    # most sensitive to it) would otherwise go unstamped. One steal
+    # sample per streaming row, same zero-sleep watch; they feed
+    # _host_class via _all_steal_samples.
+    stream_steal: list[float] = out["load"].setdefault("steal_streaming_pct", [])
+    watch.sample()  # reset the window to the start of the streaming phase
+
+    def stream_row(key: str, fn, reps: int, agg) -> None:
+        _measure_row(out, key, fn, reps, agg)
+        stream_steal.append(watch.sample())
+        _snapshot(out)
+
     # Best of the reps, like every other row: the first rep pays any
     # one-time python-worker spawn for the DataSource stage, which is
     # harness cost, not reader bandwidth.
-    _measure_row(
-        out,
+    stream_row(
         "stream_replay_events_per_s",
         lambda: _stream_replay_events_per_s(spark, sf_dir),
         2 + extra,
@@ -794,15 +810,13 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # ~3M events/stream through real executor-side sockets. The
     # 4-vs-1 ratio is the point — ingest bandwidth scales with
     # configured streams instead of the driver NIC.
-    _measure_row(
-        out,
+    stream_row(
         "cdc_ingest_1stream_events_per_s",
         lambda: _partitioned_ingest_events_per_s(spark, sf_dir, 1),
         2 + extra,
         max,
     )
-    _measure_row(
-        out,
+    stream_row(
         "cdc_ingest_4stream_events_per_s",
         lambda: _partitioned_ingest_events_per_s(spark, sf_dir, 4),
         2 + extra,
@@ -814,16 +828,16 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # re-measured per round since r10 (VERDICT r9 item 7) so drift is
     # visible. MIN across repeats: an empty trigger's floor is handshake
     # latency, and contention only inflates it.
-    _measure_row(
-        out, "cdc_ingest_idle_trigger_ms_16stream",
+    stream_row(
+        "cdc_ingest_idle_trigger_ms_16stream",
         lambda: _idle_trigger_ms(spark, 16), 1 + extra, min,
     )
-    _measure_row(
-        out, "cdc_ingest_idle_trigger_ms_32stream",
+    stream_row(
+        "cdc_ingest_idle_trigger_ms_32stream",
         lambda: _idle_trigger_ms(spark, 32), 1 + extra, min,
     )
-    _measure_row(
-        out, "cdc_ingest_idle_trigger_ms_64stream",
+    stream_row(
+        "cdc_ingest_idle_trigger_ms_64stream",
         lambda: _idle_trigger_ms(spark, 64), 1 + extra, min,
     )
 

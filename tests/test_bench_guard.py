@@ -149,6 +149,7 @@ def _full_out_fixture() -> dict:
         "load": {
             "preflight": {"loadavg_1m": 4.24, "steal_pct": 0.287},
             "steal_midrun_pct": [0.01, 0.02, 0.01, 0.03, 0.0, 0.0, 0.0, 0.0],
+            "steal_streaming_pct": [0.02, 0.0, 0.01, 0.0, 0.0, 0.0],
             "post_queries": {"loadavg_1m": 2.25, "steal_pct": 0.006},
             "loud": False,
             "query_passes": 2,
@@ -297,7 +298,24 @@ def test_compact_line_carries_host_class_and_steal_max():
     # rounded and bounded so it can never threaten the char budget.
     assert parsed["steal_midrun_pct"] == [0.01, 0.02, 0.01, 0.03,
                                           0.0, 0.0, 0.0, 0.0]
+    assert parsed["steal_streaming_pct"] == [0.02, 0.0, 0.01, 0.0, 0.0, 0.0]
     assert len(line) <= bench.COMPACT_MAX_CHARS
+
+
+def test_host_class_sees_streaming_phase_steal():
+    """A burst arriving only during the streaming rows (after the
+    post-queries sample) must still reach the classifier."""
+    out = {
+        "canary_sec": 0.7,
+        "load": {
+            "preflight": {"steal_pct": 0.0},
+            "steal_midrun_pct": [0.0, 0.0, 0.0, 0.0],
+            "steal_streaming_pct": [0.0, 2.4, 0.0],
+            "post_queries": {"steal_pct": 0.0},
+        },
+    }
+    assert bench._host_class(out) == "mixed"
+    assert max(bench._all_steal_samples(out)) == 2.4
 
 
 def test_main_classifies_host_even_on_crash(monkeypatch, capsys, tmp_path):
