@@ -21,9 +21,10 @@ import bench
 @pytest.fixture(autouse=True)
 def _redirect_partial_path(tmp_path, monkeypatch):
     """Every _measure_row/_snapshot call writes PARTIAL_PATH; without
-    this redirect the test suite clobbers the repo's committed
-    bench_partial.json — which since r12 is the ONLY home of the full
-    per-query bench detail (the stdout line is compact-only)."""
+    this redirect the test suite clobbers the repo-root
+    bench_partial.json (gitignored scratch — the live run's full
+    per-query detail; durable copies are committed per round as
+    BENCH_r{N}_builder_<class>.json)."""
     monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "partial.json"))
 
 
