@@ -841,6 +841,12 @@ def _run_bench(out: dict, sf_dir: str) -> None:
         lambda: _idle_trigger_ms(spark, 64), 1 + extra, min,
     )
 
+    # Closing host sample AFTER the streaming rows (the per-row
+    # interval samples above cover the phase; this 5 s read is the
+    # symmetric bookend to preflight/post_queries and feeds
+    # _all_steal_samples / _host_class).
+    out["load"]["post_streaming"] = _host_load_sample()
+
     from maxscale_cdc_connector_spark.operators import graph as _graph
 
     # Star-contraction convergence telemetry (q23): a pathological

@@ -49,10 +49,17 @@ def _plan_is_materialized(df: DataFrame) -> bool | None:
     branch until some action populates the cache — exactly the
     inconsistent-graph-view hazard this guard exists to catch. So the
     cache builder's ``isCachedColumnBuffersLoaded`` must also be true
-    (all partitions resident). An evicted/partially-loaded cache reads
-    as unmaterialized too — recomputing evicted blocks of a
-    nondeterministic plan has the same hazard, so conservative is
-    correct.
+    (all partitions resident). Scope limit: Spark MEMOIZES that flag
+    once the cache has been fully loaded ONCE (CachedRDDBuilder keeps
+    a loaded-latch; verified against the Spark 4.1.2 jar), so a LATER
+    eviction — executor loss after population — is NOT detected here.
+    Post-population block loss keeps a (narrower) divergence risk for
+    nondeterministic plans — concurrent branches racing to recompute a
+    lost partition — but it is undetectable through this API and, under
+    the default MEMORY_AND_DISK level, requires executor loss rather
+    than memory pressure; deployments where that matters should
+    ``localCheckpoint``/``checkpoint`` instead of persist (the
+    ``finalize()`` path every in-repo call site uses).
 
     Walks the optimized plan's leaves via the py4j bridge (the optimized
     plan is the one with cache substitution applied). Returns ``None``

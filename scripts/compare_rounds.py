@@ -76,7 +76,12 @@ def compare(old: dict, new: dict) -> dict:
     rows = []
     for k in sorted(shared, key=lambda k: int(k[1:]) if k[1:].isdigit() else 0):
         r = ratios[k]
-        deviates = board and (r > board * DEVIATION or r < board / DEVIATION)
+        # `is not None`, not truthiness: a legitimate 0.0 median (half
+        # the new board at 0.0 s after 2-decimal rounding) must not
+        # silently disable every flag.
+        deviates = board is not None and board > 0 and (
+            r > board * DEVIATION or r < board / DEVIATION
+        )
         rows.append(
             {
                 "key": labels.get(k, k),
@@ -86,15 +91,20 @@ def compare(old: dict, new: dict) -> dict:
                 "flag": bool(deviates),
             }
         )
+    cls_old, cls_new = classify(old), classify(new)
     out = {
-        "old_class": classify(old),
-        "new_class": classify(new),
+        "old_class": cls_old,
+        "new_class": cls_new,
         "old_total": old.get("value"),
         "new_total": new.get("value"),
         "old_canary": old.get("canary_sec"),
         "new_canary": new.get("canary_sec"),
-        "board_multiplier": round(board, 3) if board else None,
-        "same_class": classify(old) == classify(new),
+        "board_multiplier": round(board, 3) if board is not None else None,
+        # Two unknowns are NOT the same class — "unknown" means the
+        # artifact cannot vouch for its host state, so magnitudes are
+        # never within-class comparable (the misjoin this tool exists
+        # to prevent).
+        "same_class": cls_old == cls_new and cls_old != "unknown",
         "flagged": [r["key"] for r in rows if r["flag"]],
         "rows": rows,
     }

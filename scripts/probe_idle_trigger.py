@@ -59,14 +59,19 @@ def main() -> None:
         out["steal_per_count_pct"][n] = watch.sample()
         print(f"[probe] {n} streams: min {min(vals)} ms of {vals}", flush=True)
     out["canary_post_sec"] = bench._canary_sec(spark)
-    steals = list(out["steal_per_count_pct"].values())
-    canaries = [out["canary_pre_sec"], out["canary_post_sec"]]
-    if max(canaries) > bench.CANARY_QUIET_MAX_SEC:
-        out["host_class"] = "degraded"
-    elif steals and max(steals) > bench.STEAL_QUIET_MAX_PCT:
-        out["host_class"] = "mixed"
-    else:
-        out["host_class"] = "quiet"
+    # ONE classifier for every artifact: shape the probe's measurements
+    # into the bench's out-dict fields and reuse bench._host_class —
+    # an inline copy of the decision tree would silently desynchronize
+    # from the bench's semantics on any future threshold change.
+    out["host_class"] = bench._host_class(
+        {
+            "canary_sec": out["canary_pre_sec"],
+            "canary_sec_post": out["canary_post_sec"],
+            "load": {
+                "steal_midrun_pct": list(out["steal_per_count_pct"].values())
+            },
+        }
+    )
     print(json.dumps(out))
 
 

@@ -62,6 +62,31 @@ def test_classify_prefers_artifact_host_class_else_post_hoc():
     assert compare_rounds.classify({"canary_sec": 0.7}) == "unknown"
 
 
+def test_two_unknowns_are_not_same_class():
+    """Two artifacts that cannot vouch for their host state must not
+    compare as within-class (the misjoin the tool exists to prevent) —
+    'unknown' == 'unknown' is still a cross-class read."""
+    old = _art({"q1": 1.0})
+    new = _art({"q1": 2.0})
+    cmp = compare_rounds.compare(old, new)
+    assert cmp["old_class"] == cmp["new_class"] == "unknown"
+    assert cmp["same_class"] is False
+    # Known-and-equal classes DO compare within-class.
+    old["host_class"] = new["host_class"] = "quiet"
+    assert compare_rounds.compare(old, new)["same_class"] is True
+
+
+def test_zero_board_multiplier_is_reported_not_nulled():
+    """A legitimate 0.0 median (sub-5ms keys rounding to 0.0 in the
+    compact line) must be REPORTED as 0.0, not misread as 'no board';
+    flags are suppressed (deviation from a zero board is undefined)."""
+    old = _art({"q1": 1.0, "q2": 1.0, "q3": 1.0})
+    new = _art({"q1": 0.0, "q2": 0.0, "q3": 5.0})
+    cmp = compare_rounds.compare(old, new)
+    assert cmp["board_multiplier"] == 0.0
+    assert cmp["flagged"] == []
+
+
 def test_full_label_normalization_and_null_rows():
     """bench_partial uses full labels, driver artifacts use ordinals;
     the compare must join them, and None/zero rows must drop out
