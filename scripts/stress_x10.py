@@ -154,6 +154,8 @@ def main() -> int:
     load_all()
     x10 = build_x10(spark, args.sf_dir, args.tables.split(","), args.corpus_dir)
 
+    import bench
+
     def best_of_2(key: str, sf_dir: str) -> tuple[float, int]:
         best, rows = None, 0
         for _ in range(2):
@@ -163,15 +165,41 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         return best, rows
 
+    # Host stamping (r14 doctrine, SURVEY "Item 4"): the RATIO is not
+    # host-invariant for output-bound keys — a fast host shrinks the
+    # fixed-cost-dominated sf0.1 denominator far more than the
+    # output-bound ×10 numerator (r12 3.0× vs r14-quiet 10.8× on
+    # byte-identical jaccard output). Cross-round reads therefore use
+    # the ×10 ABSOLUTE leg at fixed output rows, which is only
+    # comparable within a host class — so stamp the run exactly like
+    # bench.py: canary before/after + per-key steal intervals.
+    canary_pre = bench._canary_sec(spark)
+    watch = bench._StealWatch()
+    steals: list[float] = []
     try:
         for key in args.keys:
             b1, n1 = best_of_2(key, args.sf_dir)
             b10, n10 = best_of_2(key, x10)
+            steals.append(watch.sample())
             print(
                 f"{key}: sf0.1 {b1:.2f}s ({n1} rows) | x10 {b10:.2f}s "
-                f"({n10} rows) | ratio {b10 / b1:.1f}x",
+                f"({n10} rows) | ratio {b10 / b1:.1f}x | "
+                f"x10-abs {b10:.2f}s @ {n10} rows | steal {steals[-1]}%",
                 flush=True,
             )
+        canary_post = bench._canary_sec(spark)
+        host_class = bench._host_class(
+            {
+                "canary_sec": canary_pre,
+                "canary_sec_post": canary_post,
+                "load": {"steal_midrun_pct": steals},
+            }
+        )
+        print(
+            f"host: class {host_class} | canary {canary_pre}/{canary_post} s "
+            f"| steal max {max(steals) if steals else None}%",
+            flush=True,
+        )
     finally:
         if args.corpus_dir is None:  # keep a named corpus for reuse
             shutil.rmtree(x10, ignore_errors=True)
