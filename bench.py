@@ -756,6 +756,13 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     loud = _is_loud_overall(load_before, load_after, midrun)
     passes = 2
     if loud:
+        # Reset the steal window first (ADVICE r14): _host_load_sample's
+        # 5 s idle sleep and the loud decision sit between pass 2's last
+        # quartile sample and this extra pass — without a reset, pass
+        # 3's first quartile integrates that idle window and dilutes any
+        # burst inside the pass itself (mirrors the streaming-phase
+        # reset below).
+        watch.sample()
         query_pass()
         passes = 3
 

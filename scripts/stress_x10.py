@@ -135,6 +135,16 @@ def main() -> int:
         "of a throwaway tempdir — lets one sf1-equivalent corpus serve "
         "both the stress timings and an oracle sweep (SWEEP_SF_DIR)",
     )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write the machine-readable stress artifact (STRESS_r{N}.json "
+        "shape) here — per-key sf0.1/×10 legs, output rows, steal sample, "
+        "plus the run's host stamp. compare_rounds.py --stress consumes "
+        "two of these (VERDICT r14 item 2: cross-round reads for "
+        "output-bound keys use the ×10 ABSOLUTE leg at fixed output "
+        "rows, host-class-gated — not the ratio).",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -176,19 +186,47 @@ def main() -> int:
     canary_pre = bench._canary_sec(spark)
     watch = bench._StealWatch()
     steals: list[float] = []
+    results: list[dict] = []
     try:
         for key in args.keys:
             b1, n1 = best_of_2(key, args.sf_dir)
             b10, n10 = best_of_2(key, x10)
             steals.append(watch.sample())
+            results.append(
+                {
+                    "key": key,
+                    "sf01_sec": round(b1, 3),
+                    "sf01_rows": n1,
+                    "x10_sec": round(b10, 3),
+                    "x10_rows": n10,
+                    "ratio": round(b10 / b1, 2),
+                    "steal_pct": steals[-1],
+                }
+            )
             print(
                 f"{key}: sf0.1 {b1:.2f}s ({n1} rows) | x10 {b10:.2f}s "
                 f"({n10} rows) | ratio {b10 / b1:.1f}x | "
                 f"x10-abs {b10:.2f}s @ {n10} rows | steal {steals[-1]}%",
                 flush=True,
             )
-        canary_post = bench._canary_sec(spark)
-        host_class = bench._host_class(
+    finally:
+        # Host stamp in a finally (ADVICE r14): a failing key must not
+        # strip the already-printed keys of their host-class stamp — the
+        # within-class-comparison doctrine needs every run classified.
+        # Guarded: if the session itself is broken the canary raises,
+        # and the stamp degrades to class "unknown" rather than masking
+        # the original exception.
+        try:
+            canary_post = bench._canary_sec(spark)
+        except Exception:
+            canary_post = None
+        host = {
+            "canary_sec": canary_pre,
+            "canary_sec_post": canary_post,
+            "steal_max_pct": max(steals) if steals else None,
+            "steal_pct_samples": steals,
+        }
+        host["host_class"] = bench._host_class(
             {
                 "canary_sec": canary_pre,
                 "canary_sec_post": canary_post,
@@ -196,11 +234,27 @@ def main() -> int:
             }
         )
         print(
-            f"host: class {host_class} | canary {canary_pre}/{canary_post} s "
-            f"| steal max {max(steals) if steals else None}%",
+            f"host: class {host['host_class']} | canary {canary_pre}/"
+            f"{canary_post} s | steal max {host['steal_max_pct']}%",
             flush=True,
         )
-    finally:
+        if args.out:
+            # Partial results are still written on a failing run — each
+            # key's row is complete-or-absent, and the host stamp always
+            # rides along, mirroring bench.py's incremental snapshots.
+            import json as _json
+
+            artifact = {
+                "protocol": "stress_x10 min-of-2 per leg",
+                "sf_dir": args.sf_dir,
+                "corpus_dir": args.corpus_dir,
+                "requested_keys": args.keys,
+                "keys": {r["key"]: r for r in results},
+                **host,
+            }
+            with open(args.out, "w") as fh:
+                _json.dump(artifact, fh, indent=1)
+            print(f"wrote {args.out}", flush=True)
         if args.corpus_dir is None:  # keep a named corpus for reuse
             shutil.rmtree(x10, ignore_errors=True)
         spark.stop()

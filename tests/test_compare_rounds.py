@@ -87,6 +87,84 @@ def test_zero_board_multiplier_is_reported_not_nulled():
     assert cmp["flagged"] == []
 
 
+def _stress_art(keys: dict, host_class: str = "quiet") -> dict:
+    """A minimal stress_x10 --out artifact: keys maps key -> (x10_sec,
+    x10_rows, sf01_sec)."""
+    return {
+        "host_class": host_class,
+        "keys": {
+            k: {
+                "key": k,
+                "x10_sec": sec,
+                "x10_rows": rows,
+                "sf01_sec": sf01,
+                "ratio": round(sec / sf01, 2) if sf01 else None,
+            }
+            for k, (sec, rows, sf01) in keys.items()
+        },
+    }
+
+
+def test_stress_board_and_flags_same_class():
+    """r14 doctrine as code: within one host class, the ×10 absolute
+    legs form the board; a key whose leg strays >1.5× from the board
+    multiplier is flagged."""
+    old = _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0),
+                       "c": (8.0, 80, 2.0)})
+    new = _stress_art({"a": (10.5, 100, 2.0), "b": (21.0, 200, 2.0),
+                       "c": (20.0, 80, 2.0)})  # c: 2.5x vs board ~1.05
+    cmp = compare_rounds.compare_stress(old, new)
+    assert cmp["same_class"] is True
+    assert cmp["flagged"] == ["c"]
+    assert abs(cmp["board_multiplier"] - 1.05) < 0.01
+
+
+def test_stress_rows_changed_key_is_excluded_from_timing_read():
+    """Fixed output rows is the precondition of the absolute-leg read
+    (the corpus defines the work): differing ×10 rows mark the key
+    rows_changed, exclude it from the board, and never flag it."""
+    old = _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0)})
+    new = _stress_art({"a": (50.0, 999, 2.0), "b": (20.0, 200, 2.0)})
+    cmp = compare_rounds.compare_stress(old, new)
+    assert cmp["rows_changed"] == ["a"]
+    assert cmp["flagged"] == []
+    assert cmp["board_multiplier"] == 1.0  # board from b only
+    row_a = next(r for r in cmp["rows"] if r["key"] == "a")
+    assert "x10_leg_ratio" not in row_a and row_a["flag"] is False
+
+
+def test_stress_cross_class_suppresses_flags():
+    """The r14 same-tree degraded/quiet pair measured 1.4-2.8× long-leg
+    inflation from host alone — cross-class magnitudes never earn a
+    per-key flag (direction only)."""
+    old = _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0),
+                       "c": (8.0, 80, 2.0)}, host_class="quiet")
+    new = _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0),
+                       "c": (25.0, 80, 2.0)}, host_class="degraded")
+    cmp = compare_rounds.compare_stress(old, new)
+    assert cmp["same_class"] is False
+    assert cmp["flagged"] == []
+    # unknown == unknown is still cross-class (mirrors the bench mode).
+    for art in (old, new):
+        art.pop("host_class")
+    cmp = compare_rounds.compare_stress(old, new)
+    assert cmp["old_class"] == cmp["new_class"] == "unknown"
+    assert cmp["same_class"] is False and cmp["flagged"] == []
+
+
+def test_stress_sf01_ratio_never_drives_a_flag():
+    """The r14 jaccard lesson: the sf0.1/×10 RATIO tripled across rounds
+    (3.0× → 10.8×) purely from a faster denominator host while the ×10
+    absolute leg was stable within 5%. A wild ratio swing with a
+    board-consistent absolute leg must not flag."""
+    old = _stress_art({"a": (16.35, 1_052_000, 5.45),   # ratio 3.0x
+                       "b": (10.0, 500, 3.0)})
+    new = _stress_art({"a": (17.08, 1_052_000, 1.58),   # ratio 10.8x
+                       "b": (10.4, 500, 3.1)})
+    cmp = compare_rounds.compare_stress(old, new)
+    assert cmp["flagged"] == []
+
+
 def test_full_label_normalization_and_null_rows():
     """bench_partial uses full labels, driver artifacts use ordinals;
     the compare must join them, and None/zero rows must drop out
