@@ -541,6 +541,39 @@ def _measure_row(out: dict, key: str, fn, reps: int, agg) -> None:
     _snapshot(out)
 
 
+def _stream_row_measured(
+    out: dict, key: str, fn, reps: int, agg, watch, stream_steal: list
+) -> None:
+    """Measure one streaming row, steal-stamp its measurement window,
+    and re-measure ONCE when that window overlapped a loud sample
+    (VERDICT r14 item 4). The query board already buys a +1 pass on any
+    loud sample, but the streaming rows ran a fixed rep count even when
+    their own window recorded 7% steal (BENCH_r14: replay 275 k ev/s on
+    a mixed host vs 547 k quiet, same tree) — throughput rows measured
+    under steal are understated, so a loud window earns one retry and
+    the row keeps the best of all reps. Retried keys are recorded in
+    ``load.streaming_loud_retries`` so the artifact shows which rows
+    straddled contention."""
+    _measure_row(out, key, fn, reps, agg)
+    sample = watch.sample()
+    stream_steal.append(sample)
+    if sample > STEAL_LOUD_PCT and out.get(key) is not None:
+        prior = out[key]
+        _measure_row(out, key, fn, 1, agg)
+        retry_val = out.get(key)
+        # Best-of merge; a failing retry keeps the measured value and
+        # must not leave a stale error for a row that HAS a number.
+        out[key] = agg([v for v in (prior, retry_val) if v is not None])
+        out["errors"].pop(key, None)
+        out.setdefault("load", {}).setdefault(
+            "streaming_loud_retries", []
+        ).append(key)
+        # Stamp the retry's own window too — _host_class and the loud
+        # bookkeeping see every interval, none integrates two rows.
+        stream_steal.append(watch.sample())
+    _snapshot(out)
+
+
 # Hard cap on the final stdout line (VERDICT r11 item 1): the driver
 # archives only the last ~2000 chars of stdout and parses the final
 # JSON line inside that window. r9's 1,780-char line parsed; r11's
@@ -783,7 +816,8 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     # ingest: MAX throughput of the reps). Rounds 1-3 were single-pass —
     # cross-round deltas vs those runs include this methodology change.
     out["methodology"] = (
-        f"{passes}-pass min per query; replay/ingest max of {2 + (1 if loud else 0)}; "
+        f"{passes}-pass min per query; replay/ingest max of {2 + (1 if loud else 0)}, "
+        "+1 rep for any streaming row whose own steal window was loud; "
         "warm session; pre-flight + per-quartile mid-run + post steal sampled "
         "(any loud sample => +1 pass); host_class from canary AND max steal; "
         "per-row guarded (rep failures degrade to errors, never void other rows)"
@@ -800,9 +834,7 @@ def _run_bench(out: dict, sf_dir: str) -> None:
     watch.sample()  # reset the window to the start of the streaming phase
 
     def stream_row(key: str, fn, reps: int, agg) -> None:
-        _measure_row(out, key, fn, reps, agg)
-        stream_steal.append(watch.sample())
-        _snapshot(out)
+        _stream_row_measured(out, key, fn, reps, agg, watch, stream_steal)
 
     # Best of the reps, like every other row: the first rep pays any
     # one-time python-worker spawn for the DataSource stage, which is

@@ -282,6 +282,98 @@ def test_midrun_burst_triggers_extra_pass():
     assert not bench._is_loud_overall(quiet_pre, quiet_post, [])
 
 
+class _ScriptedWatch:
+    """A _StealWatch whose sample() returns a scripted sequence."""
+
+    def __init__(self, samples):
+        self._it = iter(samples)
+
+    def sample(self):
+        return next(self._it)
+
+
+def test_streaming_row_quiet_window_gets_no_retry(monkeypatch, tmp_path):
+    """VERDICT r14 item 4: the retry fires only on a loud window — a
+    quiet streaming row keeps its fixed rep count and one steal stamp."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    out = {"errors": {}, "load": {}}
+    steal: list = []
+    calls = []
+    bench._stream_row_measured(
+        out, "replay", lambda: calls.append(1) or 100.0, 2, max,
+        _ScriptedWatch([0.02]), steal,
+    )
+    assert out["replay"] == 100.0 and len(calls) == 2
+    assert steal == [0.02]
+    assert "streaming_loud_retries" not in out["load"]
+
+
+def test_streaming_row_loud_window_buys_one_retry_best_of(monkeypatch, tmp_path):
+    """A row whose measurement window overlapped a loud sample re-runs
+    once and keeps the BEST rep (throughput under steal is understated,
+    so max-agg rows can only improve); the retried key is recorded and
+    the retry's own window is stamped too."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    out = {"errors": {}, "load": {}}
+    steal: list = []
+    vals = iter([275_000.0, 260_000.0, 547_000.0])  # reps 1-2 loud, retry quiet
+    bench._stream_row_measured(
+        out, "replay", lambda: next(vals), 2, max,
+        _ScriptedWatch([7.7, 0.03]), steal,
+    )
+    assert out["replay"] == 547_000.0
+    assert steal == [7.7, 0.03]
+    assert out["load"]["streaming_loud_retries"] == ["replay"]
+    # min-agg rows (idle trigger) also keep their best (= min) leg.
+    vals = iter([500.0, 480.0, 440.0])
+    bench._stream_row_measured(
+        out, "idle", lambda: next(vals), 2, min,
+        _ScriptedWatch([3.0, 0.0]), steal,
+    )
+    assert out["idle"] == 440.0
+
+
+def test_streaming_row_failed_retry_keeps_measured_value(monkeypatch, tmp_path):
+    """A retry that crashes must not void the row's measured number or
+    leave a stale error on a row that has a value."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    out = {"errors": {}, "load": {}}
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("boom")
+        return 300_000.0
+
+    bench._stream_row_measured(
+        out, "replay", fn, 2, max, _ScriptedWatch([5.0, 0.0]), [],
+    )
+    assert out["replay"] == 300_000.0
+    assert "replay" not in out["errors"]
+    assert out["load"]["streaming_loud_retries"] == ["replay"]
+
+
+def test_streaming_row_failed_row_is_not_retried(monkeypatch, tmp_path):
+    """A row with NO successful rep is a failure, not an understated
+    measurement — the loud retry is for throughput under steal, and
+    _measure_row already owns the transient-failure retry."""
+    monkeypatch.setattr(bench, "PARTIAL_PATH", str(tmp_path / "p.json"))
+    out = {"errors": {}, "load": {}}
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        raise RuntimeError("down")
+
+    bench._stream_row_measured(
+        out, "replay", fn, 2, max, _ScriptedWatch([5.0]), [],
+    )
+    assert out["replay"] is None and calls["n"] == 2
+    assert "replay" in out["errors"]
+    assert "streaming_loud_retries" not in out["load"]
+
+
 def test_steal_watch_integrates_between_calls(monkeypatch):
     readings = iter([(100, 10_000), (150, 20_000), (150, 30_000)])
     monkeypatch.setattr(bench, "_read_proc_stat", lambda: next(readings))
