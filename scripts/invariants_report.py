@@ -33,6 +33,56 @@ sys.path.insert(0, REPO)
 
 OPS = {"<=": lambda v, b: v <= b, ">=": lambda v, b: v >= b, "==": lambda v, b: v == b}
 
+# Near-threshold SRP-LSH probe (VERDICT r14 item 6): the cosine-1.0
+# twin cohort only proves identical vectors collide (probability 1 —
+# every band hashes equal signs equal); drift in the BAND GEOMETRY
+# (band count, band width, hyperplane seeding) is invisible to it. The
+# probe builds a deterministic cosine-0.95 cohort and requires the same
+# operator to recall a calibrated fraction: for 2 bands x 8 bits, the
+# per-pair collision probability at cos θ = 0.95 is
+# 1-(1-p^8)^2 with p = 1 - arccos(0.95)/π ≈ 0.899 → ≈ 0.67 expected.
+# The pipeline is fully deterministic (seeded hyperplanes, seeded
+# cohort), so the measured recall is a constant of the code + data and
+# the bound can sit just under it: any change to the band geometry or
+# verify threshold moves the value far past the band's width.
+NEAR_COS = 0.95
+NEAR_TAU = 0.94  # verify threshold below the cohort cosine (float slack)
+NEAR_RECALL_BOUND = 0.55
+
+
+def near_threshold_recall(spark, emb_df, seed: int = 20260815):
+    """Recall of a synthetic cosine-``NEAR_COS`` cohort through the
+    production SRP-LSH operator.
+
+    For every (L2-normalized) embedding x_i, builds
+    y_i = c·x_i + sqrt(1-c²)·u_i with u_i the unit rejection of a seeded
+    gaussian off x_i — so cos(x_i, y_i) = c exactly — and runs
+    ``srp_lsh_pairs`` over originals ∪ perturbed at tau just below c.
+    Returns (recall of the n known pairs, n).
+    """
+    import numpy as np
+
+    from maxscale_cdc_connector_spark.operators.simsearch import srp_lsh_pairs
+
+    rows = emb_df.select("vec_id", "embedding").collect()
+    ids = [int(r["vec_id"]) for r in rows]
+    x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    r = rng.standard_normal(x.shape)
+    u = r - (r * x).sum(axis=1, keepdims=True) * x
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    y = NEAR_COS * x + math.sqrt(1.0 - NEAR_COS * NEAR_COS) * u
+    data = [(i, [float(v) for v in x[j]]) for j, i in enumerate(ids)]
+    data += [(i + 1_000_000, [float(v) for v in y[j]]) for j, i in enumerate(ids)]
+    corpus = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    found = {
+        (p["vec_a"], p["vec_b"])
+        for p in srp_lsh_pairs(corpus, tau=NEAR_TAU, dim=x.shape[1]).collect()
+    }
+    hits = sum(1 for i in ids if (i, i + 1_000_000) in found)
+    return hits / len(ids), len(ids)
+
 
 def row(invariant: str, value, cmp: str, bound, **extras) -> dict:
     v = float(value)
@@ -116,11 +166,27 @@ def build_checks(spark, sf_dir: str) -> dict:
 
     elsh = {(r["vec_a"], r["vec_b"]) for r in run("dedup_embedding_lsh").collect()}
     edrop = {r["vec_drop"] for r in run("dedup_embedding_cosine").collect()}
-    n_vecs = load_table(spark, "embeddings", sf_dir).count()
+    emb_table = load_table(spark, "embeddings", sf_dir)
+    n_vecs = emb_table.count()
     edup = {p for p in elsh if p[1] == p[0] + 1_000_000}
+    # Near-threshold probe folded in as a gate (VERDICT r14 item 6;
+    # same value-zeroing pattern as simsearch_pq_adc_topk): identical
+    # twins collide with probability 1 regardless of band geometry, so
+    # the exact-twin recall alone cannot see band-geometry drift. The
+    # cosine-0.95 cohort can — its recall is a deterministic function
+    # of the hyperplane seeding and band layout (expected ≈ 0.67 for
+    # 2 bands × 8 bits; observed value in extras).
+    near_recall, n_near = near_threshold_recall(spark, emb_table)
     out["dedup_embedding_lsh"] = row(
-        "recall of cosine-1.0 duplicate pairs (found / n_vecs)",
-        len(edup) / n_vecs, ">=", 1.0,
+        "recall of cosine-1.0 duplicate pairs (found / n_vecs), zeroed "
+        f"unless the cosine-{NEAR_COS} cohort probe recalls >= "
+        f"{NEAR_RECALL_BOUND} through the same SRP-LSH operator",
+        (len(edup) / n_vecs) if near_recall >= NEAR_RECALL_BOUND else 0.0,
+        ">=", 1.0,
+        near_threshold_recall=round(near_recall, 4),
+        near_threshold_bound=NEAR_RECALL_BOUND,
+        near_threshold_cos=NEAR_COS,
+        n_near_pairs=n_near,
         subset_violations=len({b for _, b in elsh} - edrop),
         n_lsh_pairs=len(elsh),
     )
@@ -227,13 +293,17 @@ def build_checks(spark, sf_dir: str) -> dict:
         )
         for d, (dau, wau) in exact_dw.items()
     )
-    # Bound 2.0 = rel err <= 10% = 2x the HLL rsd (approx_count_distinct
-    # default 0.05): at sf0.01's 24 days x 2 metrics, single-day
-    # excursions just past 1x rsd are in-spec for the sketch (observed
-    # max 1.037 slack); pytest pins the tighter 1.0 at its own sf0.001.
+    # Bound 1.5 = rel err <= 7.5% = 1.5x the HLL rsd (approx_count_distinct
+    # default 0.05), tightened from 2.0 in r15 (VERDICT r14 item 6: the
+    # key passed at 1.037 against 2.0 — ~10% of exact — leaving drift
+    # room). At sf0.01's 24 days x 2 metrics, single-day excursions just
+    # past 1x rsd are in-spec for the sketch; 1.5x is the tightest bound
+    # that still tolerates them. The sketch is deterministic given the
+    # data, so the observed 1.037 is a constant of code + corpus; pytest
+    # pins the tighter 1.0 at its own sf0.001.
     out["events_dau_wau_approx"] = row(
         "max |approx-exact| / max(1, 5% of exact) over all days (dau & wau)",
-        slack, "<=", 2.0, n_days=len(exact_dw),
+        slack, "<=", 1.5, n_days=len(exact_dw),
         days_match=set(ap_dw) == set(exact_dw),
     )
 

