@@ -117,6 +117,10 @@ def compare(old: dict, new: dict) -> dict:
         # never within-class comparable (the misjoin this tool exists
         # to prevent).
         "same_class": cls_old == cls_new and cls_old != "unknown",
+        # A 0.0 board (half-zeroed new artifact) suppresses every per-key
+        # flag by design; say so explicitly so an empty flag list can't be
+        # read as a clean pass (ADVICE r15).
+        "board_degenerate": board is not None and board <= 0,
         "flagged": [r["key"] for r in rows if r["flag"]],
         "rows": rows,
     }
@@ -177,6 +181,7 @@ def compare_stress(old: dict, new: dict) -> dict:
         "old_class": cls_old,
         "new_class": cls_new,
         "same_class": same_class,
+        "board_degenerate": board is not None and board <= 0,
         "board_multiplier": round(board, 3) if board is not None else None,
         "rows_changed": [r["key"] for r in rows if r["rows_changed"]],
         "flagged": [r["key"] for r in rows if r["flag"]],
@@ -207,6 +212,11 @@ def main() -> None:
             "x10 absolute-leg board multiplier (median per-key ratio): "
             f"{cmp['board_multiplier']}"
         )
+        if cmp["board_degenerate"]:
+            print(
+                "WARNING: board degenerate (median <= 0) — per-key flags "
+                "suppressed; an empty flag list is NOT a clean pass"
+            )
         print()
         print("| key | old x10 s | new x10 s | x10 rows | leg ratio | verdict |")
         print("|---|---|---|---|---|---|")
@@ -241,6 +251,11 @@ def main() -> None:
         f"board multiplier (median per-key ratio): {cmp['board_multiplier']}"
         f"{canary_note}"
     )
+    if cmp["board_degenerate"]:
+        print(
+            "WARNING: board degenerate (median <= 0) — per-key flags "
+            "suppressed; an empty flag list is NOT a clean pass"
+        )
     print()
     print("| key | old s | new s | ratio | vs board |")
     print("|---|---|---|---|---|")

@@ -24,6 +24,9 @@ def parse_args(argv):
     i = 0
     while i < len(argv):
         if argv[i] == "--resume-log":
+            if i + 1 >= len(argv):  # trailing flag with no path (ADVICE r15)
+                print(__doc__)
+                raise SystemExit("error: --resume-log requires a path argument")
             resume_log = argv[i + 1]
             i += 2
         else:

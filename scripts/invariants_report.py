@@ -64,8 +64,16 @@ def near_threshold_recall(spark, emb_df, seed: int = 20260815):
 
     from maxscale_cdc_connector_spark.operators.simsearch import srp_lsh_pairs
 
-    rows = emb_df.select("vec_id", "embedding").collect()
+    # Sorted by vec_id so the rng-row pairing is deterministic regardless
+    # of Spark's collect() partition order, and the +1,000,000 perturbed-id
+    # offset is asserted collision-free for the corpus at hand (ADVICE r15).
+    rows = sorted(
+        emb_df.select("vec_id", "embedding").collect(), key=lambda r: int(r["vec_id"])
+    )
     ids = [int(r["vec_id"]) for r in rows]
+    assert max(ids) < 1_000_000, (
+        f"perturbed-id offset would collide: max vec_id {max(ids)} >= 1,000,000"
+    )
     x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

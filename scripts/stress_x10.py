@@ -242,22 +242,30 @@ def main() -> int:
             # Partial results are still written on a failing run — each
             # key's row is complete-or-absent, and the host stamp always
             # rides along, mirroring bench.py's incremental snapshots.
-            import json as _json
+            # Guarded (ADVICE r15): a bad --out path must not mask the
+            # key loop's original exception or skip the corpus cleanup.
+            try:
+                import json as _json
 
-            artifact = {
-                "protocol": "stress_x10 min-of-2 per leg",
-                "sf_dir": args.sf_dir,
-                "corpus_dir": args.corpus_dir,
-                "requested_keys": args.keys,
-                "keys": {r["key"]: r for r in results},
-                **host,
-            }
-            with open(args.out, "w") as fh:
-                _json.dump(artifact, fh, indent=1)
-            print(f"wrote {args.out}", flush=True)
+                artifact = {
+                    "protocol": "stress_x10 min-of-2 per leg",
+                    "sf_dir": args.sf_dir,
+                    "corpus_dir": args.corpus_dir,
+                    "requested_keys": args.keys,
+                    "keys": {r["key"]: r for r in results},
+                    **host,
+                }
+                with open(args.out, "w") as fh:
+                    _json.dump(artifact, fh, indent=1)
+                print(f"wrote {args.out}", flush=True)
+            except OSError as ex:
+                print(f"artifact write FAILED ({ex}); results above", flush=True)
         if args.corpus_dir is None:  # keep a named corpus for reuse
             shutil.rmtree(x10, ignore_errors=True)
-        spark.stop()
+        try:
+            spark.stop()
+        except Exception:
+            pass  # broken session: the original exception matters more
     return 0
 
 

@@ -87,6 +87,27 @@ def test_zero_board_multiplier_is_reported_not_nulled():
     assert cmp["flagged"] == []
 
 
+def test_degenerate_board_is_announced_not_silent():
+    """ADVICE r15: a zero board suppresses flags by design, but the
+    summary must carry an explicit board_degenerate marker so an empty
+    flag list can't be misread as a clean pass — in both compare modes."""
+    old = _art({"q1": 1.0, "q2": 1.0, "q3": 1.0})
+    degenerate = compare_rounds.compare(old, _art({"q1": 0.0, "q2": 0.0, "q3": 5.0}))
+    assert degenerate["board_degenerate"] is True
+    healthy = compare_rounds.compare(old, _art({"q1": 1.1, "q2": 1.0, "q3": 0.9}))
+    assert healthy["board_degenerate"] is False
+
+    s_old = _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0)})
+    s_deg = compare_rounds.compare_stress(
+        s_old, _stress_art({"a": (0.0, 100, 2.0), "b": (0.0, 200, 2.0)})
+    )
+    assert s_deg["board_degenerate"] is True and s_deg["flagged"] == []
+    s_ok = compare_rounds.compare_stress(
+        s_old, _stress_art({"a": (10.0, 100, 2.0), "b": (20.0, 200, 2.0)})
+    )
+    assert s_ok["board_degenerate"] is False
+
+
 def _stress_art(keys: dict, host_class: str = "quiet") -> dict:
     """A minimal stress_x10 --out artifact: keys maps key -> (x10_sec,
     x10_rows, sf01_sec)."""

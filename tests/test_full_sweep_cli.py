@@ -32,6 +32,16 @@ def test_parse_args_empty():
     assert full_sweep.parse_args([]) == (None, [])
 
 
+def test_parse_args_trailing_resume_log_is_usage_error():
+    """ADVICE r15: a trailing --resume-log with no path must exit with a
+    usage message, not crash with IndexError."""
+    import pytest
+
+    with pytest.raises(SystemExit) as ei:
+        full_sweep.parse_args(["a", "--resume-log"])
+    assert "resume-log" in str(ei.value)
+
+
 def test_passed_keys_from_log_only_pass_lines(tmp_path):
     log = tmp_path / "sweep.log"
     log.write_text(

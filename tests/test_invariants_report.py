@@ -56,6 +56,59 @@ def test_r15_tightened_bounds_hold():
     assert "zeroed" in lsh["invariant"]
 
 
+def test_near_threshold_cohort_is_collect_order_independent(monkeypatch):
+    """ADVICE r15: the cosine-0.95 cohort pairs rng perturbations with
+    rows — that pairing must not depend on Spark collect() order, and the
+    +1,000,000 perturbed-id offset must be asserted collision-free."""
+    import numpy as np
+
+    import maxscale_cdc_connector_spark.operators.simsearch as ss
+
+    captured = []
+
+    class FakePairs:
+        def __init__(self, data):
+            self._data = data
+
+        def collect(self):
+            return [
+                {"vec_a": i, "vec_b": i + 1_000_000}
+                for i, _ in self._data
+                if i < 1_000_000
+            ]
+
+    monkeypatch.setattr(ss, "srp_lsh_pairs", lambda corpus, tau, dim: FakePairs(corpus))
+
+    class FakeSpark:
+        def createDataFrame(self, data, schema):
+            captured.append(data)
+            return data
+
+    class FakeDF:
+        def __init__(self, rows):
+            self._rows = rows
+
+        def select(self, *cols):
+            return self
+
+        def collect(self):
+            return self._rows
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((5, 8))
+    rows = [{"vec_id": i, "embedding": [float(v) for v in vecs[i]]} for i in range(5)]
+    r1 = inv.near_threshold_recall(FakeSpark(), FakeDF(rows))
+    r2 = inv.near_threshold_recall(FakeSpark(), FakeDF(list(reversed(rows))))
+    assert r1 == r2 == (1.0, 5)
+    assert captured[0] == captured[1]  # identical cohort either order
+
+    big = [{"vec_id": 1_000_000, "embedding": [1.0] * 8}]
+    import pytest
+
+    with pytest.raises(AssertionError, match="collide"):
+        inv.near_threshold_recall(FakeSpark(), FakeDF(big))
+
+
 def test_committed_artifact_covers_every_rows_only_key():
     """The committed INVARIANTS file must have one bounded row per
     registry key that lacks an oracle — no rows-only key may silently
