@@ -44,6 +44,26 @@ import bench
 
 DEVIATION = 1.5  # flag keys whose ratio strays >1.5x from the board
 
+# Streaming rows (VERDICT r15 item 6): these compared raw across rounds
+# while the query board was host-class-gated — the r14→r15 replay jump
+# (275 k → 710 k ev/s) was pure host class, unreadable as such from the
+# raw numbers. Too few rows (and mixed units) to form a board median, so
+# the rule is class-gated directional flags on the raw ratio: throughput
+# rows (higher better) flag only a >DEVIATION slowdown, latency rows
+# (lower better) flag only a >DEVIATION growth, and cross-class or
+# unknown-class pairs never flag (the r14 calibration table measured
+# ~30% quiet→degraded swings on identical code).
+STREAM_THROUGHPUT_KEYS = (
+    "stream_replay_events_per_s",
+    "cdc_ingest_1stream_events_per_s",
+    "cdc_ingest_4stream_events_per_s",
+)
+STREAM_LATENCY_KEYS = (
+    "cdc_ingest_idle_trigger_ms_16stream",
+    "cdc_ingest_idle_trigger_ms_32stream",
+    "cdc_ingest_idle_trigger_ms_64stream",
+)
+
 
 def load_artifact(path: str) -> dict:
     data = json.loads(Path(path).read_text())
@@ -65,6 +85,36 @@ def classify(art: dict) -> str:
 
 def full_labels() -> dict[str, str]:
     return {bench._compact_qkey(label): label for label, _ in bench.HEADLINE}
+
+
+def compare_streaming(old: dict, new: dict, same_class: bool) -> list[dict]:
+    """Class-gated directional comparison of the bench's streaming rows."""
+    rows = []
+    for keys, kind in (
+        (STREAM_THROUGHPUT_KEYS, "throughput"),
+        (STREAM_LATENCY_KEYS, "latency"),
+    ):
+        for k in keys:
+            o, n = old.get(k), new.get(k)
+            if not (
+                isinstance(o, (int, float))
+                and isinstance(n, (int, float))
+                and o > 0
+            ):
+                continue
+            r = n / o
+            regressed = r < 1 / DEVIATION if kind == "throughput" else r > DEVIATION
+            rows.append(
+                {
+                    "key": k,
+                    "kind": kind,
+                    "old": o,
+                    "new": n,
+                    "ratio": round(r, 2),
+                    "flag": bool(same_class and regressed),
+                }
+            )
+    return rows
 
 
 def compare(old: dict, new: dict) -> dict:
@@ -104,6 +154,8 @@ def compare(old: dict, new: dict) -> dict:
             }
         )
     cls_old, cls_new = classify(old), classify(new)
+    same_class = cls_old == cls_new and cls_old != "unknown"
+    streaming_rows = compare_streaming(old, new, same_class)
     out = {
         "old_class": cls_old,
         "new_class": cls_new,
@@ -116,13 +168,15 @@ def compare(old: dict, new: dict) -> dict:
         # artifact cannot vouch for its host state, so magnitudes are
         # never within-class comparable (the misjoin this tool exists
         # to prevent).
-        "same_class": cls_old == cls_new and cls_old != "unknown",
+        "same_class": same_class,
         # A 0.0 board (half-zeroed new artifact) suppresses every per-key
         # flag by design; say so explicitly so an empty flag list can't be
         # read as a clean pass (ADVICE r15).
         "board_degenerate": board is not None and board <= 0,
         "flagged": [r["key"] for r in rows if r["flag"]],
+        "streaming_flagged": [r["key"] for r in streaming_rows if r["flag"]],
         "rows": rows,
+        "streaming_rows": streaming_rows,
     }
     return out
 
@@ -265,8 +319,27 @@ def main() -> None:
             f"| {r['key']} | {r['old_sec']} | {r['new_sec']} "
             f"| {r['ratio']} | {mark} |"
         )
+    if cmp["streaming_rows"]:
+        print()
+        print("| streaming row | kind | old | new | ratio | verdict |")
+        print("|---|---|---|---|---|---|")
+        for r in cmp["streaming_rows"]:
+            if r["flag"]:
+                mark = "**FLAG**"
+            elif not cmp["same_class"]:
+                mark = "cross-class (direction only)"
+            else:
+                mark = "ok"
+            print(
+                f"| {r['key']} | {r['kind']} | {r['old']} | {r['new']} "
+                f"| {r['ratio']} | {mark} |"
+            )
     print()
-    print(json.dumps({k: v for k, v in cmp.items() if k != "rows"}))
+    print(
+        json.dumps(
+            {k: v for k, v in cmp.items() if k not in ("rows", "streaming_rows")}
+        )
+    )
 
 
 if __name__ == "__main__":

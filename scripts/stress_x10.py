@@ -119,6 +119,34 @@ def build_x10(spark, sf_dir: str, tables: list[str], out: str | None = None) -> 
     return out
 
 
+def pretouch_corpus(path: str, chunk: int = 1 << 22) -> int:
+    """Warm the OS page cache with one sequential read of every file
+    under ``path``; returns bytes touched.
+
+    r15 doctrine made code: the ×10 ABSOLUTE legs are IO-cache-sensitive
+    for scan-heavy keys (dedup_ngram_jaccard read 16.5 s with a cold page
+    cache vs 10.2–10.5 s warm on identical code and rows — r14's 17.08 s
+    prose baseline was likewise a post-corpus-build cold run). STRESS
+    artifacts are mechanically comparable only if every timed leg starts
+    warm, so the harness pre-touches the corpus before any timing instead
+    of relying on run position in the session.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for name in sorted(files):
+            fp = os.path.join(root, name)
+            try:
+                with open(fp, "rb", buffering=0) as fh:
+                    while True:
+                        buf = fh.read(chunk)
+                        if not buf:
+                            break
+                        total += len(buf)
+            except OSError:
+                continue  # vanished temp file: nothing to warm
+    return total
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="+")
@@ -163,6 +191,10 @@ def main() -> int:
 
     load_all()
     x10 = build_x10(spark, args.sf_dir, args.tables.split(","), args.corpus_dir)
+
+    # Warm both corpora BEFORE any timed leg (r15 cold-vs-warm doctrine).
+    pre_bytes = pretouch_corpus(x10) + pretouch_corpus(args.sf_dir)
+    print(f"pre-touched corpora: {pre_bytes} bytes (timed legs start warm)", flush=True)
 
     import bench
 
@@ -248,7 +280,8 @@ def main() -> int:
                 import json as _json
 
                 artifact = {
-                    "protocol": "stress_x10 min-of-2 per leg",
+                    "protocol": "stress_x10 min-of-2 per leg, pre-touched corpora",
+                    "pretouch_bytes": pre_bytes,
                     "sf_dir": args.sf_dir,
                     "corpus_dir": args.corpus_dir,
                     "requested_keys": args.keys,

@@ -196,3 +196,80 @@ def test_full_label_normalization_and_null_rows():
     cmp = compare_rounds.compare(old, new)
     keys = [r["key"] for r in cmp["rows"]]
     assert keys == ["q1_agg_hash"]  # q2 zero-old, q3 null-new dropped
+
+
+def test_streaming_rows_class_gated_directional_flags():
+    """VERDICT r15 item 6: streaming rows compare class-gated, not raw.
+    Throughput rows flag only a >1.5x slowdown, latency rows only a
+    >1.5x growth; improvements never flag (understated-under-steal
+    doctrine — a fast row can only be MORE right)."""
+    old = _art(
+        {"q1": 1.0},
+        host_class="quiet",
+        stream_replay_events_per_s=600_000,
+        cdc_ingest_4stream_events_per_s=2_000_000,
+        cdc_ingest_idle_trigger_ms_64stream=800.0,
+    )
+    new = _art(
+        {"q1": 1.0},
+        host_class="quiet",
+        stream_replay_events_per_s=300_000,        # 2x slower -> FLAG
+        cdc_ingest_4stream_events_per_s=3_000_000,  # faster -> never flags
+        cdc_ingest_idle_trigger_ms_64stream=1_500.0,  # 1.9x growth -> FLAG
+    )
+    cmp = compare_rounds.compare(old, new)
+    assert cmp["streaming_flagged"] == [
+        "stream_replay_events_per_s",
+        "cdc_ingest_idle_trigger_ms_64stream",
+    ]
+    ratios = {r["key"]: r["ratio"] for r in cmp["streaming_rows"]}
+    assert ratios["cdc_ingest_4stream_events_per_s"] == 1.5
+
+
+def test_streaming_rows_cross_class_never_flag():
+    """The r14->r15 replay jump (275k -> 710k ev/s) was pure host class;
+    cross-class (or unknown-class) streaming magnitudes never flag."""
+    old = _art(
+        {"q1": 1.0}, host_class="mixed", stream_replay_events_per_s=600_000
+    )
+    new = _art(
+        {"q1": 1.0}, host_class="quiet", stream_replay_events_per_s=100_000
+    )
+    cmp = compare_rounds.compare(old, new)
+    assert cmp["streaming_flagged"] == []
+    # the row is still REPORTED (direction-only read), just not flagged
+    assert cmp["streaming_rows"][0]["ratio"] == 0.17
+
+
+def test_streaming_rows_absent_or_null_drop_out():
+    old = _art({"q1": 1.0}, host_class="quiet",
+               stream_replay_events_per_s=0,
+               cdc_ingest_1stream_events_per_s=None)
+    new = _art({"q1": 1.0}, host_class="quiet",
+               stream_replay_events_per_s=500_000,
+               cdc_ingest_1stream_events_per_s=400_000)
+    cmp = compare_rounds.compare(old, new)
+    assert cmp["streaming_rows"] == [] and cmp["streaming_flagged"] == []
+
+
+def test_stress_pretouch_reads_every_byte(tmp_path):
+    """VERDICT r15 item 3: the ×10 absolute leg is IO-cache-sensitive
+    (jaccard 16.5 s cold vs 10.2-10.5 s warm, identical code) — the
+    stress harness pre-touches the corpus before any timed leg. Pin the
+    helper: returns total bytes across nested files, mutates nothing."""
+    import stress_x10
+
+    d = tmp_path / "corpus" / "t.parquet"
+    d.mkdir(parents=True)
+    (d / "part-0").write_bytes(b"a" * 10_000)
+    (d / "_SUCCESS").write_bytes(b"")
+    (tmp_path / "corpus" / "meta.json").write_bytes(b"{}" * 50)
+    before = sorted(
+        (p.name, p.read_bytes()) for p in (tmp_path / "corpus").rglob("*") if p.is_file()
+    )
+    n = stress_x10.pretouch_corpus(str(tmp_path / "corpus"), chunk=4096)
+    assert n == 10_000 + 0 + 100
+    after = sorted(
+        (p.name, p.read_bytes()) for p in (tmp_path / "corpus").rglob("*") if p.is_file()
+    )
+    assert before == after
