@@ -4980,6 +4980,38 @@ def events_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hll_rollup_exact",
+    oracle="""
+SELECT CAST(day // 7 AS BIGINT) AS week,
+       CAST(count(DISTINCT day) AS BIGINT) AS n_days_merged,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+    FROM events
+)
+GROUP BY 1
+""",
+    doc="Exact shadow of events_hll_sketch_rollup (VERDICT r15 item 8): "
+    "the same weekly grain — per-week day count and DISTINCT user "
+    "count — computed exactly, so the driver's value-hash pins the "
+    "sketch key's ground truth every round instead of only the "
+    "invariants harness reading its <=5% band. One keyed distinct "
+    "aggregate (map-side combinable); output height = number of "
+    "weeks. The sketch sibling remains the form that runs at 100 TB; "
+    "this key is its auditor at test scale.",
+)
+def events_hll_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    daily = e.select(
+        F.expr("ts_us DIV 86400000000").cast("bigint").alias("day"), "user_id"
+    )
+    return daily.groupBy(F.expr("day DIV 7").cast("bigint").alias("week")).agg(
+        F.countDistinct("day").cast("bigint").alias("n_days_merged"),
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+    )
+
+
+@register(
     "dq_psi_drift",
     oracle="""
 WITH days AS (
@@ -5665,6 +5697,69 @@ def events_theta_retention_overlap(spark: SparkSession, sf_dir: str) -> DataFram
             F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b"))
         ).cast("bigint").alias("est_retained"),
     ).orderBy("week_a")
+
+
+@register(
+    "events_theta_retention_exact",
+    oracle="""
+WITH wu AS (
+    SELECT DISTINCT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week, user_id
+    FROM events
+),
+pw AS (SELECT week, count(*) AS n_users FROM wu GROUP BY week),
+ret AS (
+    SELECT x.week AS week_a, count(*) AS retained
+    FROM wu x JOIN wu y ON y.user_id = x.user_id AND y.week = x.week + 1
+    GROUP BY x.week
+)
+SELECT a.week AS week_a, b.week AS week_b,
+       CAST(a.n_users AS BIGINT) AS users_a,
+       CAST(b.n_users AS BIGINT) AS users_b,
+       CAST(coalesce(r.retained, 0) AS BIGINT) AS retained
+FROM pw a
+JOIN pw b ON b.week = a.week + 1
+LEFT JOIN ret r ON r.week_a = a.week
+""",
+    doc="Exact shadow of events_theta_retention_overlap (VERDICT r15 "
+    "item 8): adjacent-week distinct-user counts and the exact "
+    "week-over-week retained-user intersection, so the driver's "
+    "value-hash pins the theta key's ground truth each round. Plan: "
+    "one distinct over (week, user) collapses the corpus, then a "
+    "keyed self-join on user_id (shuffle on the join key, rows "
+    "already distinct-collapsed) and two tiny per-week aggregates — "
+    "no corpus-sized set materialization. The theta sibling stays the "
+    "100 TB form (persisted few-KB sketches, no raw rescan); this key "
+    "audits it at test scale.",
+)
+def events_theta_retention_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = events_ts_us(t(spark, "events", sf_dir))
+    wu = e.select(
+        F.expr("ts_us DIV 604800000000").cast("bigint").alias("week"), "user_id"
+    ).distinct()
+    pw = wu.groupBy("week").agg(F.count("*").cast("bigint").alias("n_users"))
+    a = pw.select(F.col("week").alias("week_a"), F.col("n_users").alias("users_a"))
+    b = pw.select(F.col("week").alias("week_b"), F.col("n_users").alias("users_b"))
+    ret = (
+        wu.alias("x")
+        .join(
+            wu.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("y.week") == F.col("x.week") + 1),
+        )
+        .groupBy(F.col("x.week").alias("week_a"))
+        .agg(F.count("*").cast("bigint").alias("retained"))
+    )
+    return (
+        a.join(b, F.col("week_b") == F.col("week_a") + 1)
+        .join(ret, "week_a", "left")
+        .select(
+            "week_a",
+            "week_b",
+            "users_a",
+            "users_b",
+            F.coalesce("retained", F.lit(0)).cast("bigint").alias("retained"),
+        )
+    )
 
 
 @register(

@@ -87,6 +87,8 @@ RELATIONAL = [
     "events_path_topk",
     "join_asof_tolerance",
     "events_dau_wau",
+    "events_hll_rollup_exact",
+    "events_theta_retention_exact",
     "orders_cohort_ltv",
     "events_first_touch_attribution",
     "events_concurrency_sweepline",
@@ -379,6 +381,50 @@ def test_theta_retention_overlap_matches_exact_within_5pct(spark, sf_dir):
             assert abs(row.est_retained - exact) / exact < 0.05, (wa, wb, exact, row)
         else:
             assert abs(row.est_retained - exact) <= 10, (wa, wb, exact, row)
+
+
+def test_sketch_keys_track_registered_exact_shadows(spark, sf_dir):
+    """VERDICT r15 item 8: the two sketch keys now have REGISTERED
+    oracle-bearing exact shadows the driver hashes every round. Tie the
+    pair together: the sketch estimates must track the shadow keys'
+    exact values (<=5% rel, +/-10 abs for small counts), and the shadow
+    keys must agree with the sketch keys on the non-approximate columns
+    (week grain, day counts, pair structure)."""
+    from maxscale_cdc_connector_spark.queries import REGISTRY, load_all
+
+    load_all()
+    hll = {
+        r.week: r
+        for r in REGISTRY["events_hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    hll_exact = {
+        r.week: r
+        for r in REGISTRY["events_hll_rollup_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(hll) == set(hll_exact)
+    for wk, ex in hll_exact.items():
+        assert hll[wk].n_days_merged == ex.n_days_merged, wk
+        assert abs(hll[wk].est_users - ex.exact_users) <= max(
+            10, 0.05 * ex.exact_users
+        ), (wk, hll[wk].est_users, ex.exact_users)
+
+    theta = {
+        (r.week_a, r.week_b): r
+        for r in REGISTRY["events_theta_retention_overlap"].fn(spark, sf_dir).collect()
+    }
+    theta_exact = {
+        (r.week_a, r.week_b): r
+        for r in REGISTRY["events_theta_retention_exact"].fn(spark, sf_dir).collect()
+    }
+    assert set(theta) == set(theta_exact)
+    for pair, ex in theta_exact.items():
+        got = theta[pair]
+        for est, exact in (
+            (got.est_users_a, ex.users_a),
+            (got.est_users_b, ex.users_b),
+            (got.est_retained, ex.retained),
+        ):
+            assert abs(est - exact) <= max(10, 0.05 * exact), (pair, est, exact)
 
 
 def test_user_segmentation_partitions_users_deterministically(spark, sf_dir):
