@@ -75,7 +75,16 @@ def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
         # timed mapInPandas rows (VERDICT r10 item 4).
         .config("spark.python.worker.reuse", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (bench noise); the spill-path sweep flips it
+        # on via env to read per-stage spill metrics from the REST API —
+        # the only public local-mode surface that exposes
+        # memoryBytesSpilled/diskBytesSpilled.
+        .config(
+            "spark.ui.enabled",
+            "true"
+            if os.environ.get("SPARK_GRAFT_UI", "").lower() in ("1", "true", "yes")
+            else "false",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
     )
     spark = builder.getOrCreate()

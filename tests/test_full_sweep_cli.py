@@ -17,29 +17,53 @@ import full_sweep
 
 
 def test_parse_args_plain_keys():
-    resume, wanted = full_sweep.parse_args(["a", "b", "c"])
-    assert resume is None
+    resume, spill, wanted = full_sweep.parse_args(["a", "b", "c"])
+    assert resume is None and spill is None
     assert wanted == ["a", "b", "c"]
 
 
 def test_parse_args_resume_log_anywhere():
-    resume, wanted = full_sweep.parse_args(["a", "--resume-log", "/tmp/x.log", "b"])
-    assert resume == "/tmp/x.log"
+    resume, spill, wanted = full_sweep.parse_args(
+        ["a", "--resume-log", "/tmp/x.log", "b"]
+    )
+    assert resume == "/tmp/x.log" and spill is None
     assert wanted == ["a", "b"]
 
 
 def test_parse_args_empty():
-    assert full_sweep.parse_args([]) == (None, [])
+    assert full_sweep.parse_args([]) == (None, None, [])
 
 
-def test_parse_args_trailing_resume_log_is_usage_error():
-    """ADVICE r15: a trailing --resume-log with no path must exit with a
-    usage message, not crash with IndexError."""
+def test_parse_args_spill_out():
+    resume, spill, wanted = full_sweep.parse_args(
+        ["--spill-out", "SPILL_r16.json", "k1", "--resume-log", "x.log"]
+    )
+    assert spill == "SPILL_r16.json" and resume == "x.log"
+    assert wanted == ["k1"]
+
+
+def test_parse_args_trailing_flag_is_usage_error():
+    """ADVICE r15: a trailing flag with no path must exit with a usage
+    message, not crash with IndexError."""
     import pytest
 
-    with pytest.raises(SystemExit) as ei:
-        full_sweep.parse_args(["a", "--resume-log"])
-    assert "resume-log" in str(ei.value)
+    for flag in ("--resume-log", "--spill-out"):
+        with pytest.raises(SystemExit) as ei:
+            full_sweep.parse_args(["a", flag])
+        assert flag.lstrip("-") in str(ei.value).replace("--", "")
+
+
+def test_sum_spill_over_rest_stages_payload():
+    """Spill totals sum the REST /stages payload's public counters;
+    null/absent fields and non-dict entries read as zero."""
+    stages = [
+        {"stageId": 1, "diskBytesSpilled": 100, "memoryBytesSpilled": 400},
+        {"stageId": 2, "diskBytesSpilled": 0, "memoryBytesSpilled": None},
+        {"stageId": 3},
+        "not-a-stage",
+    ]
+    assert full_sweep.sum_spill(stages) == (100, 400)
+    assert full_sweep.sum_spill([]) == (0, 0)
 
 
 def test_passed_keys_from_log_only_pass_lines(tmp_path):
