@@ -287,6 +287,21 @@ def _cursor_key(gtid: str, evn: int) -> tuple[int, int, int, int]:
     return (*_gtid_key(gtid), evn)
 
 
+def _plan_timing(tag: str, n_streams: int, t0: float) -> None:
+    """Env-gated driver-side planning timing (VERDICT r15 item 7).
+
+    The streaming reader's offset/planning methods run in the
+    dedicated Python planner process the JVM spawns — out of reach of
+    probe-process monkeypatching — so decomposing the idle-trigger
+    floor needs an in-code hook, same pattern as
+    ``MAXSCALE_CDC_READ_TIMING``. Appends one line per call; costs one
+    getenv when disabled."""
+    path = os.environ.get("MAXSCALE_CDC_PLAN_TIMING")
+    if path:
+        with open(path, "a") as fh:
+            fh.write(f"{tag} n={n_streams} dt={time.perf_counter() - t0:.6f}\n")
+
+
 def _frontier_path(frontier_dir: str, stream_id: str) -> str:
     safe = re.sub(r"[^A-Za-z0-9_.-]", "_", stream_id)
     return os.path.join(frontier_dir, f"{safe}.frontier.json")
@@ -489,6 +504,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
         # asked "how much is there", only streamed from a GTID, so the
         # executors discover the data volume and report it back through
         # the frontier files folded in here.
+        t0 = time.perf_counter()
         self._epoch = max(self._epoch + 1, int(time.time() * 1000))
         streams = {}
         for sid, cfg in self._streams.items():
@@ -499,6 +515,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             if front is not None and _cursor_key(*front) > _cursor_key(*cur):
                 cur = front
             streams[sid] = {"gtid": cur[0], "evn": cur[1]}
+        _plan_timing("latestOffset", len(self._streams), t0)
         return {"epoch": self._epoch, "streams": streams}
 
     def commit(self, end: dict) -> None:
@@ -512,6 +529,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if start.get("epoch") == end.get("epoch"):
             return []
+        t0 = time.perf_counter()
         parts: list[InputPartition] = []
         for sid, cfg in self._streams.items():
             # Resume from the NEWER of the two offsets: `end` normally
@@ -537,6 +555,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                     handshake_seconds=self._handshake_seconds,
                 )
             )
+        _plan_timing("partitions", len(self._streams), t0)
         return parts
 
     def read(self, partition: InputPartition):  # executor-side
@@ -557,7 +576,12 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
 
         _t_read0 = time.perf_counter()
         _prof = None
-        if os.environ.get("MAXSCALE_CDC_READ_TIMING"):
+        # The cProfile attach is opt-in SEPARATELY from the dt lines:
+        # profiling every read skews the very floors the decomposition
+        # probe (VERDICT r15 item 7) wants to attribute.
+        if os.environ.get("MAXSCALE_CDC_READ_TIMING") and os.environ.get(
+            "MAXSCALE_CDC_READ_PROFILE"
+        ):
             import cProfile as _cProfile
 
             _prof = _cProfile.Profile()
@@ -817,6 +841,7 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
             handshake_timeout=getattr(partition, "handshake_seconds", None),
         )
         client.connect()
+        _t_hs = time.perf_counter() - _t_read0  # dial+auth+REGISTER+schema
         try:
             # The simple reader holds ONE long-lived connection, so an
             # ALTER surfaces as a mid-stream schema record
@@ -983,7 +1008,8 @@ class CDCPartitionedStreamReader(DataSourceStreamReader):
                 with open(os.environ["MAXSCALE_CDC_READ_TIMING"], "a") as _fh:
                     _fh.write(
                         f"{cfg['table']} rows={delivered} "
-                        f"dt={time.perf_counter() - _t_read0:.3f}\n"
+                        f"dt={time.perf_counter() - _t_read0:.3f} "
+                        f"hs={_t_hs:.3f}\n"
                     )
                 import pstats as _pstats
                 if _prof is not None:
