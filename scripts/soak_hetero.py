@@ -28,7 +28,17 @@ coverage but had never been soaked. This script closes that:
   backfill), ``extra_violations: 0``.
 
 Usage: python scripts/soak_hetero.py [--duration 150]
-       [--streams-per-table 4] [--seed 8]
+       [--streams-per-table 4] [--seed 8] [--alter-race]
+
+``--alter-race`` (VERDICT r15 item 5) makes the chaos RACE the ALTER:
+immediately after the schema change is pushed to every stream, seeded
+server restarts and python-worker SIGKILLs land INSIDE the schema-change
+drain — first volley while the ``SchemaChangedError`` supervised restart
+and per-table schema-cache rewrite are in flight, second volley a few
+seconds later against the restarted queries' re-register phase. The
+baseline ladder injects the same fault types but on an independent clock
+(12-22 s gaps), so they had never been observed mid-ALTER — exactly the
+timing where a stale per-table schema cache would corrupt a snapshot.
 
 Prints one summary line; exit 0 iff BOTH tables' exact checks passed.
 """
@@ -284,6 +294,7 @@ def main() -> int:
     ap.add_argument("--duration", type=float, default=150.0)
     ap.add_argument("--streams-per-table", type=int, default=4)
     ap.add_argument("--seed", type=int, default=8)
+    ap.add_argument("--alter-race", action="store_true")
     args = ap.parse_args()
     rng = random.Random(args.seed)
 
@@ -341,6 +352,8 @@ def main() -> int:
         "workers_killed": 0,
         "bursts": 0,
         "alters": 0,
+        "alter_race_restarts": 0,
+        "alter_race_kills": 0,
     }
 
     def feeder(st: HeteroStream) -> None:
@@ -405,6 +418,42 @@ def main() -> int:
             f"{ {f'{s.group}/s{s.idx}': s.alter_seq for s in all_streams} })",
             flush=True,
         )
+        if not args.alter_race:
+            return
+        # Chaos racing the ALTER drain (VERDICT r15 item 5). Volley 1
+        # lands while the streams are first OBSERVING the schema record
+        # (SchemaChangedError -> supervised restart + per-table schema
+        # cache rewrite in flight); volley 2 a few seconds later lands
+        # on the restarted queries' re-register/resume phase. Both are
+        # seeded off the run rng so a failure replays.
+        for volley in (1, 2):
+            for g in groups:
+                for st in rng.sample(g.streams, min(2, len(g.streams))):
+                    time.sleep(rng.uniform(0.0, 1.5))
+                    print(
+                        f"[soak] t={time.time()-t0:.1f}s ALTER-RACE v{volley} "
+                        f"restarting server {st.group}/s{st.idx} "
+                        f"(head seq {st.next_seq - 1}, alter seq {st.alter_seq})",
+                        flush=True,
+                    )
+                    st.restart(downtime=rng.uniform(0.2, 0.8))
+                    counters["restarts_injected"] += 1
+                    counters["alter_race_restarts"] += 1
+            victims = _python_worker_pids()
+            for pid in rng.sample(victims, min(3, len(victims))) if victims else []:
+                try:
+                    os.kill(pid, signal.SIGKILL)
+                    print(
+                        f"[soak] t={time.time()-t0:.1f}s ALTER-RACE v{volley} "
+                        f"killed worker {pid}",
+                        flush=True,
+                    )
+                    counters["workers_killed"] += 1
+                    counters["alter_race_kills"] += 1
+                except OSError:
+                    pass
+            if volley == 1:
+                time.sleep(rng.uniform(2.0, 4.0))
 
     done = threading.Event()
     result: dict = {}
