@@ -421,7 +421,16 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .localCheckpoint(eager=True)
     )
     sym = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
-    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # Eager checkpoint: deg fans out into both orientation joins and the
+    # node census — left lazy, each branch recomputed the sym scan + the
+    # node aggregate from scratch (the r15 plan carried five copies of
+    # this subtree). Checkpoint (not persist) keeps the downstream plan
+    # lazy/visible and the blocks ContextCleaner-owned, like ``e``.
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
     # acyclic total orientation: lower (deg, id) -> higher (deg, id)
@@ -436,9 +445,32 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("o_dst"),
         )
     )
-    o1 = oriented.select(F.col("o_src"), F.col("o_dst").alias("x"))
-    o2 = oriented.select(F.col("o_src"), F.col("o_dst").alias("y"))
-    wedges = o1.join(o2, "o_src").where(F.col("x") < F.col("y"))
+    # Wedge generation row-local over per-node OUT-adjacency arrays:
+    # one (o_src)-keyed exchange replaces the o1 ⋈ o2 self-join (which
+    # re-derived the whole orientation subtree — including both degree
+    # joins — once per side). The orientation caps out-degree at
+    # O(sqrt(m)), so each array is bounded and the nested transform
+    # emits exactly the (x < y) out-neighbor pairs of the self-join,
+    # with multiplicity one row per wedge.
+    pair_arr = F.flatten(
+        F.transform(
+            "nbrs",
+            lambda x, i: F.transform(
+                F.slice(
+                    "nbrs",
+                    i + F.lit(2),
+                    F.greatest(F.size("nbrs") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )
+    wedges = (
+        oriented.groupBy("o_src")
+        .agg(F.sort_array(F.collect_list("o_dst")).alias("nbrs"))
+        .select(F.explode(pair_arr).alias("w"))
+        .select(F.col("w.x").alias("x"), F.col("w.y").alias("y"))
+    )
     closed = wedges.join(
         e, (wedges.x == e.u) & (wedges.y == e.v), "left_semi"
     )

@@ -2707,33 +2707,72 @@ ORDER BY together DESC, part_a, part_b
 LIMIT 20
 """,
     doc="Market-basket association mining: co-ordered part pairs with "
-    "support and lift (together / expected-if-independent). The pair "
-    "generation is a self-equi-join on l_orderkey — per-basket "
+    "support and lift (together / expected-if-independent). ONE scan "
+    "of lineitem builds per-order sorted part-set arrays (baskets); "
+    "pair generation is row-local over each array — per-basket "
     "quadratic, but basket size is bounded (TPC-H ≤ 7 lines; retail "
     "carts are small constants), so the blowup is a bounded constant "
-    "per order, never corpus-quadratic. The support filter prunes "
-    "before the frequency joins (AQE broadcasts the part-frequency "
-    "side while it fits), the corpus total rides a broadcast 1-row "
-    "frame (no eager count on the driver), and the final top-20 is "
-    "TakeOrderedAndProject with a total (together DESC, part_a, "
-    "part_b) order — no global sort materializes.",
+    "per order, never corpus-quadratic. Part frequencies and the "
+    "order count derive from the SAME persisted basket frame (the "
+    "r15 self-join form scanned lineitem 5× and paid 4 separate "
+    "(orderkey, partkey) distinct exchanges for identical "
+    "information). The support filter prunes before the frequency "
+    "joins (AQE broadcasts the part-frequency side while it fits), "
+    "the corpus total rides a broadcast 1-row frame (no eager count "
+    "on the driver), and the final top-20 is TakeOrderedAndProject "
+    "with a total (together DESC, part_a, part_b) order — no global "
+    "sort materializes.",
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, "lineitem", sf_dir)
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
-    part_freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
-    a, b = items.alias("a"), items.alias("b")
+    # Per-order distinct part set as a SORTED array: one scan + one
+    # (l_orderkey)-keyed exchange carrying the same (orderkey, partkey)
+    # pairs the old items-distinct carried. collect_set drops NULL
+    # partkeys — same end result as the oracle, whose (ok, NULL) items
+    # survive the DISTINCT but can never reach a pair (the a.pk < b.pk
+    # join) nor the output (only pair part keys are projected). The
+    # l_orderkey null-filter matches count(DISTINCT l_orderkey), which
+    # ignores NULLs. Eager localCheckpoint, not persist: four branches
+    # (pairs, both frequency sides, the order count) read the blocks,
+    # the downstream plan stays visible/lazy for plan-quality checks,
+    # and the ContextCleaner reclaims the blocks when the returned
+    # frame is dropped — no session-lifetime cache entry.
+    baskets = (
+        li.where(F.col("l_orderkey").isNotNull())
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
+    part_freq = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # Row-local pair generation: ascending array + (i < j) positions
+    # give exactly the part_a < part_b pairs of the oracle's self-join.
+    # Basket size is a small constant, so the nested higher-order
+    # transform is O(basket²) interpreted lambda evals per order —
+    # bounded, and far cheaper than shuffling the corpus twice more.
+    pair_arr = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice(
+                    "parts",
+                    i + F.lit(2),
+                    F.greatest(F.size("parts") - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
-        .agg(F.count("*").alias("together"))
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("together"))
         .where(F.col("together") >= 2)
     )
     fa = part_freq.select(
