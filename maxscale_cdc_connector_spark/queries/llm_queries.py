@@ -2206,13 +2206,21 @@ def embedding_outlier_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mv"
         )
     )
-    scored = emb.crossJoin(F.broadcast(mv)).select(
-        "vec_id",
-        F.expr(
-            "sqrt(aggregate(zip_with(embedding, mv, "
-            "(x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
-            "cast(0.0 as double), (acc, v) -> acc + v))"
-        ).alias("dist"),
+    # Eager checkpoint: scored feeds BOTH the percentile threshold and
+    # the final filter — left lazy, each branch re-ran the embeddings
+    # scan and the per-vector distance fold (and the mean pass ran a
+    # third scan). |vecs| rows of (id, double).
+    scored = (
+        emb.crossJoin(F.broadcast(mv))
+        .select(
+            "vec_id",
+            F.expr(
+                "sqrt(aggregate(zip_with(embedding, mv, "
+                "(x, m) -> (cast(x as double) - m) * (cast(x as double) - m)), "
+                "cast(0.0 as double), (acc, v) -> acc + v))"
+            ).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
     )
     thr = scored.agg(F.expr("percentile(dist, 0.99)").alias("thr"))
     return (
@@ -3015,7 +3023,15 @@ FROM rates r LEFT JOIN kagg k ON k.source = r.source
 )
 def pipeline_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, "documents", sf_dir).select("doc_id", "source", "n_chars")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # Eager checkpoint: counts feeds the weight-sum aggregate AND the
+    # rates frame (read twice more downstream) — left lazy, the r15
+    # plan re-ran the documents scan + source aggregate five times for
+    # one query. |sources| rows.
+    counts = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(
         F.sum("n_docs").cast("bigint").alias("total_docs"),
         F.aggregate(

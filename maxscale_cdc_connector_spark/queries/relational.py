@@ -2879,9 +2879,18 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.ranking import exact_running_sum
 
     li = t(spark, "lineitem", sf_dir)
-    rev = li.groupBy("l_partkey").agg(
-        F.sum(F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
-        .alias("revenue_e2")
+    # Eager checkpoint: rev feeds BOTH the corpus total and the prefix
+    # sum — left lazy, each branch re-ran the full lineitem scan + the
+    # part aggregate (two scans for one query). The checkpointed frame
+    # is |parts| rows of two longs; blocks are ContextCleaner-reclaimed.
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            ).alias("revenue_e2")
+        )
+        .localCheckpoint(eager=True)
     )
     total = rev.agg(F.sum("revenue_e2").alias("total"))
     run = exact_running_sum(
@@ -3759,12 +3768,16 @@ FROM rk, t GROUP BY t.n, t.tot
 def customer_whale_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.ranking import exact_rank
 
+    # Eager checkpoint: rev feeds BOTH the totals frame and the exact
+    # rank — left lazy, each branch re-ran the orders scan + the
+    # customer aggregate. |customers| rows of two longs.
     rev = (
         t(spark, "orders", sf_dir)
         .groupBy("o_custkey")
         .agg(
             F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("rev_e2")
         )
+        .localCheckpoint(eager=True)
     )
     ranked = exact_rank(rev, [F.desc("rev_e2"), F.asc("o_custkey")], out="rk")
     totals = F.broadcast(
