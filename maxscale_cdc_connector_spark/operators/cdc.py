@@ -180,42 +180,48 @@ _UPD_SEQ_BASE = 10_000_000
 _DEL_SEQ_BASE = 20_000_000
 
 
-def _envelope_cols(seq: Column, event_number: int, ts_base: int, event_type: str) -> list[Column]:
-    return [
-        F.lit(0).alias("domain"),
-        F.lit(3000).alias("server_id"),
-        seq.cast("bigint").alias("sequence"),
-        F.lit(event_number).alias("event_number"),
-        (F.lit(ts_base) + F.col("c_custkey")).cast("bigint").alias("event_ts"),
-        F.lit(event_type).alias("event_type"),
-    ]
-
-
 def synthetic_customer_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic CDC event log derived from the `customer` table."""
+    """Deterministic CDC event log derived from the `customer` table.
+
+    ONE customer scan: each row expands row-locally (array → filter →
+    inline) into its 1-4 events — insert always, update_before/after on
+    custkey % 10, delete on % 20. The r15 four-way union form re-scanned
+    customer once per event class, so every cdc_* query paid 4 scans
+    for identical bytes. Same rows, same schema, different physical
+    order (every consumer aggregates/joins — order-insensitive)."""
     c = load_table(spark, "customer", sf_dir)
     key = F.col("c_custkey")
-    old_payload = [F.col(x) for x in PAYLOAD_COLS]
-    new_payload = [
-        F.col("c_custkey"),
-        F.col("c_name"),
-        F.col("c_nationkey"),
-        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
-        F.lit("MACHINERY").alias("c_mktsegment"),
-    ]
 
-    inserts = c.select(*_envelope_cols(key, 1, 1_500_000_000, "insert"), *old_payload)
-    upd = c.filter(key % 10 == 0)
-    upd_before = upd.select(
-        *_envelope_cols(key + _UPD_SEQ_BASE, 1, 1_600_000_000, "update_before"), *old_payload
+    def ev(
+        seq: Column, event_number: int, ts_base: int, event_type: str,
+        acctbal: Column, mktsegment: Column,
+    ) -> Column:
+        return F.struct(
+            F.lit(0).alias("domain"),
+            F.lit(3000).alias("server_id"),
+            seq.cast("bigint").alias("sequence"),
+            F.lit(event_number).alias("event_number"),
+            (F.lit(ts_base) + key).cast("bigint").alias("event_ts"),
+            F.lit(event_type).alias("event_type"),
+            F.col("c_custkey").alias("c_custkey"),
+            F.col("c_name").alias("c_name"),
+            F.col("c_nationkey").alias("c_nationkey"),
+            acctbal.alias("c_acctbal"),
+            mktsegment.alias("c_mktsegment"),
+        )
+
+    old_bal, old_seg = F.col("c_acctbal"), F.col("c_mktsegment")
+    new_bal = F.col("c_acctbal") + F.lit(100.0)
+    new_seg = F.lit("MACHINERY")
+    is_upd = key % 10 == 0
+    is_del = key % 20 == 0
+    events = F.array(
+        ev(key, 1, 1_500_000_000, "insert", old_bal, old_seg),
+        F.when(is_upd, ev(key + _UPD_SEQ_BASE, 1, 1_600_000_000, "update_before", old_bal, old_seg)),
+        F.when(is_upd, ev(key + _UPD_SEQ_BASE, 2, 1_600_000_000, "update_after", new_bal, new_seg)),
+        F.when(is_del, ev(key + _DEL_SEQ_BASE, 1, 1_700_000_000, "delete", new_bal, new_seg)),
     )
-    upd_after = upd.select(
-        *_envelope_cols(key + _UPD_SEQ_BASE, 2, 1_600_000_000, "update_after"), *new_payload
-    )
-    deletes = c.filter(key % 20 == 0).select(
-        *_envelope_cols(key + _DEL_SEQ_BASE, 1, 1_700_000_000, "delete"), *new_payload
-    )
-    return inserts.unionByName(upd_before).unionByName(upd_after).unionByName(deletes)
+    return c.select(F.inline(F.filter(events, lambda e: e.isNotNull())))
 
 
 # The same event log in DuckDB SQL, used as a CTE by every CDC oracle query.
