@@ -614,8 +614,17 @@ WHERE t.tf >= 3
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(words("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_counts = tok.distinct().groupBy("token").agg(F.count("*").alias("df"))
+    # Eager checkpoint: tf feeds the tf>=3 branch AND the document
+    # frequencies — df = |distinct (doc, token)| per token is exactly
+    # tf's row count per token, so deriving it from tf kills the
+    # second scan+explode AND the (doc, token) distinct exchange the
+    # r15 plan paid.
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
     return (
         tf.filter(F.col("tf") >= 3)
@@ -3129,8 +3138,14 @@ LEFT JOIN subtree s ON s.id = d.id
 def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.graph import ancestor_closure
 
-    nodes = t(spark, "documents", sf_dir).select(
-        F.col("doc_id").alias("id"), F.col("n_chars").alias("val")
+    # Eager checkpoint: nodes feeds the closure's edge set, the depth
+    # left-join, the subtree value join and the final assembly — left
+    # lazy, each branch re-ran the documents scan. |docs| rows of two
+    # longs.
+    nodes = (
+        t(spark, "documents", sf_dir)
+        .select(F.col("doc_id").alias("id"), F.col("n_chars").alias("val"))
+        .localCheckpoint(eager=True)
     )
     edges = nodes.filter(F.col("id") > 0).select(
         F.col("id").alias("child"), F.expr("id DIV 2").alias("parent")

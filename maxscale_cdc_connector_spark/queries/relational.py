@@ -6688,6 +6688,10 @@ FROM best WHERE rn = 1
 def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_ts_us(t(spark, "events", sf_dir))
     anchor = e.agg(F.min(F.expr("ts_us DIV 86400000000")).alias("d0"))
+    # Eager checkpoint: daily feeds the span aggregate AND the dense
+    # calendar join — left lazy, each branch re-ran the events scan +
+    # the day aggregate (4 events scans for one query). |user × active
+    # days| rows.
     daily = (
         e.crossJoin(F.broadcast(anchor))
         .groupBy(
@@ -6695,6 +6699,7 @@ def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.expr("ts_us DIV 86400000000") - F.col("d0")).alias("di"),
         )
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
     span = daily.groupBy("user_id").agg(F.max("di").alias("dmax"))
     cal = span.select(
