@@ -166,7 +166,10 @@ def connected_components(
     ro = rounds_out if rounds_out is not None else []
     try:
         if algorithm == "two_phase":
-            out = _two_phase(edges0, src, dst, max_iters, ro)
+            out = _two_phase(
+                edges0, src, dst, max_iters, ro,
+                nodes_lazy=input_materialized,
+            )
         else:
             out = _label_prop(edges0, src, dst, max_iters, ro)
         global LAST_ROUNDS
@@ -183,7 +186,12 @@ def connected_components(
 
 
 def _two_phase(
-    edges: DataFrame, src: str, dst: str, max_iters: int, rounds_out: list | None
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iters: int,
+    rounds_out: list | None,
+    nodes_lazy: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction.
 
@@ -205,16 +213,25 @@ def _two_phase(
     from pyspark.sql import Window
 
     a, b = "a", "b"
-    # Eager: the returned ``labels`` frame reads ``nodes`` lazily, after
-    # the dispatcher has already freed the input-edge blocks — a lazy
-    # checkpoint here would try to recompute from truncated lineage.
+    # Eager by default: the returned ``labels`` frame reads ``nodes``
+    # lazily, after the dispatcher has already freed the input-edge
+    # blocks — a lazy plan here would try to recompute from truncated
+    # lineage. With ``nodes_lazy`` (caller-owned, already-materialized
+    # input: the dispatcher frees nothing) the checkpoint job is
+    # skipped outright and the node extraction folds into the caller's
+    # final action over the input's stable blocks.
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # canonical (u > v), self-loops dropped (nodes frame keeps them alive)
+    if not nodes_lazy:
+        nodes = nodes.localCheckpoint(eager=True)
+    # canonical (u > v), self-loops dropped (nodes frame keeps them alive).
+    # LAZY checkpoint: the _sig aggregate below materializes the blocks
+    # in the SAME job that returns the signature — an eager checkpoint
+    # would pay a separate materialization job per frame (the r15 form:
+    # 2 jobs per round; now 1).
     e = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias(a),
@@ -222,12 +239,15 @@ def _two_phase(
         )
         .where(F.col(a) != F.col(b))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # Set signature of the current (distinct) edge set: one scan job on
-    # the checkpointed blocks. bit_xor of a 64-bit row hash is
-    # order-independent and overflow-free; it gates (never replaces) the
-    # exact exceptAll confirmation below.
+    # Set signature of the current (distinct) edge set — ALSO the job
+    # that populates the frame's lazy checkpoint blocks (every _sig
+    # caller passes a lazily-checkpointed frame; the aggregation runs
+    # every partition, so the checkpoint is fully materialized when it
+    # returns). bit_xor of a 64-bit row hash is order-independent and
+    # overflow-free; it gates (never replaces) the exact exceptAll
+    # confirmation below.
     def _sig(df: DataFrame) -> tuple:
         return tuple(
             df.agg(
@@ -275,12 +295,13 @@ def _two_phase(
                 .where(F.col("s").isNotNull())
                 .select(F.col(f"s.{a}").alias(a), F.col(f"s.{b}").alias(b))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            # fixed point: equal sets. The (count, xor-hash) signature is
-            # one cheap job per round; only a signature match triggers
-            # the exact exceptAll confirmation (both sides distinct, so
-            # count match + empty one-sided difference suffices).
+            # fixed point: equal sets. The (count, xor-hash) signature
+            # doubles as the round's checkpoint-materialization job;
+            # only a signature match triggers the exact exceptAll
+            # confirmation (both sides distinct, so count match + empty
+            # one-sided difference suffices).
             small_sig = _sig(small)
             if small_sig == e_sig and small.exceptAll(e).isEmpty():
                 spent.append(e)
@@ -331,11 +352,12 @@ def _label_prop(
     half = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.localCheckpoint(eager=False)
+    # Lazy: the first _checksum materializes sym AND labels in one job.
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     spent = [sym]  # checkpoints to free; sym is not part of the result
 
@@ -364,14 +386,14 @@ def _label_prop(
                         F.coalesce("nbr_component", F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            # Superseded; the eager checkpoint above was its last read —
-            # free NOW instead of accumulating O(diameter) dead label
-            # sets until the finally (r9 review).
+            # The checksum job materializes new_labels' lazy checkpoint
+            # (reading the OLD labels' blocks while doing so — release
+            # strictly after). One job per round instead of two.
+            cur_sum = _checksum(new_labels)
             _release_local_checkpoint(labels)
             labels = new_labels
-            cur_sum = _checksum(labels)
             if cur_sum == prev_sum:  # labels are monotone non-increasing
                 if rounds_out is not None:
                     rounds_out.append(rounds)
@@ -615,6 +637,7 @@ def kcore(
     # .distinct() as two rows, double-count every degree, and report a
     # too-large core (connected_components/triangle_stats already
     # canonicalize; this peel must too).
+    # Lazy checkpoint + count in one job (same merge as _two_phase).
     cur = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -622,7 +645,7 @@ def kcore(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     rounds = 0
     n_edges = cur.count()
@@ -638,7 +661,7 @@ def kcore(
             cur.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         n_pruned = pruned.count()
         _release_local_checkpoint(cur)
@@ -676,13 +699,16 @@ def ancestor_closure(
     Output size is sum of node depths — the same rows a recursive CTE
     materializes, but produced in logarithmic rounds.
     """
+    # Lazy checkpoint: the count() below materializes the blocks in the
+    # same job (same merge as _two_phase's _sig — one job per frame
+    # instead of two).
     cur = (
         edges.select(
             F.col(child).alias("desc"), F.col(parent).alias("anc"),
             F.lit(1).cast("bigint").alias("dist"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     import math as _math
 
@@ -712,9 +738,11 @@ def ancestor_closure(
             cur.unionByName(doubled)
             .groupBy("desc", "anc")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # One convergence job per round: count + max(dist) together.
+        # One job per round: the count + max(dist) aggregate below ALSO
+        # materializes nxt's lazy checkpoint blocks (the r15 form paid
+        # a separate eager-checkpoint job first).
         # n_cur carries over from the previous round (pair count is
         # monotone, equality means fixpoint). The max(dist) check ends
         # a round EARLY: an ancestor at distance k implies ancestors at
