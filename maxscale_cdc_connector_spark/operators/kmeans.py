@@ -207,17 +207,22 @@ def kmeans_fit(
     (At extreme partition counts, insert a groupBy('cluster') between
     the partials and the driver, as treeAggregate would.)
     """
-    seed_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    # Lazy persist is race-safe here (r13 audit): the first action is
+    # the seed's TakeOrdered below — ONE reading branch, so the AQE
+    # population race (cache.eager_persist) cannot occur, and every
+    # later read hits a populated cache. Persisting (id, vec) and
+    # seeding FROM the cache folds cache population into the seed job
+    # (the r15 form seeded off the raw frame and paid one extra full
+    # input scan); the per-iteration select prunes the id column at
+    # the in-memory scan, so the Arrow path still ships vectors only.
+    cached = df.select(id_col, vec_col).persist()
+    seed_rows = cached.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [list(r[0]) for r in seed_rows]
     inertias: list[float] = []
-    # Lazy persist is race-safe here (r13 audit): the first action is
-    # iteration 1's single mapInPandas chain — ONE reading branch, so
-    # the AQE population race (cache.eager_persist) cannot occur, and
-    # every later iteration reads a populated cache.
-    cached = df.select(vec_col).persist()
     try:
+        vecs = cached.select(vec_col)
         for _ in range(iters):
-            partials = cached.mapInPandas(
+            partials = vecs.mapInPandas(
                 _partial_stats_gen(centroids, vec_col, exact_dot), _PARTIAL_SCHEMA
             ).toPandas()  # ≤ k rows per task — model state, not data
             inertias.append(float(partials["sum_dist2"].sum()))
