@@ -216,10 +216,13 @@ def kmeans_fit(
     # input scan); the per-iteration select prunes the id column at
     # the in-memory scan, so the Arrow path still ships vectors only.
     cached = df.select(id_col, vec_col).persist()
-    seed_rows = cached.orderBy(id_col).limit(k).select(vec_col).collect()
-    centroids = [list(r[0]) for r in seed_rows]
     inertias: list[float] = []
     try:
+        # Seeding INSIDE the try (ADVICE r16): an exception here (bad
+        # vec column, OOM in TakeOrdered) must still unpersist the
+        # session cache entry on the way out.
+        seed_rows = cached.orderBy(id_col).limit(k).select(vec_col).collect()
+        centroids = [list(r[0]) for r in seed_rows]
         vecs = cached.select(vec_col)
         for _ in range(iters):
             partials = vecs.mapInPandas(

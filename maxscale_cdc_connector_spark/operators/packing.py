@@ -64,7 +64,22 @@ def pack_sequences(
         ).cast("int")
         % n_buckets
     ).alias("bucket")
-    prepared = docs.select(bucket, F.col(id_col).alias("doc_id"), n_tokens)
+    # Tokenize AFTER an explicit bucket-keyed exchange (r17, guide §2.5):
+    # the test tables are single-file/single-row-group parquet, so the
+    # scan is one task and the regexp tokenizer serialized there
+    # (0.17 s single-core at sf0.1); shipping the raw text through the
+    # bucket exchange first runs the regex on every core. The explicit
+    # partition count also keeps AQE from coalescing the Python stage
+    # to 1-2 tasks (coalescing targets shuffle BYTES — a few MB here —
+    # and is blind to the per-bucket pandas CPU behind them). The
+    # groupBy below reuses this partitioning, so the exchange count is
+    # unchanged at any scale.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        docs.select(bucket, F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(par, "bucket")
+        .select("bucket", "doc_id", n_tokens)
+    )
 
     # Self-contained closure (by-value pickling — see
     # operators/multimodal.decode_features): the driver contract imports

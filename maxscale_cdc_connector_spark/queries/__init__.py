@@ -24,17 +24,76 @@ from maxscale_cdc_connector_spark.queries.registry import REGISTRY, oracle_map, 
 
 # Keys whose implementation (or oracle) changed in the current round —
 # their previous green rows no longer vouch for the current code.
-# Round 6 froze surface growth to flush the never-driver-verified
-# backlog (VERDICT r5 item 1), so this list is deliberately tiny:
+# LIST ORDER IS PRIORITY ORDER within tier 0: the driver samples a
+# bounded prefix, so keys changed THIS round go first, then the r16
+# backlog (VERDICT r16 item 1: the r16 optimizer changed ~20 keys'
+# plans but left this list empty, so those keys' r16 correctness rests
+# on the builder's local sweep — front them now so CORRECTNESS_r17
+# carries fresh driver rows for every key whose plan changed in r16
+# or r17). Keys already re-hashed green by the driver ON the changed
+# code (the 10 cdc_* keys, text_tfidf, events_user_segmentation_kmeans,
+# dedup_exact_docs, the stream_snapshot_* keys in CORRECTNESS_r16) are
+# deliberately NOT repeated — their r16 rows vouch for the current
+# plans, and repeating them would push unverified keys out the window.
 _CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 16: NO existing-key plan changes — the round's code is
-    # harness/evidence work (spill-path sf1 sweep, stress warm-cache
-    # pre-touch, streaming-row compare gating, ALTER-race soak rung).
-    # The two NEW exact-shadow sketch keys (VERDICT r15 item 8) land in
-    # tier 2 automatically (never driver-verified), so the driver window
-    # reads: sentinels, new shadows, then the sixth freshness lap —
-    # the last r8 key (pipeline_interleave_sources) and the 31-key r9
-    # cohort (VERDICT r15 item 2).
+    # --- r17 changes (this round's optimizer work) go FIRST; appended
+    #     as each change lands ---
+    "tpch_q5_local_supplier",
+    "tpch_q10_returned",
+    "tpch_q3_shipping",
+    "pipeline_pack_sequences",
+    "text_repetition_stats",
+    "pipeline_quality_gate",
+    # --- r16 backlog: direct query rewrites without an r16 driver row ---
+    "orders_market_basket",
+    "graph_triangle_count",
+    "dedup_cluster_cc",
+    "orders_abc_pareto",
+    "customer_whale_concentration",
+    "embedding_outlier_distance",
+    "pipeline_temperature_resample",
+    "graph_hierarchy_rollup",
+    "timeseries_pattern_match",
+    # --- r16 backlog: jaccard/minhash/duplicated_corpus + iterative
+    #     graph-op consumers ---
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_component_size_histogram",
+    "dedup_keep_best",
+    "dedup_rewrite_corpus",
+    "dedup_rate_by_source",
+    "dedup_threshold_sensitivity",
+    "dedup_ngram_containment",
+    "dedup_simhash",
+    "graph_degree_distribution",
+    "graph_kcore_stats",
+    "multimodal_dedup_exact_bytes",
+    "pipeline_curation_funnel",
+    "text_chunk_dedup",
+    # --- r16 backlog: kmeans seed-fold consumers ---
+    "embedding_kmeans",
+    "simsearch_ivf_kmeans_topk",
+    # --- r16 backlog: synthetic_customer_events consumers without an
+    #     r16 row (the one-scan event-log rewrite) ---
+    "cdc_snapshot_join_agg",
+    "cdc_merge_into_upsert",
+    "cdc_incremental_agg",
+    "cdc_sequence_gaps",
+    "cdc_snapshot_diff",
+    "cdc_txn_manifest",
+    "cdc_dead_letter",
+    "cdc_column_churn",
+    "cdc_key_hotspots",
+    "cdc_txn_size_histogram",
+    "cdc_incremental_join_view",
+    "cdc_backfill_chunks",
+    "cdc_scd2_temporal_join",
+    "cdc_incremental_var",
+    "cdc_multi_source_reconcile",
+    "cdc_tombstone_gc",
+    "stream_dedup_within_watermark",
+    "stream_replay_count",
+    "stream_session_ttl_finalize",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY
@@ -98,14 +157,17 @@ def load_all() -> None:
         training_queries,
     )
 
-    changed = set(_CHANGED_THIS_ROUND)
-    sentinels = set(_SENTINELS) - changed
+    changed = {k: i for i, k in enumerate(_CHANGED_THIS_ROUND)}
+    sentinels = set(_SENTINELS) - set(changed)
     newest = _newest_driver_rows()
     priority = {k: i for i, k in enumerate(_PRIORITY_NEVER_VERIFIED)}
 
     def tier(key: str) -> tuple[int, int]:
         if key in changed:
-            return (0, 0)
+            # list position = priority: r17-changed keys are listed
+            # before the r16 backlog so they stay inside the driver's
+            # sampled prefix even if the list outgrows it.
+            return (0, changed[key])
         if key in sentinels:
             return (1, 0)
         if key not in newest:  # new or never cleanly driver-verified

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from maxscale_cdc_connector_spark.operators.cache import eager_persist, finalize
 from maxscale_cdc_connector_spark.queries.registry import register
 from maxscale_cdc_connector_spark.session import events_ts_timestamp, events_ts_us
 from maxscale_cdc_connector_spark.session import load_table as t
@@ -1382,9 +1383,11 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # Fact-first (r17): see tpch_q5 — independent broadcast builds
+    # instead of a serialized c⋈o intermediate build.
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             _rev_sum().alias("revenue")
@@ -1421,9 +1424,18 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, "supplier", sf_dir)
     n = t(spark, "nation", sf_dir)
     r = t(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    # Fact-first join order (r17, guide §3.1): the dim-first form
+    # (c⋈o → ⋈li → ⋈s …) made every broadcast build depend on the
+    # previous join — the planner broadcast the c⋈o INTERMEDIATE
+    # (150k rows collected through the driver) and the five builds ran
+    # as a sequential chain (~0.06-0.38 s each, serialized). With the
+    # fact table first, every build side is an independent base-table
+    # scan: AQE materializes all of them concurrently and lineitem
+    # streams through the joins in one stage. Inner joins only — the
+    # result multiset is unchanged (oracle hash-checked).
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
             s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
@@ -1461,9 +1473,11 @@ def tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, "orders", sf_dir)
     li = t(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
     n = t(spark, "nation", sf_dir)
+    # Fact-first (r17): see tpch_q5 — independent broadcast builds
+    # instead of a serialized c⋈o intermediate build.
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -2724,25 +2738,54 @@ LIMIT 20
     "sort materializes.",
 )
 def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out, caches = _market_basket_lazy(spark, sf_dir)
+    # Materialize the 20-row result, then release the basket cache —
+    # bounded cache lifetime in a long session (cache.finalize contract).
+    return finalize(out, caches)
+
+
+def _market_basket_lazy(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lazy market-basket plan plus the caches it reads — split out
+    so tests/test_plan_quality.py can assert on the REAL plan shape
+    (the registered query finalizes through a checkpoint, whose plan is
+    just a Scan ExistingRDD)."""
     li = t(spark, "lineitem", sf_dir)
     # Per-order distinct part set as a SORTED array: one scan + one
-    # (l_orderkey)-keyed exchange carrying the same (orderkey, partkey)
-    # pairs the old items-distinct carried. collect_set drops NULL
-    # partkeys — same end result as the oracle, whose (ok, NULL) items
-    # survive the DISTINCT but can never reach a pair (the a.pk < b.pk
-    # join) nor the output (only pair part keys are projected). The
-    # l_orderkey null-filter matches count(DISTINCT l_orderkey), which
-    # ignores NULLs. Eager localCheckpoint, not persist: four branches
-    # (pairs, both frequency sides, the order count) read the blocks,
-    # the downstream plan stays visible/lazy for plan-quality checks,
-    # and the ContextCleaner reclaims the blocks when the returned
-    # frame is dropped — no session-lifetime cache entry.
-    baskets = (
+    # (l_orderkey)-keyed exchange. collect_set drops NULL partkeys —
+    # same end result as the oracle, whose (ok, NULL) items survive the
+    # DISTINCT but can never reach a pair (the a.pk < b.pk join) nor
+    # the output. The l_orderkey null-filter matches
+    # count(DISTINCT l_orderkey), which ignores NULLs.
+    #
+    # r17 changes (VERDICT r16 item 3 + §2.5 underparallelism):
+    # 1. The explicit repartition moves the collect_set OFF the
+    #    single-task parquet scan (single file → 1-task scan; the
+    #    partial collect_set serialized there, and collect_set partials
+    #    never shrink shuffle bytes anyway — same pairs either side of
+    #    the exchange). Measured 0.69 s → 0.38 s for the basket
+    #    aggregate alone. The groupBy reuses the repartition's
+    #    partitioning, so the exchange count is unchanged.
+    # 2. eager_persist + finalize instead of the r16 eager
+    #    localCheckpoint: baskets is corpus-sized, and a checkpoint's
+    #    blocks are the ONLY copy (executor loss kills the query at
+    #    scale); the persisted frame keeps recomputable lineage and
+    #    spills under MEMORY_AND_DISK, and finalize() checkpoints only
+    #    the 20-row result before releasing the cache. A/B: equal
+    #    local cost (1.83 vs 1.78 s same-host).
+    #    (A shared-exchange shape without any barrier was tried and
+    #    rejected: column pruning diverges the three branches' map
+    #    sides — n_orders prunes l_partkey, part_freq pushes a
+    #    null-filter into the scan — so AQE's stage cache sees three
+    #    DIFFERENT exchanges and the corpus scanned three times.)
+    par = spark.sparkContext.defaultParallelism
+    baskets = eager_persist(
         li.where(F.col("l_orderkey").isNotNull())
         .select("l_orderkey", "l_partkey")
+        .repartition(par, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .localCheckpoint(eager=True)
     )
     n_orders = baskets.agg(F.count(F.lit(1)).alias("n"))
     part_freq = (
@@ -2781,7 +2824,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     fb = part_freq.select(
         F.col("l_partkey").alias("part_b"), F.col("f").alias("freq_b")
     )
-    return (
+    out = (
         pairs.join(fa, "part_a")
         .join(fb, "part_b")
         .crossJoin(F.broadcast(n_orders))
@@ -2800,6 +2843,7 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("together"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+    return out, [baskets]
 
 
 @register(

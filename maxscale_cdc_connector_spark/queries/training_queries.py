@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from maxscale_cdc_connector_spark.functions.text_fns import top_word_count
 from maxscale_cdc_connector_spark.operators.kmeans import kmeans_fit
 from maxscale_cdc_connector_spark.queries.registry import register
 from maxscale_cdc_connector_spark.session import load_table as t
@@ -59,16 +60,21 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = t(spark, "documents", sf_dir).select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    top_count = F.array_max(
-        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
-    )
+    # O(n log n) sorted-run-length fold, not the O(n_distinct × n)
+    # transform/filter scan (r17 — see functions.text_fns.top_word_count
+    # for the equivalence argument and A/B numbers).
+    top_count = top_word_count("w")
     n = F.size("w")
     n_distinct = F.size(F.array_distinct("w"))
     bigrams = F.expr(
         "transform(sequence(1, size(w) - 1),"
         " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
     )
-    return doc.select(
+    # Two-stage select so the fold runs ONCE per row — the one-stage
+    # form textually repeated top_count in the keep flag and paid the
+    # whole expression twice (r17; same for n/n_distinct, which are
+    # cheap but free to reuse here).
+    stats = doc.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         n_distinct.cast("long").alias("n_distinct_words"),
@@ -77,7 +83,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("long")
         .alias("n_distinct_bigrams"),
-        ((top_count * 5 <= n) & ((n - n_distinct) * 10 <= 7 * n)).alias("keep"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "top_word_count",
+        "n_distinct_bigrams",
+        (
+            (F.col("top_word_count") * 5 <= F.col("n_words"))
+            & ((F.col("n_words") - F.col("n_distinct_words")) * 10
+               <= 7 * F.col("n_words"))
+        ).alias("keep"),
     )
 
 
@@ -506,9 +523,8 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_len = F.expr(
         "aggregate(w, cast(0 as bigint), (acc, x) -> acc + length(x))"
     )
-    top = F.array_max(
-        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
-    ).cast("bigint")
+    # O(n log n) sorted-run-length fold (r17, text_fns.top_word_count).
+    top = top_word_count("w").cast("bigint")
     flag_len = (n >= 20) & (n <= 1000)
     flag_word_len = (3 * n <= sum_len) & (sum_len <= 8 * n)
     flag_rep = top * 5 <= n
@@ -690,9 +706,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("w", F.split("text", " "))
     n = F.size("w").cast("bigint")
     sum_len = F.expr("aggregate(w, cast(0 as bigint), (acc, x) -> acc + length(x))")
-    top = F.array_max(
-        F.expr("transform(array_distinct(w), x -> size(filter(w, y -> y = x)))")
-    ).cast("bigint")
+    # O(n log n) sorted-run-length fold (r17, text_fns.top_word_count).
+    top = top_word_count("w").cast("bigint")
     sig = corpus.select("doc_id", "text", n.alias("n_words"),
                         sum_len.alias("sum_word_len"), top.alias("top_word_count"))
     q = sig.where(

@@ -9,10 +9,16 @@ PushedFilters/ReadSchema are all visible pre-execution). Used by the
 optimization rounds to commit plans/r{N}/<query>_before.txt / _after.txt
 evidence (the judge checks plan claims against these files).
 
-Planning only — no query executes, so this is cheap and safe to run on a
-busy host. Iterative operators (CC, pagerank, ancestor closure) DO execute
-their driver loop during plan construction; their captured plan is the
-final returned frame's.
+Planning only for purely-lazy queries — but NOT free for every query
+(ADVICE r16): iterative operators (CC, pagerank, ancestor closure)
+execute their driver loop during plan construction, and any builder
+that performs an eager localCheckpoint (orders_abc_pareto, text_tfidf,
+orders_market_basket, customer_whale_concentration,
+pipeline_temperature_resample, graph_hierarchy_rollup,
+embedding_outlier_distance, timeseries_pattern_match, the rank/ntile
+operators) runs full scan/aggregate jobs at frame-construction time.
+For those queries the captured plan is the final returned frame's, and
+capture is NOT cheap on a busy host.
 """
 
 from __future__ import annotations

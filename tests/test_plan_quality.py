@@ -278,14 +278,24 @@ def test_sequence_gaps_window_is_bucket_partitioned(spark, sf_dir) -> None:
 
 
 def test_market_basket_keyed_joins_and_topk(spark, sf_dir) -> None:
-    """Pair generation must be an equi-join on l_orderkey (per-basket
-    quadratic, never corpus-cartesian) and the final top-20 must be
-    TakeOrderedAndProject, not a global sort. The 1-row corpus total
-    rides a broadcast."""
-    s = _summary(spark, sf_dir, "orders_market_basket")
-    assert not s.has("CartesianProduct"), s.nodes
-    assert s.has("TakeOrderedAndProject"), s.nodes
-    assert s.has("BroadcastExchange"), s.nodes
+    """Pair generation must be row-local over per-basket arrays (never
+    corpus-cartesian) and the final top-20 must be TakeOrderedAndProject,
+    not a global sort. The 1-row corpus total rides a broadcast.
+
+    The registered query finalizes through a checkpoint (r17 — its plan
+    is just a Scan ExistingRDD), so the shape assertions run on the
+    pre-finalize lazy plan, with the basket cache released afterwards."""
+    from maxscale_cdc_connector_spark.queries.relational import _market_basket_lazy
+
+    out, caches = _market_basket_lazy(spark, sf_dir)
+    try:
+        s = plan_summary(out)
+        assert not s.has("CartesianProduct"), s.nodes
+        assert s.has("TakeOrderedAndProject"), s.nodes
+        assert s.has("BroadcastExchange"), s.nodes
+    finally:
+        for c in caches:
+            c.unpersist(blocking=False)
 
 
 def test_stratified_sample_is_single_scan_plus_broadcasts(spark, sf_dir) -> None:
