@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from maxscale_cdc_connector_spark.functions.text_fns import normalize, word_shingles, words
 from maxscale_cdc_connector_spark.operators.cache import eager_persist, finalize
+from maxscale_cdc_connector_spark.session import ensure_scan_parallelism
 
 N_MINHASHES = 32
 LSH_BANDS = 8  # 8 bands × 4 rows per band
@@ -41,33 +42,10 @@ SIMHASH_CHUNKS = 4  # pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk equal
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin repartition to core count — only when underparallel.
-
-    A CPU-bound row-local stage (32 hashes × every shingle) is only as
-    fast as its input partition count. Small local files scan as 1-2
-    partitions; a 100 TB table scans as thousands, in which case this is
-    a no-op (no shuffle inserted). The guard keeps the scale path clean.
-
-    The check reads scan metadata (``inputFiles``) rather than
-    ``df.rdd.getNumPartitions()`` — the latter forces a plan→RDD
-    conversion on the driver per call. A 100 TB table has ≫ core-count
-    files so this stays a no-op at scale; a handful of big splittable
-    files already scan as many partitions via
-    ``spark.sql.files.maxPartitionBytes``, where the extra shuffle is
-    harmless relative to the CPU-bound hashing it parallelizes.
-
-    ``inputFiles()`` is empty for non-file-backed inputs (createDataFrame,
-    JDBC, a shuffled intermediate). Those are left untouched: a shuffled
-    intermediate already has ``spark.sql.shuffle.partitions`` (sized to
-    cores), and ``createDataFrame`` parallelizes to ``defaultParallelism``
-    slices — so the only way to "check" would be a driver-side plan→RDD
-    conversion (``df.rdd.getNumPartitions()``) per call, whose cost is
-    worse than the underparallelism it would occasionally catch.
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    n = len(df.inputFiles())
-    if 0 < n < target:
-        return df.repartition(target)
-    return df
+    r17: the guard was promoted to ``session.ensure_scan_parallelism``
+    so the text/JSON/simsearch builders can share it; this alias keeps
+    the operator-local name every dedup call site and test uses."""
+    return ensure_scan_parallelism(df)
 
 
 def duplicated_corpus(docs: DataFrame, id_col: str = "doc_id", shift: int = 1_000_000) -> DataFrame:

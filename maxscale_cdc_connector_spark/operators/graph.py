@@ -118,6 +118,7 @@ def connected_components(
     algorithm: str = "two_phase",
     rounds_out: list | None = None,
     input_materialized: bool = False,
+    input_strict_pairs: bool = False,
 ) -> DataFrame:
     """Label each node with the smallest node id in its component.
 
@@ -151,6 +152,30 @@ def connected_components(
     The flag is therefore guarded: when the plan API is reachable, a
     detectably-lazy input raises ``ValueError`` instead of silently
     mislabeling (best-effort — on Spark Connect the check is skipped).
+
+    ``input_strict_pairs=True`` (r17, two_phase only) asserts the input
+    rows are DISTINCT pairs with ``src != dst`` on every row — exactly
+    what the dedup pair pipelines emit (``jaccard_pairs_prefix`` /
+    ``minhash_dedup_pairs``: a distinct candidate set with
+    ``doc_a < doc_b`` strictly). Two per-call savings, both exact under
+    the contract:
+
+    - canonicalization is a pure projection (the ``!=`` filter and the
+      ``distinct`` exchange are skipped);
+    - labels come straight from the fixpoint star set — non-roots are
+      exactly the ``a`` side, roots exactly the distinct ``b`` side
+      (every input node sits in a component of size >= 2 because no row
+      is a self-loop, so no node is missing from the stars) — instead
+      of a node-extraction distinct plus a left join.
+
+    Contract violations degrade differently: DUPLICATE pairs only cost
+    an extra round (the set signature counts rows, so a multiset never
+    compares equal to its distinct image — convergence is detected one
+    round later on the already-distinct sets, labels unaffected);
+    SELF-LOOP rows are silently dropped by the first large-star, so a
+    node whose only edges were self-loops would vanish from the output
+    — which is why the flag demands ``src != dst`` rather than checking
+    it at runtime (the check would cost the exact filter it removes).
     """
     if algorithm not in ("two_phase", "label_prop"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -169,6 +194,7 @@ def connected_components(
             out = _two_phase(
                 edges0, src, dst, max_iters, ro,
                 nodes_lazy=input_materialized,
+                strict_pairs=input_strict_pairs,
             )
         else:
             out = _label_prop(edges0, src, dst, max_iters, ro)
@@ -192,6 +218,7 @@ def _two_phase(
     max_iters: int,
     rounds_out: list | None,
     nodes_lazy: bool = False,
+    strict_pairs: bool = False,
 ) -> DataFrame:
     """Alternating large-star / small-star contraction.
 
@@ -213,34 +240,40 @@ def _two_phase(
     from pyspark.sql import Window
 
     a, b = "a", "b"
-    # Eager by default: the returned ``labels`` frame reads ``nodes``
-    # lazily, after the dispatcher has already freed the input-edge
-    # blocks — a lazy plan here would try to recompute from truncated
-    # lineage. With ``nodes_lazy`` (caller-owned, already-materialized
-    # input: the dispatcher frees nothing) the checkpoint job is
-    # skipped outright and the node extraction folds into the caller's
-    # final action over the input's stable blocks.
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    if not nodes_lazy:
-        nodes = nodes.localCheckpoint(eager=True)
+    if strict_pairs:
+        # Labels are derived from the fixpoint star set below — no
+        # nodes frame at all (every input node appears in the stars
+        # because no row is a self-loop; see the dispatcher contract).
+        nodes = None
+    else:
+        # Eager by default: the returned ``labels`` frame reads ``nodes``
+        # lazily, after the dispatcher has already freed the input-edge
+        # blocks — a lazy plan here would try to recompute from truncated
+        # lineage. With ``nodes_lazy`` (caller-owned, already-materialized
+        # input: the dispatcher frees nothing) the checkpoint job is
+        # skipped outright and the node extraction folds into the caller's
+        # final action over the input's stable blocks.
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        if not nodes_lazy:
+            nodes = nodes.localCheckpoint(eager=True)
     # canonical (u > v), self-loops dropped (nodes frame keeps them alive).
     # LAZY checkpoint: the _sig aggregate below materializes the blocks
     # in the SAME job that returns the signature — an eager checkpoint
     # would pay a separate materialization job per frame (the r15 form:
-    # 2 jobs per round; now 1).
-    e = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias(a),
-            F.least(F.col(src), F.col(dst)).alias(b),
-        )
-        .where(F.col(a) != F.col(b))
-        .distinct()
-        .localCheckpoint(eager=False)
+    # 2 jobs per round; now 1). Under ``strict_pairs`` the input is
+    # already a distinct self-loop-free pair set, so canonicalization is
+    # a pure projection — the filter and the distinct exchange vanish.
+    e = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias(a),
+        F.least(F.col(src), F.col(dst)).alias(b),
     )
+    if not strict_pairs:
+        e = e.where(F.col(a) != F.col(b)).distinct()
+    e = e.localCheckpoint(eager=False)
     # Set signature of the current (distinct) edge set — ALSO the job
     # that populates the frame's lazy checkpoint blocks (every _sig
     # caller passes a lazily-checkpointed frame; the aggregation runs
@@ -322,6 +355,18 @@ def _two_phase(
             )
         if rounds_out is not None:
             rounds_out.append(rounds)
+        if strict_pairs:
+            # The fixpoint edge set IS the labeling: one distinct
+            # (non-root -> component min) row per non-root, and the
+            # distinct b side is exactly the component minima labeling
+            # themselves. No join, no node-extraction distinct.
+            labels = e.select(
+                F.col(a).alias("node"), F.col(b).alias("component")
+            ).union(
+                e.select(F.col(b).alias("node"), F.col(b).alias("component"))
+                .distinct()
+            )
+            return labels
         # stars: every non-root points straight at its component min;
         # nodes absent from the star map (isolated / self-loop-only) are
         # their own component.
@@ -702,6 +747,14 @@ def ancestor_closure(
     # Lazy checkpoint: the count() below materializes the blocks in the
     # same job (same merge as _two_phase's _sig — one job per frame
     # instead of two).
+    #
+    # (r17 note: an explicit repartition-by-desc before the dedup — to
+    # make next round's hop side exchange-free via the checkpoint's
+    # preserved partitioning — was tried and REVERTED: pinning the
+    # partition count disables AQE's coalescing of these tiny per-round
+    # shuffles, and the extra 32-task stages cost more than the saved
+    # exchange. The AQE-coalesced exchange is the right default at both
+    # scales.)
     cur = (
         edges.select(
             F.col(child).alias("desc"), F.col(parent).alias("anc"),

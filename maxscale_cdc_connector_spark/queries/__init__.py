@@ -44,6 +44,8 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "pipeline_pack_sequences",
     "text_repetition_stats",
     "pipeline_quality_gate",
+    "stream_session_window",
+    "simsearch_batch_topk",
     # --- r16 backlog: direct query rewrites without an r16 driver row ---
     "orders_market_basket",
     "graph_triangle_count",
@@ -74,26 +76,17 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "embedding_kmeans",
     "simsearch_ivf_kmeans_topk",
     # --- r16 backlog: synthetic_customer_events consumers without an
-    #     r16 row (the one-scan event-log rewrite) ---
+    #     r16 row (the one-scan event-log rewrite). Only the two BENCH
+    #     cdc keys are fronted: the driver window holds 50 rows total
+    #     (3 sentinels + 47 here), and the other 14 cdc_* / 3 stream_*
+    #     consumers share the exact same one-scan event source that 10
+    #     cdc keys already hash-verified green in CORRECTNESS_r16 —
+    #     their own per-key logic did not change in r16, so their
+    #     marginal evidence is the lowest on this list. They stay
+    #     covered by the local 294/294 sweep and rotate in by staleness
+    #     whenever slots free up. ---
     "cdc_snapshot_join_agg",
     "cdc_merge_into_upsert",
-    "cdc_incremental_agg",
-    "cdc_sequence_gaps",
-    "cdc_snapshot_diff",
-    "cdc_txn_manifest",
-    "cdc_dead_letter",
-    "cdc_column_churn",
-    "cdc_key_hotspots",
-    "cdc_txn_size_histogram",
-    "cdc_incremental_join_view",
-    "cdc_backfill_chunks",
-    "cdc_scd2_temporal_join",
-    "cdc_incremental_var",
-    "cdc_multi_source_reconcile",
-    "cdc_tombstone_gc",
-    "stream_dedup_within_watermark",
-    "stream_replay_count",
-    "stream_session_ttl_finalize",
 )
 
 # Never-driver-verified keys the r5 judge asked to see rows for EARLY

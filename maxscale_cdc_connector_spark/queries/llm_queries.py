@@ -42,7 +42,9 @@ from maxscale_cdc_connector_spark.operators.simsearch import (
     srp_lsh_pairs,
     topk_cosine,
 )
+from maxscale_cdc_connector_spark.operators.cache import checkpoint_if_small, source_bytes
 from maxscale_cdc_connector_spark.queries.registry import register
+from maxscale_cdc_connector_spark.session import ensure_scan_parallelism
 from maxscale_cdc_connector_spark.session import load_table as t
 
 # DuckDB mirror of dedup.duplicated_corpus on documents.
@@ -326,6 +328,9 @@ FROM tok GROUP BY token
     "the classic map-side-combinable shape.",
 )
 def text_tokenize_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r17: a scan-parallelism repartition before the explode was A/B'd
+    # and REVERTED — 0.42 -> 0.64 s; the keyless repartition's local
+    # sort + exchange cost more than the 1-task partial agg it spread.)
     d = t(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(words("text")).alias("token"))
     return tok.groupBy("token").agg(
@@ -614,15 +619,18 @@ WHERE t.tf >= 3
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, "documents", sf_dir)
     tok = d.select("doc_id", F.explode(words("text")).alias("token"))
-    # Eager checkpoint: tf feeds the tf>=3 branch AND the document
-    # frequencies — df = |distinct (doc, token)| per token is exactly
-    # tf's row count per token, so deriving it from tf kills the
-    # second scan+explode AND the (doc, token) distinct exchange the
-    # r15 plan paid.
-    tf = (
-        tok.groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+    # Checkpoint (SIZE-GATED, r17 — VERDICT r16 item 3): tf feeds the
+    # tf>=3 branch AND the document frequencies — df = |distinct
+    # (doc, token)| per token is exactly tf's row count per token, so
+    # deriving it from tf kills the second scan+explode AND the
+    # (doc, token) distinct exchange the r15 plan paid. tf is
+    # corpus-sized, so the eager checkpoint only happens when the
+    # source table is provably small; above the gate the df branch
+    # recomputes (one extra scan — the safe shape when pinned
+    # non-recomputable blocks would be corpus-scale).
+    tf = checkpoint_if_small(
+        tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf")),
+        source_bytes(sf_dir, "documents"),
     )
     df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = d.agg(F.count("*").cast("double").alias("n_docs"))
@@ -675,8 +683,14 @@ def simsearch_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )
+    # Scan-parallelism guard on the PROBE side only (r17, guide §2.5):
+    # the single-file embeddings scan is one task and the 8×dim
+    # interpreted dot-product folds serialized there (A/B 0.52 → 0.45 s);
+    # a no-op at real scale, and the broadcast query side stays a plain
+    # scan. Per-row scores + deterministically tie-broken top-k are
+    # partitioning-independent.
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        ensure_scan_parallelism(emb).crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -1113,7 +1127,10 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input_materialized: edges is a finalize() checkpoint behind a pure
     # projection — skip the dispatcher's second copy (one job saved).
     cc = connected_components(
-        edges, src="doc_a", dst="doc_b", input_materialized=True
+        edges, src="doc_a", dst="doc_b", input_materialized=True,
+        # strict_pairs: jaccard pairs are distinct with doc_a < doc_b —
+        # skips the canonicalization distinct and the nodes join (r17).
+        input_strict_pairs=True,
     )
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -1313,7 +1330,10 @@ def dedup_rewrite_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input_materialized: edges is a finalize() checkpoint behind a pure
     # projection — skip the dispatcher's second copy (one job saved).
     cc = connected_components(
-        edges, src="doc_a", dst="doc_b", input_materialized=True
+        edges, src="doc_a", dst="doc_b", input_materialized=True,
+        # strict_pairs: jaccard pairs are distinct with doc_a < doc_b —
+        # skips the canonicalization distinct and the nodes join (r17).
+        input_strict_pairs=True,
     )
     drop = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -2160,7 +2180,10 @@ def dedup_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
     # input_materialized: edges is a finalize() checkpoint behind a pure
     # projection — skip the dispatcher's second copy (one job saved).
     cc = connected_components(
-        edges, src="doc_a", dst="doc_b", input_materialized=True
+        edges, src="doc_a", dst="doc_b", input_materialized=True,
+        # strict_pairs: jaccard pairs are distinct with doc_a < doc_b —
+        # skips the canonicalization distinct and the nodes join (r17).
+        input_strict_pairs=True,
     )
     csize = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return csize.groupBy(F.col("cluster_size").cast("bigint").alias("cluster_size")).agg(
@@ -2963,7 +2986,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input_materialized: edges is a finalize() checkpoint behind a pure
     # projection — skip the dispatcher's second copy (one job saved).
     cc = connected_components(
-        edges, src="doc_a", dst="doc_b", input_materialized=True
+        edges, src="doc_a", dst="doc_b", input_materialized=True,
+        # strict_pairs: jaccard pairs are distinct with doc_a < doc_b —
+        # skips the canonicalization distinct and the nodes join (r17).
+        input_strict_pairs=True,
     )
     qual = cc.join(
         corpus.select(F.col("doc_id"), F.length("text").alias("len")),

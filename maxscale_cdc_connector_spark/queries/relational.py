@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from maxscale_cdc_connector_spark.operators.cache import eager_persist, finalize
+from maxscale_cdc_connector_spark.operators.cache import (
+    checkpoint_if_small,
+    eager_persist,
+    finalize,
+    source_bytes,
+)
 from maxscale_cdc_connector_spark.queries.registry import register
 from maxscale_cdc_connector_spark.session import events_ts_timestamp, events_ts_us
 from maxscale_cdc_connector_spark.session import load_table as t
@@ -872,6 +877,9 @@ FROM events
     "into a queryable expression (get_json_object).",
 )
 def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r17: a scan-parallelism repartition before the JSON parse was
+    # A/B'd and REVERTED — flat at sf0.1; the keyless repartition's
+    # local sort + exchange costs what the parallel parse saves.)
     e = t(spark, "events", sf_dir)
     return e.select(
         "event_id",
@@ -6732,18 +6740,21 @@ FROM best WHERE rn = 1
 def timeseries_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = events_ts_us(t(spark, "events", sf_dir))
     anchor = e.agg(F.min(F.expr("ts_us DIV 86400000000")).alias("d0"))
-    # Eager checkpoint: daily feeds the span aggregate AND the dense
-    # calendar join — left lazy, each branch re-ran the events scan +
-    # the day aggregate (4 events scans for one query). |user × active
-    # days| rows.
-    daily = (
+    # Checkpoint (SIZE-GATED, r17 — VERDICT r16 item 3): daily feeds
+    # the span aggregate AND the dense calendar join — left lazy, each
+    # branch re-ran the events scan + the day aggregate (4 events scans
+    # for one query). |user × active days| rows scale with the corpus,
+    # so the eager checkpoint only happens when the source table is
+    # provably small; above the gate the branches recompute (the safe
+    # shape when pinned non-recomputable blocks would be corpus-scale).
+    daily = checkpoint_if_small(
         e.crossJoin(F.broadcast(anchor))
         .groupBy(
             "user_id",
             (F.expr("ts_us DIV 86400000000") - F.col("d0")).alias("di"),
         )
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .agg(F.count("*").alias("c")),
+        source_bytes(sf_dir, "events"),
     )
     span = daily.groupBy("user_id").agg(F.max("di").alias("dmax"))
     cal = span.select(

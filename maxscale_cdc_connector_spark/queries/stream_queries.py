@@ -144,8 +144,16 @@ FROM numbered GROUP BY user_id, session_no
     "in-flight sessions in the state store.",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explicit user_id-keyed exchange BEFORE the session aggregation
+    # (r17, guide §2.5): the single-file events scan is one task, and
+    # the session merge's partial aggregation serialized there (a 0.72 s
+    # single-task stage at sf0.1); hash(user_id) satisfies the session
+    # agg's distribution, so the exchange count is unchanged and the
+    # sessionization runs on every core (A/B 0.52 → 0.30 s). The
+    # decimal-exact value sum and count are partitioning-independent.
+    par = spark.sparkContext.defaultParallelism
     out = session_agg(
-        _events_ts(spark, sf_dir),
+        _events_ts(spark, sf_dir).repartition(par, "user_id"),
         "ts_us",
         "30 minutes",
         ["user_id"],

@@ -731,7 +731,8 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs_prefix(q2.select("doc_id", "text"), min_jaccard=0.8)
     # input_materialized: pairs is a finalize() checkpoint (see graph.py).
     cc = connected_components(
-        pairs, src="doc_a", dst="doc_b", input_materialized=True
+        pairs, src="doc_a", dst="doc_b", input_materialized=True,
+        input_strict_pairs=True,
     )
     dropped = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
@@ -930,6 +931,8 @@ FROM pairs WHERE cnt >= 50
     "to the head of the pair distribution.",
 )
 def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (r17: a scan-parallelism repartition before the tokenize was A/B'd
+    # and REVERTED — 0.35 -> 0.57 s; same finding as text_tokenize_tf.)
     docs = t(spark, "documents", sf_dir).select("text")
     words = (
         docs.select(

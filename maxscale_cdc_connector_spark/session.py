@@ -92,6 +92,39 @@ def get_session(app_name: str = "maxscale-cdc-spark") -> SparkSession:
     return spark
 
 
+def ensure_scan_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to core count — only when the file-backed
+    scan would be underparallel (r17: promoted from operators/dedup,
+    which has used this guard since r9, so the text/JSON/simsearch
+    builders can share it).
+
+    The test tables are single-file single-row-group parquet, so every
+    scan is ONE task and any CPU-heavy row-local work (regex tokenize,
+    JSON parse, higher-order vector folds) or pre-shuffle partial
+    aggregation serializes on one core. A 100 TB table scans as
+    thousands of splits, in which case this is a no-op (no shuffle
+    inserted) — the guard keeps the scale path clean.
+
+    The check reads scan metadata (``inputFiles``) rather than
+    ``df.rdd.getNumPartitions()`` — the latter forces a plan→RDD
+    conversion on the driver per call. ``inputFiles()`` is empty for
+    non-file-backed inputs (createDataFrame, JDBC, a shuffled
+    intermediate); those are left untouched (a shuffled intermediate
+    already has ``spark.sql.shuffle.partitions`` sized to cores).
+
+    Use ONLY where the downstream computation is partitioning-
+    independent: row-local projections, integer/decimal-exact
+    aggregates, and deterministically tie-broken top-k are; float
+    partial aggregations whose rounding depends on the partial
+    grouping (kmeans partials, PCA covariance) are NOT.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    n = len(df.inputFiles())
+    if 0 < n < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Read one of the test tables as a DataFrame (columnar parquet scan).
 

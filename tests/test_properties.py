@@ -239,6 +239,81 @@ def test_connected_components_long_chain_converges_fast(spark) -> None:
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ).filter(lambda p: p[0] != p[1]).map(lambda p: (min(p), max(p))),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_strict_pairs_matches_default(spark, pairs) -> None:
+    """input_strict_pairs (r17: canonicalization as a pure projection,
+    labels straight from the fixpoint stars) must agree with the default
+    path on every distinct self-loop-free pair set — the exact contract
+    the dedup pair pipelines provide."""
+    from maxscale_cdc_connector_spark.operators.graph import connected_components
+
+    edges = sorted(pairs)
+    df = spark.createDataFrame(edges, "src long, dst long").localCheckpoint(
+        eager=True
+    )
+    base = {
+        r["node"]: r["component"]
+        for r in connected_components(df, max_iters=40).collect()
+    }
+    strict = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, max_iters=40, input_materialized=True, input_strict_pairs=True
+        ).collect()
+    }
+    assert strict == base
+
+
+def test_checkpoint_if_small_gates_on_source_bytes(spark, sf_dir) -> None:
+    """Below the limit the frame is materialized (plan bottoms out in a
+    LogicalRDD); above it the frame is returned unchanged (lazy,
+    recomputable). Rows identical either way — the gate is a storage
+    decision, never a semantic one."""
+    import os
+
+    from maxscale_cdc_connector_spark.operators.cache import (
+        CKPT_MAX_INPUT_BYTES_ENV,
+        checkpoint_if_small,
+        source_bytes,
+    )
+    from maxscale_cdc_connector_spark.session import load_table
+
+    sb = source_bytes(sf_dir, "documents")
+    assert sb is not None and sb > 0
+    assert source_bytes(sf_dir, "no_such_table") is None
+
+    df = load_table(spark, "documents", sf_dir).select("doc_id")
+    small = checkpoint_if_small(df, sb)
+    assert small._jdf.queryExecution().analyzed().nodeName() == "LogicalRDD"
+    old = os.environ.get(CKPT_MAX_INPUT_BYTES_ENV)
+    os.environ[CKPT_MAX_INPUT_BYTES_ENV] = "1"
+    try:
+        big = checkpoint_if_small(df, sb)
+        assert big is df  # unchanged, still lazy
+        unknown = checkpoint_if_small(df, None)
+        assert unknown is df  # unknown size must be treated as big
+    finally:
+        if old is None:
+            del os.environ[CKPT_MAX_INPUT_BYTES_ENV]
+        else:
+            os.environ[CKPT_MAX_INPUT_BYTES_ENV] = old
+    assert small.count() == df.count()
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
