@@ -272,8 +272,10 @@ def _two_phase(
         F.least(F.col(src), F.col(dst)).alias(b),
     )
     if not strict_pairs:
-        e = e.where(F.col(a) != F.col(b)).distinct()
-    e = e.localCheckpoint(eager=False)
+        # The distinct must be materialized once (lazy ckpt, populated
+        # by the initial signature job) — multiple readers of a lazy
+        # unmaterialized plan would recompute the exchange per branch.
+        e = e.where(F.col(a) != F.col(b)).distinct().localCheckpoint(eager=False)
     # Set signature of the current (distinct) edge set — ALSO the job
     # that populates the frame's lazy checkpoint blocks (every _sig
     # caller passes a lazily-checkpointed frame; the aggregation runs
@@ -293,7 +295,15 @@ def _two_phase(
     spent: list[DataFrame] = []
     converged = False
     try:
-        e_sig = _sig(e)
+        # Under strict_pairs, e is a pure projection over the caller's
+        # already-materialized blocks (no checkpoint of its own), so the
+        # standalone initial-signature job is skipped: round 1 computes
+        # BOTH signatures in one tagged-union aggregate (r17 — one job
+        # + its driver gap saved per call; re-reading the cheap
+        # projection inside that job costs only a block re-decode).
+        # In the default mode the distinct must be materialized alone
+        # first, exactly as before.
+        e_sig = None if strict_pairs else _sig(e)
         for rounds in range(1, max_iters + 1):
             # ---- large-star over symmetrized edges ----
             # m = min(N(x) ∪ {x}) via a window min — ONE exchange on the
@@ -335,7 +345,27 @@ def _two_phase(
             # only a signature match triggers the exact exceptAll
             # confirmation (both sides distinct, so count match + empty
             # one-sided difference suffices).
-            small_sig = _sig(small)
+            if e_sig is None:
+                # strict_pairs round 1: both signatures in ONE job via a
+                # tagged union (e re-read as a cheap projection; small's
+                # lazy checkpoint blocks materialize in this same job).
+                rows = (
+                    e.select(F.col(a), F.col(b), F.lit(0).alias("t"))
+                    .union(small.select(F.col(a), F.col(b), F.lit(1).alias("t")))
+                    .groupBy("t")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.expr(f"bit_xor(xxhash64({a}, {b}))").alias("x"),
+                    )
+                    .collect()
+                )
+                by_t = {r["t"]: (r["n"], r["x"]) for r in rows}
+                # A tag can be absent only for an EMPTY side (groupBy
+                # drops empty groups): canonicalize to (0, None).
+                e_sig = by_t.get(0, (0, None))
+                small_sig = by_t.get(1, (0, None))
+            else:
+                small_sig = _sig(small)
             if small_sig == e_sig and small.exceptAll(e).isEmpty():
                 spent.append(e)
                 e = small
@@ -456,7 +486,12 @@ def _label_prop(
             _release_local_checkpoint(df)
 
 
-def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    input_strict_pairs: bool = False,
+) -> DataFrame:
     """Global triangle census of an undirected graph: one row with
     ``(n_nodes, n_edges, n_wedges, n_triangles, clustering)``.
 
@@ -478,15 +513,20 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     # orientation joins, the wedge-closing semi-join) and typically
     # carries an expensive upstream pair pipeline; blocks are reclaimed
     # by the ContextCleaner once the caller's action completes.
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("u"),
-            F.greatest(F.col(src), F.col(dst)).alias("v"),
-        )
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    #
+    # ``input_strict_pairs`` (r17, same contract as connected_components):
+    # the caller asserts the input is an ALREADY-MATERIALIZED distinct
+    # pair set with src != dst on every row (a finalize() checkpoint from
+    # the jaccard/minhash pipelines). Canonicalization is then a pure
+    # projection over the caller's blocks — the filter, the distinct
+    # exchange and the extra eager-checkpoint job all vanish; each branch
+    # re-reads the cheap projection instead.
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
     )
+    if not input_strict_pairs:
+        e = e.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
     sym = e.select(F.col("u").alias("node")).union(e.select(F.col("v").alias("node")))
     # Eager checkpoint: deg fans out into both orientation joins and the
     # node census — left lazy, each branch recomputed the sym scan + the

@@ -1911,7 +1911,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
     edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8)
-    return triangle_stats(edges, src="doc_a", dst="doc_b")
+    # strict_pairs: jaccard pairs are a materialized distinct set with
+    # doc_a < doc_b — skips the canonicalization distinct and its extra
+    # eager-checkpoint job (r17).
+    return triangle_stats(edges, src="doc_a", dst="doc_b", input_strict_pairs=True)
 
 
 @register(
