@@ -59,6 +59,49 @@ def source_bytes(sf_dir: str, *tables: str) -> int | None:
     return total
 
 
+def input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s file-backed inputs
+    (``inputFiles``); ``None`` for non-file-backed or unreadable inputs
+    — callers must treat unknown as NOT small."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            path = f[7:] if f.startswith("file:///") else f
+            path = path if path.startswith("/") else "/" + path
+            total += os.path.getsize(path)
+        return total
+    except Exception:
+        return None
+
+
+def eager_barrier(df: DataFrame, src_bytes: int | None) -> DataFrame:
+    """Materialization barrier for a multi-branch intermediate, picking
+    the cheaper mechanism by PROVEN source size (r17):
+
+    - source provably small (<= the checkpoint_if_small limit): eager
+      ``localCheckpoint`` — measured ~0.25 s cheaper per call than a
+      persist at sf0.1 (no columnar cache encode, no CacheManager
+      entry), and the blocks are bounded by the small input;
+    - otherwise: :func:`eager_persist` — recomputable lineage and
+      MEMORY_AND_DISK spill, the scale-safe barrier.
+
+    Either result is released correctly by :func:`finalize`/_release.
+    Unlike :func:`checkpoint_if_small` the fallback is still a BARRIER:
+    use this where multiple branches of one action read the frame (the
+    AQE population race — see eager_persist), and checkpoint_if_small
+    where a lazy recompute is acceptable.
+    """
+    limit = int(
+        os.environ.get(CKPT_MAX_INPUT_BYTES_ENV, _CKPT_MAX_INPUT_BYTES_DEFAULT)
+    )
+    if src_bytes is not None and src_bytes <= limit:
+        return df.localCheckpoint(eager=True)
+    return eager_persist(df)
+
+
 def checkpoint_if_small(df: DataFrame, src_bytes: int | None) -> DataFrame:
     """Eager ``localCheckpoint`` ONLY when the source input is provably
     small (VERDICT r16 item 3): a checkpoint's blocks are the sole,
@@ -79,14 +122,24 @@ def checkpoint_if_small(df: DataFrame, src_bytes: int | None) -> DataFrame:
 
 
 def _release(caches: Iterable[DataFrame]) -> None:
-    """Best-effort unpersist of every cache: one failing ``unpersist``
+    """Best-effort release of every cache: one failing ``unpersist``
     (a dead executor's block-manager RPC, a torn-down context) must not
     leak the remaining caches — each release is guarded independently.
     Non-blocking: the caller never needs the blocks gone synchronously,
-    only deregistered."""
+    only deregistered.
+
+    Handles BOTH barrier kinds (r17): ``unpersist`` deregisters a
+    persisted frame's CacheManager entry, and the second guarded call
+    frees a localCheckpointed frame's block storage (its analyzed plan
+    is a LogicalRDD whose RDD holds the blocks); each is a no-op for
+    the other kind."""
     for c in caches:
         try:
             c.unpersist(blocking=False)
+        except Exception:
+            pass
+        try:
+            c._jdf.queryExecution().analyzed().rdd().unpersist(False)
         except Exception:
             pass
 

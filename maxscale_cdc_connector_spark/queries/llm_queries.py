@@ -2815,7 +2815,11 @@ def graph_kcore_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from maxscale_cdc_connector_spark.operators.graph import kcore
 
     corpus = duplicated_corpus(t(spark, "documents", sf_dir).select("doc_id", "text"))
-    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8).localCheckpoint(eager=True)
+    # jaccard_pairs_prefix already returns a finalize() checkpoint — the
+    # r16 extra eager localCheckpoint here copied those blocks in a
+    # separate job for nothing (r17); both kcore peels read the same
+    # materialized pair blocks.
+    edges = jaccard_pairs_prefix(corpus, min_jaccard=0.8)
     rows = []
     for k in (2, 3):
         nodes, core_edges, rounds = kcore(edges, k, src="doc_a", dst="doc_b")

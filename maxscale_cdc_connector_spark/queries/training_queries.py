@@ -717,16 +717,28 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("top_word_count") * 5 <= F.col("n_words"))
     )
     # Survivors feed three downstream branches (digest groupBy, the pair
-    # pipeline, the stage aggregates) — materialize once.
-    q = q.withColumn("digest", F.md5(normalize("text"))).localCheckpoint(eager=True)
+    # pipeline, the stage aggregates) — materialize once. r17: these
+    # frames are CORPUS-scale (they carry text), so the barrier is the
+    # size-gated checkpoint-or-persist (cache.eager_barrier): eager
+    # checkpoint when the source is provably small, recomputable
+    # eager_persist at scale (VERDICT r16 item 3 doctrine). The persists
+    # are released by the funnel's own finalize below.
+    from maxscale_cdc_connector_spark.operators.cache import (
+        eager_barrier,
+        finalize,
+        input_bytes,
+    )
+
+    src_b = input_bytes(q)
+    q = eager_barrier(q.withColumn("digest", F.md5(normalize("text"))), src_b)
     keepers = q.groupBy("digest").agg(F.min("doc_id").alias("keeper"))
-    q2 = (
+    q2 = eager_barrier(
         q.join(
             keepers,
             (q.digest == keepers.digest) & (q.doc_id == keepers.keeper),
             "left_semi",
-        )
-        .localCheckpoint(eager=True)
+        ),
+        src_b,
     )
     pairs = jaccard_pairs_prefix(q2.select("doc_id", "text"), min_jaccard=0.8)
     # input_materialized: pairs is a finalize() checkpoint (see graph.py).
@@ -744,12 +756,15 @@ def pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_words").alias("total_words"),
         ).select("stage", "n_docs", "total_words")
-    return (
+    out = (
         stage(sig, "1_raw")
         .unionByName(stage(q, "2_quality"))
         .unionByName(stage(q2, "3_exact_dedup"))
         .unionByName(stage(q3, "4_near_dedup"))
     )
+    # Materialize the 4-row funnel and release both barriers (bounded
+    # cache lifetime either side of the eager_barrier gate).
+    return finalize(out, [q, q2])
 
 
 @register(
