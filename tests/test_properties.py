@@ -313,6 +313,46 @@ def test_checkpoint_if_small_gates_on_source_bytes(spark, sf_dir) -> None:
     assert small.count() == df.count()
 
 
+def test_eager_barrier_gates_and_releases_both_kinds(spark, sf_dir) -> None:
+    """Below the limit eager_barrier is a checkpoint (LogicalRDD);
+    above it an eagerly-populated persist (InMemoryRelation with loaded
+    buffers). finalize() must release EITHER kind without touching the
+    already-materialized result."""
+    import os
+
+    from maxscale_cdc_connector_spark.operators.cache import (
+        CKPT_MAX_INPUT_BYTES_ENV,
+        eager_barrier,
+        finalize,
+        input_bytes,
+        source_bytes,
+    )
+    from maxscale_cdc_connector_spark.session import load_table
+
+    df = load_table(spark, "documents", sf_dir).select("doc_id")
+    ib = input_bytes(df)
+    assert ib is not None and ib == source_bytes(sf_dir, "documents")
+
+    small = eager_barrier(df, ib)
+    assert small._jdf.queryExecution().analyzed().nodeName() == "LogicalRDD"
+    out = finalize(small.limit(3), [small])
+    assert out.count() == 3  # result survives the release
+
+    old = os.environ.get(CKPT_MAX_INPUT_BYTES_ENV)
+    os.environ[CKPT_MAX_INPUT_BYTES_ENV] = "1"
+    try:
+        big = eager_barrier(df, ib)
+        assert big.storageLevel.useMemory  # persisted fallback
+        out = finalize(big.limit(3), [big])
+        assert out.count() == 3
+        assert not big.storageLevel.useMemory  # released
+    finally:
+        if old is None:
+            del os.environ[CKPT_MAX_INPUT_BYTES_ENV]
+        else:
+            os.environ[CKPT_MAX_INPUT_BYTES_ENV] = old
+
+
 @settings(
     max_examples=6,
     deadline=None,
