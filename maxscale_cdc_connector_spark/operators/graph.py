@@ -766,7 +766,11 @@ def kcore(
 
 
 def ancestor_closure(
-    edges: DataFrame, child: str = "child", parent: str = "parent", max_depth: int = 64
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 64,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """Transitive ancestor closure of a forest by POINTER DOUBLING —
     the distributed replacement for SQL's ``WITH RECURSIVE`` hierarchy
@@ -795,14 +799,20 @@ def ancestor_closure(
     # shuffles, and the extra 32-task stages cost more than the saved
     # exchange. The AQE-coalesced exchange is the right default at both
     # scales.)
-    cur = (
-        edges.select(
-            F.col(child).alias("desc"), F.col(parent).alias("anc"),
-            F.lit(1).cast("bigint").alias("dist"),
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    # ``input_distinct`` (r17): the caller asserts one row per (child,
+    # parent) pair — a forest's parent-pointer table is distinct by
+    # construction — so the initial dedup exchange is skipped. Duplicate
+    # rows under a violated contract would only repeat identical
+    # (desc, anc, dist) rows into round 1, whose groupBy dedups them;
+    # the only effect would be a wrong initial n_cur (one extra round,
+    # never a wrong closure).
+    cur = edges.select(
+        F.col(child).alias("desc"), F.col(parent).alias("anc"),
+        F.lit(1).cast("bigint").alias("dist"),
     )
+    if not input_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint(eager=False)
     import math as _math
 
     # ceil(log2(depth)) doubling rounds close the hierarchy; +2 covers

@@ -3183,7 +3183,9 @@ def graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = nodes.filter(F.col("id") > 0).select(
         F.col("id").alias("child"), F.expr("id DIV 2").alias("parent")
     )
-    closure = ancestor_closure(edges)
+    # input_distinct: one row per doc id by construction (projection of
+    # the checkpointed nodes frame) — skips the initial dedup exchange.
+    closure = ancestor_closure(edges, input_distinct=True)
     depths = (
         nodes.join(closure, nodes["id"] == closure["desc"], "left")
         .groupBy("id")
