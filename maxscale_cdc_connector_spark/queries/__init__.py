@@ -46,6 +46,10 @@ _CHANGED_THIS_ROUND: tuple[str, ...] = (
     "pipeline_quality_gate",
     "stream_session_window",
     "simsearch_batch_topk",
+    # changed AGAIN in r17 (checkpoint size gate / kmeans error-path fix)
+    # after their r16 driver rows — re-verify on the r17 code:
+    "text_tfidf",
+    "events_user_segmentation_kmeans",
     # --- r16 backlog: direct query rewrites without an r16 driver row ---
     "orders_market_basket",
     "graph_triangle_count",
